@@ -1,0 +1,38 @@
+"""graph_data_science_ray — a Ray-Data-native link-graph analytics engine.
+
+A from-scratch rewrite (NOT a port) of the capabilities of the reference
+``chrisbloecker/graph-data-science`` (a fork of Neo4j GDS; the reference
+checkout at /root/reference is empty — see SURVEY.md §0 for the provenance
+policy): PageRank (power iteration, damping 0.85, GDS score convention),
+weakly-connected components (iterative min-label hash shuffle), label
+propagation (synchronous, min-label tie break) and node-wise triangle
+counting — expressed over ``ray.data.Dataset`` pipelines of Arrow blocks.
+
+Input data model (BASELINE.json input_hint): a Parquet table of
+Common-Crawl-style web pages ``(url, warc_ts, html, text, lang)``; a
+stateful actor-pool stage extracts text + links per page (byte-identical,
+deterministic), a deduped ``(src_id, dst_id)`` edge table is materialized,
+and every algorithm iteration is a batch transform + ``groupby`` aggregate
+under the streaming executor.
+
+Nothing in this package calls ``ray.init``/``ray.shutdown`` — session
+ownership belongs to entry points (bench.py, CLI, test fixture, driver).
+"""
+
+from graph_data_science_ray.context import configure_ray_data
+from graph_data_science_ray.algos.pagerank import pagerank
+from graph_data_science_ray.algos.wcc import wcc
+from graph_data_science_ray.algos.labelprop import label_propagation
+from graph_data_science_ray.algos.triangles import triangle_count
+from graph_data_science_ray.algos.degree import degree
+
+__all__ = [
+    "configure_ray_data",
+    "pagerank",
+    "wcc",
+    "label_propagation",
+    "triangle_count",
+    "degree",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,165 @@
+"""Shared plumbing for the iterative graph algorithms.
+
+Architecture (SURVEY.md §3.2): the EDGE table is the big, distributed
+side — it streams through ``map_batches`` and ``groupby`` shuffles every
+iteration. The per-node STATE (rank / label vector, one scalar per node)
+is orders of magnitude smaller than the edges for link graphs; in the
+dataflow implementation it is held as sorted numpy arrays, broadcast to
+workers via ``ray.put`` once per iteration (zero-copy reads from the
+object store), and updated on the driver from the shuffle's aggregate
+output. When the node table itself outgrows single-process memory, the
+sharded CSR-actor implementation (state/csr.py) partitions node state
+across P actors with the same bucket function — same semantics, tested
+for equality.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def collect_arrow(ds: Dataset) -> pa.Table:
+    """Materialize a (small) Dataset result as one Arrow table without a
+    per-row driver loop: fetch block refs, concat zero-copy."""
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+@dataclass
+class NodeVector:
+    """A per-node scalar vector keyed by sorted node ids.
+
+    Lookup is vectorized ``np.searchsorted`` — O(log n) per probe, no
+    Python loop. Shared with workers through ``ray.put`` (one copy in the
+    local object store; tasks map it zero-copy).
+    """
+
+    node_ids: np.ndarray  # int64, sorted ascending, unique
+    values: np.ndarray    # same length
+
+    def __post_init__(self) -> None:
+        assert self.node_ids.shape == self.values.shape
+
+    @classmethod
+    def from_ids(cls, node_ids: np.ndarray, fill: float | int, dtype=np.float64) -> "NodeVector":
+        ids = np.sort(np.asarray(node_ids, dtype=np.int64))
+        return cls(ids, np.full(ids.shape[0], fill, dtype=dtype))
+
+    @classmethod
+    def identity(cls, node_ids: np.ndarray) -> "NodeVector":
+        """value[i] = node_id[i] (WCC / LPA initial labels)."""
+        ids = np.sort(np.asarray(node_ids, dtype=np.int64))
+        return cls(ids, ids.copy())
+
+    def lookup(self, ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.node_ids, ids)
+        pos = np.minimum(pos, self.node_ids.shape[0] - 1)
+        # ids not present map to an arbitrary slot; callers guarantee
+        # ids ⊆ node_ids (the id universe is fixed at projection time,
+        # mirroring the reference's immutable IdMap).
+        return self.values[pos]
+
+    def updated(self, ids: np.ndarray, values: np.ndarray, default: float | int | None = None) -> "NodeVector":
+        """New vector: positions named in `ids` take `values`; the rest
+        keep their current value, or `default` if given."""
+        if default is None:
+            out = self.values.copy()
+        else:
+            out = np.full(self.values.shape[0], default, dtype=self.values.dtype)
+        pos = np.searchsorted(self.node_ids, ids)
+        valid = (pos < self.node_ids.shape[0])
+        pos_c = np.minimum(pos, self.node_ids.shape[0] - 1)
+        valid &= self.node_ids[pos_c] == ids
+        out[pos_c[valid]] = values[valid]
+        return NodeVector(self.node_ids, out)
+
+    def to_table(self, value_name: str) -> pa.Table:
+        return pa.table(
+            {"node_id": pa.array(self.node_ids, pa.int64()),
+             value_name: pa.array(self.values)}
+        )
+
+
+def unique_node_ids(edges_table_or_ds) -> np.ndarray:
+    """Distinct src ∪ dst as a sorted numpy array (driver-side; the node
+    universe of the dataflow implementation).
+
+    Shuffle-free: per-batch distinct (a combiner — output is bounded by
+    the batch's distinct ids, tiny under hub skew) then a driver-side
+    merge. The node vector must fit the driver in this implementation by
+    construction; the sharded CSR path lifts that limit."""
+    if isinstance(edges_table_or_ds, pa.Table):
+        t = edges_table_or_ds
+        return np.union1d(
+            t.column("src_id").to_numpy(zero_copy_only=False),
+            t.column("dst_id").to_numpy(zero_copy_only=False),
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    t.column("src_id").to_numpy(zero_copy_only=False),
+                    t.column("dst_id").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node_id": pa.array(ids, pa.int64())})
+
+    t = collect_arrow(
+        edges_table_or_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if t.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(t.column("node_id").to_numpy(zero_copy_only=False))
+
+
+# ---------------------------------------------------------------------------
+# Driver-side final reduction of per-batch partials.
+#
+# The scatter stages emit PRE-AGGREGATED partials (≤ one row per distinct
+# key per batch). Merging those partials is a combiner-tree final step:
+# when the keyed result is node-vector-sized (the dataflow path's standing
+# assumption) it is cheapest on the driver as one vectorized numpy pass —
+# no shuffle, no aggregator actors. `reduce="shuffle"` in the harness
+# keeps the distributed groupby alternative for node tables beyond driver
+# memory.
+# ---------------------------------------------------------------------------
+
+
+def merge_sum(t: pa.Table, key: str, val: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column(key).to_numpy(zero_copy_only=False)
+    vals = t.column(val).to_numpy(zero_copy_only=False)
+    u, inv = np.unique(ids, return_inverse=True)
+    return u, np.bincount(inv, weights=vals, minlength=u.shape[0])
+
+
+def merge_min(t: pa.Table, key: str, val: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column(key).to_numpy(zero_copy_only=False)
+    vals = t.column(val).to_numpy(zero_copy_only=False)
+    u, inv = np.unique(ids, return_inverse=True)
+    out = np.full(u.shape[0], np.iinfo(np.int64).max, dtype=vals.dtype)
+    np.minimum.at(out, inv, vals)
+    return u, out
+
+
+def merge_sum2(t: pa.Table, keys: tuple[str, str], val: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    k = np.stack(
+        [
+            t.column(keys[0]).to_numpy(zero_copy_only=False),
+            t.column(keys[1]).to_numpy(zero_copy_only=False),
+        ],
+        axis=1,
+    )
+    vals = t.column(val).to_numpy(zero_copy_only=False)
+    u, inv = np.unique(k, axis=0, return_inverse=True)
+    return u[:, 0], u[:, 1], np.bincount(inv, weights=vals, minlength=u.shape[0])

@@ -1,0 +1,135 @@
+"""Label propagation — synchronous, weighted votes, min-label tie-break.
+
+Reference semantics (Neo4j GDS Label Propagation, public docs): nodes
+start with their own id (or a seed property); each iteration a node
+adopts the neighbor label with the maximum total incident weight;
+``maxIterations`` default 10; converges when no label changes. The
+reference's parallel tie behavior is order-dependent; we fix ties to the
+MIN label so the result is deterministic — partition-level equality with
+the reference is the test contract (SURVEY.md §7 hard part (c)), and the
+in-repo oracle (oracles.lpa_oracle) implements the same deterministic
+variant.
+
+Per iteration: scatter (nbr_node, my_label, w) over the symmetrized
+edges with a within-batch (node,label) sum-combiner, gather
+``groupby([node,label]).sum(w)`` (the one shuffle), then a vectorized
+arg-max with min-tie-break.  The argmax runs on the collected vote
+table — sized O(nodes × distinct neighbor labels), which collapses
+rapidly after the first iterations; at 10^12-edge scale the same argmax
+can run as a second keyed aggregate (AggregateFnV2) without collecting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from graph_data_science_ray.algos.common import unique_node_ids
+from graph_data_science_ray.algos.iterate import run_iterative
+from graph_data_science_ray.algos.pagerank import IterativeResult
+from graph_data_science_ray.checkpoint import CheckpointManager
+from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
+
+
+def _make_stage(weighted: bool):
+    def make(state_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids, labels = ray.get(state_ref)
+            src = batch.column("src_id").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+            w = (
+                batch.column("weight").to_numpy(zero_copy_only=False)
+                if weighted
+                else np.ones(src.shape[0], dtype=np.float64)
+            )
+            src_label = labels[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            # within-batch combiner: sum weight per (dst, label)
+            key = np.stack([dst, src_label], axis=1)
+            u_key, inv = np.unique(key, axis=0, return_inverse=True)
+            votes = np.bincount(inv, weights=w, minlength=u_key.shape[0])
+            return pa.table(
+                {
+                    "node_id": pa.array(u_key[:, 0], pa.int64()),
+                    "label": pa.array(u_key[:, 1], pa.int64()),
+                    "w": pa.array(votes, pa.float64()),
+                }
+            )
+
+        return fn
+
+    return make
+
+
+def _apply(state: np.ndarray, gathered: pa.Table, node_ids: np.ndarray):
+    new = state.copy()
+    if gathered.num_rows:
+        nodes = gathered.column("node_id").to_numpy(zero_copy_only=False)
+        labels = gathered.column("label").to_numpy(zero_copy_only=False)
+        w = gathered.column("w").to_numpy(zero_copy_only=False)
+        # vectorized argmax with min-label tie-break: sort by (node, -w, label)
+        order = np.lexsort((labels, -w, nodes))
+        nodes_s, labels_s = nodes[order], labels[order]
+        _, first = np.unique(nodes_s, return_index=True)
+        pos = np.searchsorted(node_ids, nodes_s[first])
+        new[pos] = labels_s[first]
+    changed = int((new != state).sum())
+    return new, float(changed)
+
+
+def _driver_reduce(partials: pa.Table) -> pa.Table:
+    from graph_data_science_ray.algos.common import merge_sum2
+
+    if partials.num_rows == 0:
+        return partials
+    nodes, labels, w = merge_sum2(partials, ("node_id", "label"), "w")
+    return pa.table(
+        {
+            "node_id": pa.array(nodes, pa.int64()),
+            "label": pa.array(labels, pa.int64()),
+            "w": pa.array(w, pa.float64()),
+        }
+    )
+
+
+def label_propagation(
+    edges: Dataset,
+    max_iterations: int = 10,
+    weighted: bool = False,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    pre_symmetrized: bool = False,
+    reduce: str = "driver",
+) -> IterativeResult:
+    """Community label per node (deterministic min-tie-break variant)."""
+    und = edges if pre_symmetrized else symmetrize(
+        edges, dedup=not weighted, num_partitions=num_partitions
+    )
+    if weighted and not pre_symmetrized:
+        from graph_data_science_ray.sources.edges import dedup_edges
+
+        und = dedup_edges(und, "sum", num_partitions=num_partitions)
+    und = drop_self_loops(und).materialize()
+    node_arr = unique_node_ids(und)
+    return run_iterative(
+        edges=und,
+        node_ids=node_arr,
+        init=node_arr.copy(),
+        make_stage=_make_stage(weighted),
+        gather_key=["node_id", "label"],
+        gather_aggs=lambda: [Sum("w", alias_name="w")],
+        apply_fn=_apply,
+        max_iterations=max_iterations,
+        tolerance=0.0,
+        value_name="label",
+        checkpoint=checkpoint,
+        resume=resume,
+        num_partitions=num_partitions,
+        materialize_edges=False,
+        reduce=reduce,
+        driver_reduce=_driver_reduce,
+    )

@@ -1,0 +1,125 @@
+"""Engine algorithms (dataflow path) vs the in-repo oracles on the
+FIXTURES.md graph fixtures — the allclose-1e-6 / exact contracts."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import fixtures
+from graph_data_science_ray.algos.labelprop import label_propagation
+from graph_data_science_ray.algos.pagerank import pagerank
+from graph_data_science_ray.algos.triangles import triangle_count
+from graph_data_science_ray.algos.wcc import wcc
+from graph_data_science_ray.oracles import (
+    lpa_oracle,
+    pagerank_oracle,
+    partitions_equal,
+    triangles_oracle,
+    wcc_oracle,
+)
+from graph_data_science_ray.sources.edges import from_arrow
+
+NP = 2  # tiny shuffle parallelism for toy graphs
+
+
+def _pairs(t):
+    cols = [t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()]
+    if "weight" in t.column_names:
+        cols.append(t.column("weight").to_pylist())
+    return list(zip(*cols))
+
+
+FIXES = {
+    "tiny_chain": fixtures.tiny_chain,
+    "tiny_cycle": fixtures.tiny_cycle,
+    "star_hub": fixtures.star_hub,
+    "two_components": fixtures.two_components,
+    "paper_graph": fixtures.paper_graph,
+    "self_loop": fixtures.self_loop,
+}
+
+
+@pytest.mark.parametrize("name", ["tiny_chain", "tiny_cycle", "star_hub", "paper_graph", "self_loop"])
+def test_pagerank_allclose_fixtures(name):
+    t = FIXES[name]()
+    res = pagerank(from_arrow(t), max_iterations=30, tolerance=1e-9, num_partitions=NP)
+    want = pagerank_oracle(_pairs(t), max_iter=30, tol=1e-9)
+    got = res.as_dict()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6), (name, k)
+
+
+def test_pagerank_weighted():
+    t = fixtures.weighted_tri()
+    res = pagerank(from_arrow(t), weighted=True, max_iterations=40, tolerance=1e-10, num_partitions=NP)
+    want = pagerank_oracle(_pairs(t), weighted=True, max_iter=40, tol=1e-10)
+    for k, v in want.items():
+        assert res.as_dict()[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_pagerank_random_graph():
+    t = fixtures.er_random(120, 0.05, seed=11)
+    res = pagerank(from_arrow(t), max_iterations=25, num_partitions=NP)
+    want = pagerank_oracle(_pairs(t), max_iter=25)
+    got = res.as_dict()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+@pytest.mark.parametrize("name", ["two_components", "tiny_chain", "self_loop"])
+def test_wcc_exact_fixtures(name):
+    t = FIXES[name]()
+    res = wcc(from_arrow(t), num_partitions=NP)
+    want = wcc_oracle(_pairs(t))
+    assert res.converged
+    assert res.as_dict() == want
+
+
+def test_wcc_random_graph():
+    t = fixtures.er_random(150, 0.01, seed=21)
+    res = wcc(from_arrow(t), num_partitions=NP)
+    assert res.converged
+    assert res.as_dict() == wcc_oracle(_pairs(t))
+
+
+def test_lpa_matches_deterministic_oracle():
+    t = fixtures.two_components()
+    res = label_propagation(from_arrow(t), max_iterations=10, num_partitions=NP)
+    want = lpa_oracle(_pairs(t), max_iter=10)
+    assert res.as_dict() == want
+
+
+def test_lpa_labels_stay_in_component_random():
+    t = fixtures.er_random(80, 0.04, seed=31)
+    res = label_propagation(from_arrow(t), max_iterations=10, num_partitions=NP)
+    comps = wcc_oracle(_pairs(t))
+    got = res.as_dict()
+    want = lpa_oracle(_pairs(t), max_iter=10)
+    assert got == want
+    for u, lab in got.items():
+        assert comps[lab] == comps[u]
+
+
+@pytest.mark.parametrize("name", ["two_components", "self_loop", "paper_graph"])
+def test_triangles_exact_fixtures(name):
+    t = FIXES[name]()
+    res = triangle_count(from_arrow(t), num_partitions=NP)
+    want = triangles_oracle(_pairs(t))
+    assert res.as_dict() == want
+    assert res.metrics[0]["global"] == sum(want.values()) // 3
+
+
+def test_triangles_random_graph():
+    t = fixtures.er_random(70, 0.1, seed=41)
+    res = triangle_count(from_arrow(t), num_partitions=NP)
+    want = triangles_oracle(_pairs(t))
+    assert res.as_dict() == want
+
+
+def test_triangles_max_degree_cutoff():
+    # star: hub 0 has degree 9 → excluded at max_degree=5, reports -1
+    t = fixtures.star_hub()
+    res = triangle_count(from_arrow(t), max_degree=5, num_partitions=NP)
+    got = res.as_dict()
+    assert got[0] == -1
+    assert all(v == 0 for k, v in got.items() if k != 0)
