@@ -1,0 +1,113 @@
+"""Ingest pipeline: Common-Crawl-style pages → deduped, bucketed edge table.
+
+The graft's replacement for the reference's ``gds.graph.project``
+(SURVEY.md §3.2 lifecycle 1): a streaming Ray Data pipeline
+
+    read_parquet(pages, columns=[url, html])          # prune at the read
+      → map_batches(ExtractTextAndLinks, actor pool)  # stateful stage
+      → explode links (vectorized Arrow)              # flat_map shape
+      → urls → 63-bit node ids (sha256)
+      → dedup groupby((src,dst))                      # Aggregation.SINGLE
+      → add bucket = mix(src_id) % P
+      → write_parquet(out, partition_cols=[bucket])   # resumable layout
+
+Every stage streams with backpressure; nothing materializes the full
+page corpus. The bucketed parquet layout is the CSR shard layout the
+iterative algorithms consume, and a rerun can skip finished bucket
+directories (resumable output).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+from ray.data import Dataset
+
+from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+from graph_data_science_ray.sources.edges import dedup_edges
+from graph_data_science_ray.stages.extract import ExtractTextAndLinks, explode_links
+from graph_data_science_ray.stages.ids import add_bucket_column, hash64_array, urls_to_edge_ids
+
+
+def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
+    configure_ray_data()
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def extract_pages(pages: Dataset, concurrency: int | tuple[int, int] = (2, 8)) -> Dataset:
+    """pages(url, html, ...) → (url, text, text_sha256, links)."""
+    return pages.map_batches(
+        ExtractTextAndLinks,
+        batch_format="pyarrow",
+        batch_size=256,  # html payloads are large; keep batches modest
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def page_edges(extracted: Dataset) -> Dataset:
+    """(url, links) → (src_id, dst_id) rows, not yet deduped."""
+    return extracted.select_columns(["url", "links"]).map_batches(
+        explode_links, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(urls_to_edge_ids, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def node_table(extracted: Dataset) -> Dataset:
+    """(node_id, url) id-map table (the reference's IdMap, materialized
+    as data): page urls only; link-target urls resolve through the same
+    hash so no global map is needed."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node_id": hash64_array(t.column("url")), "url": t.column("url")}
+        )
+
+    return extracted.select_columns(["url"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ingest_pages(
+    pages_path: str,
+    out_dir: str,
+    num_buckets: int = 64,
+    concurrency: int | tuple[int, int] = (2, 8),
+    num_partitions: int | None = None,
+    write_nodes: bool = True,
+    write_text: bool = False,
+) -> dict:
+    """Run the full ingest; returns {"edges": n_edges, "pages": n_pages}.
+
+    Output layout (layered + resumable — each layer is parquet, derived
+    layers re-read the previous one instead of re-running extraction):
+      out_dir/extracted/*.parquet          (url, text_sha256, links[, text])
+      out_dir/edges/bucket=<b>/*.parquet   (src_id, dst_id)
+      out_dir/nodes/*.parquet              (node_id, url)
+    """
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+    pages = read_pages(pages_path, columns=["url", "html"])
+    extracted = extract_pages(pages, concurrency=concurrency)
+
+    # layer 1: extraction output, written ONCE (html is parsed exactly
+    # once per page; edges and nodes derive from this parquet)
+    cols = ["url", "text_sha256", "links"] + (["text"] if write_text else [])
+    extracted.select_columns(cols).write_parquet(f"{out_dir}/extracted")
+    extracted_pq = ray.data.read_parquet(f"{out_dir}/extracted")
+
+    # layer 2: deduped, bucketed edge table
+    edges = dedup_edges(page_edges(extracted_pq), "single", num_partitions=num_partitions)
+    edges = edges.map_batches(
+        lambda t: add_bucket_column(t, "src_id", num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edges.write_parquet(f"{out_dir}/edges", partition_cols=["bucket"])
+    stats = {"edges": ray.data.read_parquet(f"{out_dir}/edges").count()}
+
+    # layer 3: id-map table
+    if write_nodes:
+        node_table(extracted_pq).write_parquet(f"{out_dir}/nodes")
+        stats["pages"] = ray.data.read_parquet(f"{out_dir}/nodes").count()
+    return stats
