@@ -1,0 +1,325 @@
+"""CSR shard actors — the sharded-state fast path for iterative algorithms.
+
+The dataflow implementations (algos/) re-scan the edge Dataset and move a
+broadcast node vector every iteration. This module is the scale path the
+north star describes: edges are hash-bucketed once into P CSR shards,
+each held by a long-lived actor; an iteration is
+
+    every shard: gather (one numpy fancy-index over its CSR) →
+                 per-destination-shard pre-aggregated partials   # combiner
+    partials exchanged shard→shard through the object store      # the shuffle
+    every shard: apply (sum/min/vote-argmax into its owned node state)
+
+The driver only moves ObjectRefs and scalar residuals — node state and
+edge data never leave the workers.
+
+Sharding: node v is OWNED by shard ``mix(v) % P`` (state + checkpoint
+partition); edge (u, v) LIVES on shard ``mix(u) % P`` so u's state is
+local at gather time.
+
+Hub splitting (skew): a source whose out-degree exceeds ``hub_threshold``
+would make its owner shard arbitrarily large on power-law graphs (the
+reference's answer is degree partitioning inside one JVM). Here hub
+edges are instead routed by ``mix(dst) % P`` — spread across all shards
+(and destination-local, so their contributions don't even shuffle); the
+few hub source values are broadcast to all shards each iteration.
+
+CSR layout per shard (built once, numpy, zero-copy from Arrow):
+  edges sorted by (dst_shard, dst); per edge a position into the shard's
+  unique-src array; per-destination-shard segment boundaries and a
+  precomputed dst-group inverse — so a PageRank iteration is ONE gather,
+  one multiply and one bincount per shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from graph_data_science_ray.stages.ids import bucket_of
+
+INT64_MAX = np.iinfo(np.int64).max
+
+
+def _empty_partial() -> pa.Table:
+    return pa.table({"node_id": pa.array([], pa.int64()), "val": pa.array([], pa.float64())})
+
+
+@ray.remote
+class CsrShard:
+    """One bucket's edges + the node state this shard owns."""
+
+    def __init__(self, shard_id: int, num_shards: int, weighted: bool = False):
+        self.shard_id = shard_id
+        self.P = num_shards
+        self.weighted = weighted
+        # edge structures (build())
+        self.src_u = np.empty(0, dtype=np.int64)      # unique srcs, sorted
+        self.src_is_hub = np.empty(0, dtype=bool)
+        self.edge_srcpos = np.empty(0, dtype=np.int64)
+        self.edge_w = None
+        self.dst_group = np.empty(0, dtype=np.int64)  # per-edge dst group id
+        self.group_dst = np.empty(0, dtype=np.int64)  # group id → dst node id
+        self.group_shard_slices: list[tuple[int, int]] = []  # per dst shard: group-id range
+        # owned node state (init_state())
+        self.owned_ids = np.empty(0, dtype=np.int64)  # sorted
+        self.owned_out_w = np.empty(0, dtype=np.float64)
+        self.state = np.empty(0, dtype=np.float64)
+
+    # ---------------- build ----------------
+    def ingest_edges(self, tables: list[pa.Table]) -> int:
+        """Accumulate raw edge rows for this shard (routing done upstream)."""
+        if not hasattr(self, "_pending"):
+            self._pending: list[pa.Table] = []
+        self._pending.extend(tables)
+        return sum(t.num_rows for t in tables)
+
+    def ingest_parquet(self, paths: list[str]) -> int:
+        cols = ["src_id", "dst_id"] + (["weight"] if self.weighted else [])
+        tabs = [pq.read_table(p, columns=cols) for p in paths]
+        return self.ingest_edges(tabs)
+
+    def build(self, hub_ids: np.ndarray) -> dict:
+        """Finalize CSR structures. Returns shard stats."""
+        if getattr(self, "_pending", None):
+            t = pa.concat_tables(self._pending).combine_chunks()
+        else:
+            t = pa.table(
+                {"src_id": pa.array([], pa.int64()), "dst_id": pa.array([], pa.int64())}
+            )
+        del self._pending
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = (
+            t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            if self.weighted and "weight" in t.column_names
+            else None
+        )
+        dst_shard = bucket_of(dst, self.P)
+        # sort edges by (dst_shard, dst) → contiguous per-shard segments
+        order = np.lexsort((dst, dst_shard))
+        src, dst, dst_shard = src[order], dst[order], dst_shard[order]
+        if w is not None:
+            w = w[order]
+        # unique srcs + per-edge src position
+        self.src_u, self.edge_srcpos = np.unique(src, return_inverse=True)
+        self.src_is_hub = np.isin(self.src_u, hub_ids, assume_unique=False)
+        self.edge_w = w
+        # dst groups: consecutive equal (dst_shard, dst)
+        if dst.shape[0]:
+            newgrp = np.empty(dst.shape[0], dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = (dst[1:] != dst[:-1]) | (dst_shard[1:] != dst_shard[:-1])
+            self.dst_group = np.cumsum(newgrp) - 1
+            first = np.nonzero(newgrp)[0]
+            self.group_dst = dst[first]
+            grp_shard = dst_shard[first]
+            self.group_shard_slices = []
+            for s in range(self.P):
+                lo = np.searchsorted(grp_shard, s, "left")
+                hi = np.searchsorted(grp_shard, s, "right")
+                self.group_shard_slices.append((int(lo), int(hi)))
+        else:
+            self.dst_group = np.empty(0, dtype=np.int64)
+            self.group_dst = np.empty(0, dtype=np.int64)
+            self.group_shard_slices = [(0, 0)] * self.P
+        return {
+            "shard": self.shard_id,
+            "edges": int(src.shape[0]),
+            "local_srcs": int(self.src_u.shape[0]),
+            "hub_srcs": int(self.src_is_hub.sum()),
+        }
+
+    def src_degree_partials(self) -> pa.Table:
+        """Partial out-weight per src on this shard (driver merges)."""
+        if self.edge_srcpos.shape[0] == 0:
+            return _empty_partial()
+        wts = self.edge_w if self.edge_w is not None else np.ones(self.edge_srcpos.shape[0])
+        s = np.bincount(self.edge_srcpos, weights=wts, minlength=self.src_u.shape[0])
+        return pa.table(
+            {"node_id": pa.array(self.src_u, pa.int64()), "val": pa.array(s, pa.float64())}
+        )
+
+    def local_node_ids(self) -> pa.Table:
+        """All node ids this shard sees (srcs ∪ dsts) — for the universe."""
+        ids = np.unique(np.concatenate([self.src_u, self.group_dst]))
+        return pa.table({"node_id": pa.array(ids, pa.int64())})
+
+    # ---------------- state ----------------
+    def set_owned(self, owned_ids: np.ndarray, owned_out_w: np.ndarray) -> int:
+        self.owned_ids = owned_ids.astype(np.int64)
+        self.owned_out_w = owned_out_w.astype(np.float64)
+        return int(owned_ids.shape[0])
+
+    def init_state(self, kind: str, values: np.ndarray | None = None) -> None:
+        # labels are 63-bit ids — float64 would corrupt them, so label
+        # state stays int64; rank state is float64.
+        if values is not None:
+            self.state = values.copy()
+        elif kind == "ones":
+            self.state = np.ones(self.owned_ids.shape[0], dtype=np.float64)
+        elif kind == "identity":
+            self.state = self.owned_ids.copy()  # int64
+        else:
+            raise ValueError(kind)
+
+    def get_state(self) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.array(self.owned_ids, pa.int64()),
+                "val": pa.array(self.state),
+            }
+        )
+
+    def get_values(self, ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.owned_ids, ids)
+        return self.state[pos]
+
+    # ---------------- gather (scatter contributions) ----------------
+    def _scaled_per_src(self, hub_ids: np.ndarray, hub_scaled: np.ndarray, mode: str) -> np.ndarray:
+        """Per-unique-src value: rank/out_w ('pagerank') or label ('label')."""
+        out = np.empty(
+            self.src_u.shape[0], dtype=np.float64 if mode == "pagerank" else np.int64
+        )
+        local = ~self.src_is_hub
+        # local srcs are owned by this shard iff bucket(src)==shard_id;
+        # non-hub srcs were routed here by construction, so they are owned.
+        pos = np.searchsorted(self.owned_ids, self.src_u[local])
+        if mode == "pagerank":
+            ow = self.owned_out_w[pos]
+            vals = np.divide(
+                self.state[pos], ow, out=np.zeros(pos.shape[0]), where=ow > 0
+            )
+        else:
+            vals = self.state[pos]
+        out[local] = vals
+        if self.src_is_hub.any():
+            hpos = np.searchsorted(hub_ids, self.src_u[self.src_is_hub])
+            out[self.src_is_hub] = hub_scaled[hpos]
+        return out
+
+    def emit(self, kind: str, hub_ids: np.ndarray, hub_vals: np.ndarray):
+        """One gather step. Returns P Arrow tables of pre-aggregated
+        partials, one per destination shard (the combiner output)."""
+        ng = self.group_dst.shape[0]
+        if kind == "pagerank_contrib":
+            scaled = self._scaled_per_src(hub_ids, hub_vals, "pagerank")
+            contrib = scaled[self.edge_srcpos]
+            if self.edge_w is not None:
+                contrib = contrib * self.edge_w
+            agg = np.bincount(self.dst_group, weights=contrib, minlength=ng)
+            out = []
+            for lo, hi in self.group_shard_slices:
+                out.append(
+                    pa.table(
+                        {
+                            "node_id": pa.array(self.group_dst[lo:hi], pa.int64()),
+                            "val": pa.array(agg[lo:hi], pa.float64()),
+                        }
+                    )
+                )
+            return tuple(out)
+        if kind == "min_label":
+            labels = self._scaled_per_src(hub_ids, hub_vals, "label")
+            per_edge = labels[self.edge_srcpos]
+            agg = np.full(ng, INT64_MAX, dtype=np.int64)
+            np.minimum.at(agg, self.dst_group, per_edge)
+            out = []
+            for lo, hi in self.group_shard_slices:
+                out.append(
+                    pa.table(
+                        {
+                            "node_id": pa.array(self.group_dst[lo:hi], pa.int64()),
+                            "val": pa.array(agg[lo:hi], pa.int64()),
+                        }
+                    )
+                )
+            return tuple(out)
+        if kind == "label_votes":
+            labels = self._scaled_per_src(hub_ids, hub_vals, "label")
+            per_edge = labels[self.edge_srcpos]
+            wts = self.edge_w if self.edge_w is not None else np.ones(per_edge.shape[0])
+            key = np.stack([self.dst_group, per_edge], axis=1)
+            ukey, inv = np.unique(key, axis=0, return_inverse=True)
+            votes = np.bincount(inv, weights=wts, minlength=ukey.shape[0])
+            grp = ukey[:, 0]
+            out = []
+            for s, (lo, hi) in enumerate(self.group_shard_slices):
+                m = (grp >= lo) & (grp < hi)
+                out.append(
+                    pa.table(
+                        {
+                            "node_id": pa.array(self.group_dst[grp[m]], pa.int64()),
+                            "label": pa.array(ukey[m, 1], pa.int64()),
+                            "val": pa.array(votes[m], pa.float64()),
+                        }
+                    )
+                )
+            return tuple(out)
+        raise ValueError(kind)
+
+    # ---------------- apply ----------------
+    def apply(self, kind: str, partials: list[pa.Table], damping: float = 0.85) -> float:
+        """Combine incoming partials into owned state; returns residual
+        (max |Δ| for pagerank, #changed for labels)."""
+        n = self.owned_ids.shape[0]
+        # refs arrive nested in a list (not auto-dereferenced); ray.get
+        # inside the actor is a zero-copy shared-memory read
+        partials = [ray.get(p) if isinstance(p, ray.ObjectRef) else p for p in partials]
+        t = pa.concat_tables([p for p in partials if p.num_rows > 0]) if partials else None
+        if kind == "pagerank":
+            new = np.full(n, 1.0 - damping)
+            if t is not None and t.num_rows:
+                ids = t.column("node_id").to_numpy(zero_copy_only=False)
+                vals = t.column("val").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.owned_ids, ids)
+                acc = np.zeros(n)
+                np.add.at(acc, pos, vals)
+                new += damping * acc
+            residual = float(np.abs(new - self.state).max()) if n else 0.0
+            self.state = new
+            return residual
+        if kind == "min_label":
+            new = self.state.copy()
+            if t is not None and t.num_rows:
+                ids = t.column("node_id").to_numpy(zero_copy_only=False)
+                vals = t.column("val").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.owned_ids, ids)
+                np.minimum.at(new, pos, vals)
+            changed = float((new != self.state).sum())
+            self.state = new
+            return changed
+        if kind == "label_argmax":
+            new = self.state.copy()
+            if t is not None and t.num_rows:
+                ids = t.column("node_id").to_numpy(zero_copy_only=False)
+                labels = t.column("label").to_numpy(zero_copy_only=False)
+                vals = t.column("val").to_numpy(zero_copy_only=False)
+                # merge partials: same (node,label) may arrive from shards
+                key = np.stack([ids, labels], axis=1)
+                ukey, inv = np.unique(key, axis=0, return_inverse=True)
+                votes = np.bincount(inv, weights=vals, minlength=ukey.shape[0])
+                order = np.lexsort((ukey[:, 1], -votes, ukey[:, 0]))
+                k_s = ukey[order]
+                _, first = np.unique(k_s[:, 0], return_index=True)
+                pos = np.searchsorted(self.owned_ids, k_s[first, 0])
+                new[pos] = k_s[first, 1]
+            changed = float((new != self.state).sum())
+            self.state = new
+            return changed
+        raise ValueError(kind)
+
+    def checkpoint(self, path: str, value_name: str) -> dict:
+        """Write this shard's state partition (the per-partition
+        checkpoint of checkpoint.py, written where the state lives)."""
+        t = pa.table(
+            {
+                "node_id": pa.array(self.owned_ids, pa.int64()),
+                value_name: pa.array(self.state),
+            }
+        )
+        pq.write_table(t, path)
+        return {"bucket": self.shard_id, "rows": t.num_rows}

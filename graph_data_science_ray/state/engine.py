@@ -1,0 +1,282 @@
+"""Driver orchestration for the CSR shard actors (state/csr.py).
+
+``CsrEngine.build`` routes an edge Dataset into P shard parquet
+partitions (one streaming Ray Data pass — hub edges routed by dst, the
+rest by src), spins up P ``CsrShard`` actors that each load their own
+partition, and exposes the three iterative algorithms. Per iteration the
+driver moves only ObjectRefs and per-shard residual scalars; all data
+motion is shard→shard through the object store.
+
+This is the beyond-driver-memory path: node state is sharded across the
+actors by the same bucket function used for checkpoint partitions, so a
+checkpoint written by shard b IS partition b of checkpoint.py's layout.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from graph_data_science_ray.algos.common import collect_arrow
+from graph_data_science_ray.algos.pagerank import IterativeResult
+from graph_data_science_ray.checkpoint import CheckpointManager
+from graph_data_science_ray.context import configure_ray_data
+from graph_data_science_ray.stages.ids import bucket_of
+from graph_data_science_ray.state.csr import CsrShard
+
+
+def _src_out_weight_partials(edges: Dataset, weighted: bool) -> pa.Table:
+    def partials(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        w = (
+            t.column("weight").to_numpy(zero_copy_only=False)
+            if weighted
+            else np.ones(src.shape[0])
+        )
+        u, inv = np.unique(src, return_inverse=True)
+        s = np.bincount(inv, weights=w, minlength=u.shape[0])
+        return pa.table({"src_id": pa.array(u, pa.int64()), "w": pa.array(s, pa.float64())})
+
+    return collect_arrow(edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True))
+
+
+class CsrEngine:
+    def __init__(self, shards, num_shards: int, node_ids: np.ndarray, out_w: np.ndarray,
+                 hub_ids: np.ndarray, hub_out_w: np.ndarray):
+        self.shards = shards
+        self.P = num_shards
+        self.node_ids = node_ids          # full sorted universe (driver keeps ids only)
+        self.out_w = out_w
+        self.hub_ids = hub_ids            # sorted
+        self.hub_out_w = hub_out_w
+        self.hub_owner = bucket_of(hub_ids, num_shards) if hub_ids.shape[0] else np.empty(0, np.int64)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        edges: Dataset,
+        num_shards: int = 8,
+        weighted: bool = False,
+        hub_threshold: int | None = None,
+        spill_dir: str | None = None,
+    ) -> "CsrEngine":
+        """One streaming routing pass + parallel shard builds."""
+        configure_ray_data()
+        P = num_shards
+        # out-degrees (combiner partials + driver merge) → hub set
+        from graph_data_science_ray.algos.common import merge_sum
+
+        deg_t = _src_out_weight_partials(edges, weighted)
+        if deg_t.num_rows:
+            src_ids, src_w = merge_sum(deg_t, "src_id", "w")
+        else:
+            src_ids, src_w = np.empty(0, np.int64), np.empty(0, np.float64)
+        if hub_threshold is not None:
+            hub_mask = src_w > hub_threshold
+            hub_ids = src_ids[hub_mask]
+        else:
+            hub_ids = np.empty(0, dtype=np.int64)
+
+        # route edges → shard parquet partitions (single streaming pass)
+        spill_dir = spill_dir or tempfile.mkdtemp(prefix="csr_shards_", dir="/tmp")
+        hub_ref = ray.put(hub_ids)
+
+        def route(t: pa.Table) -> pa.Table:
+            hubs = ray.get(hub_ref)
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+            shard = bucket_of(src, P)
+            if hubs.shape[0]:
+                is_hub = np.isin(src, hubs)
+                shard = np.where(is_hub, bucket_of(dst, P), shard)
+            return t.append_column("shard", pa.array(shard, pa.int64()))
+
+        edges.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+            spill_dir, partition_cols=["shard"]
+        )
+
+        # spin up shards; each loads only its own partition directory
+        shards = [CsrShard.remote(b, P, weighted) for b in range(P)]
+        loads = []
+        for b, s in enumerate(shards):
+            d = os.path.join(spill_dir, f"shard={b}")
+            files = (
+                [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+                if os.path.isdir(d)
+                else []
+            )
+            loads.append(s.ingest_parquet.remote(files))
+        ray.get(loads)
+        ray.get([s.build.remote(hub_ids) for s in shards])
+
+        # node universe = srcs ∪ all shard-local ids
+        id_tabs = ray.get([s.local_node_ids.remote() for s in shards])
+        all_ids = np.unique(
+            np.concatenate(
+                [src_ids] + [t.column("node_id").to_numpy(zero_copy_only=False) for t in id_tabs]
+            )
+        ) if (src_ids.shape[0] or id_tabs) else np.empty(0, np.int64)
+
+        out_w = np.zeros(all_ids.shape[0], dtype=np.float64)
+        if src_ids.shape[0]:
+            out_w[np.searchsorted(all_ids, src_ids)] = src_w
+        hub_out_w = out_w[np.searchsorted(all_ids, hub_ids)] if hub_ids.shape[0] else np.empty(0)
+
+        # hand each shard its owned slice of (ids, out_w)
+        owner = bucket_of(all_ids, P)
+        sets = []
+        for b, s in enumerate(shards):
+            m = owner == b
+            sets.append(s.set_owned.remote(all_ids[m], out_w[m]))
+        ray.get(sets)
+        return cls(shards, P, all_ids, out_w, hub_ids, hub_out_w)
+
+    # ------------------------------------------------------------------
+    def _hub_values(self) -> np.ndarray:
+        """Current state values of hub nodes, fetched from their owners."""
+        if self.hub_ids.shape[0] == 0:
+            return np.empty(0, dtype=np.float64)
+        futs = []
+        for b in range(self.P):
+            m = self.hub_owner == b
+            if m.any():
+                futs.append((m, self.shards[b].get_values.remote(self.hub_ids[m])))
+        parts = [(m, ray.get(f)) for m, f in futs]
+        # dtype follows the shard state (float64 ranks, int64 labels)
+        vals = np.empty(self.hub_ids.shape[0], dtype=parts[0][1].dtype)
+        for m, v in parts:
+            vals[m] = v
+        return vals
+
+    def _exchange(self, kind_emit: str, kind_apply: str, hub_vals: np.ndarray, damping: float = 0.85) -> float:
+        emits = [
+            s.emit.options(num_returns=self.P).remote(kind_emit, self.hub_ids, hub_vals)
+            for s in self.shards
+        ]
+        if self.P == 1:
+            emits = [[e] for e in emits]  # num_returns=1 gives a bare ref
+        applies = [
+            self.shards[j].apply.remote(kind_apply, [emits[i][j] for i in range(self.P)], damping)
+            for j in range(self.P)
+        ]
+        residuals = ray.get(applies)
+        return max(residuals) if kind_apply == "pagerank" else sum(residuals)
+
+    def _run(
+        self,
+        kind_emit: str,
+        kind_apply: str,
+        init_kind: str,
+        value_name: str,
+        max_iterations: int,
+        tolerance: float,
+        damping: float = 0.85,
+        hub_transform=None,
+        checkpoint: CheckpointManager | None = None,
+        resume: bool = False,
+    ) -> IterativeResult:
+        start_iter = 0
+        resumed = False
+        if checkpoint is not None and resume:
+            latest = checkpoint.latest()
+            if latest is not None:
+                it, ids, vals, _ = latest
+                assert np.array_equal(ids, self.node_ids), "checkpoint universe mismatch"
+                owner = bucket_of(ids, self.P)
+                ray.get(
+                    [
+                        self.shards[b].init_state.remote("values", vals[owner == b])
+                        for b in range(self.P)
+                    ]
+                )
+                start_iter, resumed = it + 1, True
+        if not resumed:
+            ray.get([s.init_state.remote(init_kind) for s in self.shards])
+
+        metrics: list[dict] = []
+        converged = False
+        iteration = start_iter - 1
+        for iteration in range(start_iter, max_iterations):
+            hub_vals = self._hub_values()
+            if hub_transform is not None and hub_vals.shape[0]:
+                hub_vals = hub_transform(hub_vals)
+            residual = self._exchange(kind_emit, kind_apply, hub_vals, damping)
+            metrics.append({"iteration": iteration, "residual": residual})
+            if checkpoint is not None:
+                parts = ray.get(
+                    [
+                        s.checkpoint.remote(checkpoint.part_path(iteration, b), checkpoint.value_name)
+                        for b, s in enumerate(self.shards)
+                    ]
+                )
+                for p, b in zip(parts, range(self.P)):
+                    p["file"] = f"iter_{iteration:05d}/part-{b:05d}.parquet"
+                checkpoint.commit_manifest(iteration, parts, {"residual": residual})
+            if residual <= tolerance:
+                converged = True
+                break
+
+        t = pa.concat_tables(ray.get([s.get_state.remote() for s in self.shards]))
+        ids = t.column("node_id").to_numpy(zero_copy_only=False)
+        vals = t.column("val").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        return IterativeResult(
+            node_ids=ids[order],
+            values=vals[order],
+            value_name=value_name,
+            iterations=iteration + 1,
+            converged=converged,
+            metrics=metrics,
+        )
+
+    # ------------------------------------------------------------------
+    def pagerank(
+        self,
+        damping: float = 0.85,
+        max_iterations: int = 20,
+        tolerance: float = 1e-7,
+        checkpoint: CheckpointManager | None = None,
+        resume: bool = False,
+    ) -> IterativeResult:
+        hub_ow = self.hub_out_w
+
+        def to_scaled(hub_ranks: np.ndarray) -> np.ndarray:
+            return np.divide(
+                hub_ranks, hub_ow, out=np.zeros_like(hub_ranks), where=hub_ow > 0
+            )
+
+        return self._run(
+            "pagerank_contrib",
+            "pagerank",
+            "ones",
+            "rank",
+            max_iterations,
+            tolerance,
+            damping,
+            hub_transform=to_scaled,
+            checkpoint=checkpoint,
+            resume=resume,
+        )
+
+    def wcc(self, max_iterations: int = 100, checkpoint=None, resume=False) -> IterativeResult:
+        res = self._run(
+            "min_label", "min_label", "identity", "component", max_iterations, 0.0,
+            checkpoint=checkpoint, resume=resume,
+        )
+        res.values = res.values.astype(np.int64)
+        return res
+
+    def label_propagation(self, max_iterations: int = 10, checkpoint=None, resume=False) -> IterativeResult:
+        res = self._run(
+            "label_votes", "label_argmax", "identity", "label", max_iterations, 0.0,
+            checkpoint=checkpoint, resume=resume,
+        )
+        res.values = res.values.astype(np.int64)
+        return res

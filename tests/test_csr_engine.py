@@ -1,0 +1,72 @@
+"""CSR shard actor engine vs the dataflow implementations and oracles —
+including the hub-splitting path and checkpoint/resume parity."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import fixtures
+from graph_data_science_ray.oracles import lpa_oracle, pagerank_oracle, wcc_oracle
+from graph_data_science_ray.sources.edges import drop_self_loops, from_arrow, symmetrize
+from graph_data_science_ray.state.engine import CsrEngine
+
+
+def _pairs(t):
+    return list(zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def er_graph():
+    return fixtures.er_random(150, 0.04, seed=77)
+
+
+def test_csr_pagerank_matches_oracle(er_graph, tmp_path_factory):
+    eng = CsrEngine.build(
+        from_arrow(er_graph), num_shards=4,
+        spill_dir=str(tmp_path_factory.mktemp("csr_pr")),
+    )
+    res = eng.pagerank(max_iterations=25)
+    want = pagerank_oracle(_pairs(er_graph), max_iter=25)
+    got = res.as_dict()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_csr_pagerank_hub_splitting_same_result(er_graph, tmp_path_factory):
+    # force hub routing with a tiny threshold: results must be identical
+    eng = CsrEngine.build(
+        from_arrow(er_graph), num_shards=4, hub_threshold=3,
+        spill_dir=str(tmp_path_factory.mktemp("csr_hub")),
+    )
+    assert eng.hub_ids.shape[0] > 0, "threshold should classify hubs"
+    res = eng.pagerank(max_iterations=25)
+    want = pagerank_oracle(_pairs(er_graph), max_iter=25)
+    got = res.as_dict()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_csr_wcc_and_lpa_match_oracles(tmp_path_factory):
+    t = fixtures.er_random(120, 0.015, seed=99)
+    und = drop_self_loops(symmetrize(from_arrow(t), num_partitions=2))
+    eng = CsrEngine.build(und, num_shards=3, spill_dir=str(tmp_path_factory.mktemp("csr_wcc")))
+    comp = eng.wcc()
+    assert comp.converged
+    assert comp.as_dict() == wcc_oracle(_pairs(t))
+    lab = eng.label_propagation(max_iterations=10)
+    assert lab.as_dict() == lpa_oracle(_pairs(t), max_iter=10)
+
+
+def test_csr_checkpoint_resume_bitwise(tmp_path, tmp_path_factory):
+    from graph_data_science_ray.checkpoint import CheckpointManager
+
+    t = fixtures.powerlaw(300, seed=5)
+    cfg = {"algo": "pagerank", "d": 0.85}
+    eng = CsrEngine.build(from_arrow(t), num_shards=4,
+                          spill_dir=str(tmp_path_factory.mktemp("csr_ck")))
+    cm = CheckpointManager(str(tmp_path / "ck"), cfg, num_partitions=4, value_name="rank")
+    eng.pagerank(max_iterations=3, checkpoint=cm)
+    resumed = eng.pagerank(max_iterations=10, checkpoint=cm, resume=True)
+    straight = eng.pagerank(max_iterations=10)
+    assert np.array_equal(resumed.values, straight.values)
+    assert resumed.metrics[0]["iteration"] == 3
