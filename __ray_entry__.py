@@ -1,16 +1,21 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline (lineitem edge projection → CSR-shard
+PageRank) on /root/testdata/sf0.001.
+``queries()`` — one callable per implemented operator/pipeline from
+SURVEY.md §2, each taking ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names; floats rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
+
+Graph projections used (tables are TPC-H-ish driver testdata, TESTDATA.md):
+- "op": src=l_orderkey, dst=l_partkey, DISTINCT — the generic directed
+  graph for degree/PageRank.
+- "ps": src=l_partkey, dst=l_suppkey, DISTINCT — id ranges overlap, so
+  the symmetrized view is non-bipartite and triangle-rich (WCC/LPA/
+  triangle testbed).
 """
 
 from __future__ import annotations
@@ -18,27 +23,486 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+PR_ITERS = 5
+DAMPING = 0.85
+
+
+# ---------------------------------------------------------------------------
+# projections
+# ---------------------------------------------------------------------------
+
+def _edges_op(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.sources.edges import dedup_edges
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).rename_columns({"l_orderkey": "src_id", "l_partkey": "dst_id"})
+    return dedup_edges(ds, "single")
+
+
+def _edges_ps(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.sources.edges import dedup_edges
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).rename_columns({"l_partkey": "src_id", "l_suppkey": "dst_id"})
+    return dedup_edges(ds, "single")
+
+
+def _round6(t: pa.Table, col: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t.column(col), ndigits=6))
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _q_edge_projection(sf_dir: str):
+    return _edges_op(sf_dir)
+
+
+def _q_out_degree(sf_dir: str):
+    from graph_data_science_ray.algos.degree import degree
+
+    return degree(_edges_op(sf_dir), "natural", alias="out_degree")
+
+
+def _q_in_degree(sf_dir: str):
+    from graph_data_science_ray.algos.degree import degree
+
+    return degree(_edges_op(sf_dir), "reverse", alias="in_degree")
+
+
+def _q_degree_topk(sf_dir: str):
+    from graph_data_science_ray.algos.degree import degree
+
+    deg = degree(_edges_op(sf_dir), "natural", alias="out_degree")
+    return deg.sort(["out_degree", "node_id"], descending=[True, False]).limit(20)
+
+
+def _pagerank_table(res) -> pa.Table:
+    t = pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "score": pa.array(res.values, pa.float64()),
+        }
+    )
+    return _round6(t, "score")
+
+
+def _q_pagerank_k(sf_dir: str):
+    from graph_data_science_ray.algos.pagerank import pagerank
+
+    res = pagerank(_edges_op(sf_dir), damping=DAMPING, max_iterations=PR_ITERS, tolerance=0.0)
+    return _pagerank_table(res)
+
+
+def _q_pagerank_csr_k(sf_dir: str):
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    eng = CsrEngine.build(_edges_op(sf_dir), num_shards=4, hub_threshold=None)
+    res = eng.pagerank(damping=DAMPING, max_iterations=PR_ITERS, tolerance=0.0)
+    return _pagerank_table(res)
+
+
+def _q_wcc(sf_dir: str):
+    from graph_data_science_ray.algos.wcc import wcc
+
+    res = wcc(_edges_ps(sf_dir))
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "component": pa.array(res.values.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _q_wcc_sizes(sf_dir: str):
+    from graph_data_science_ray.algos.wcc import wcc
+
+    res = wcc(_edges_ps(sf_dir))
+    comp, counts = np.unique(res.values.astype(np.int64), return_counts=True)
+    return pa.table(
+        {"component": pa.array(comp, pa.int64()), "n_nodes": pa.array(counts, pa.int64())}
+    )
+
+
+def _q_triangles_global(sf_dir: str):
+    from graph_data_science_ray.algos.triangles import triangle_count
+
+    res = triangle_count(_edges_ps(sf_dir))
+    return pa.table({"n_triangles": pa.array([res.metrics[0]["global"]], pa.int64())})
+
+
+def _q_triangles_per_node(sf_dir: str):
+    from graph_data_science_ray.algos.triangles import triangle_count
+
+    res = triangle_count(_edges_ps(sf_dir))
+    m = res.values > 0
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids[m], pa.int64()),
+            "triangles": pa.array(res.values[m].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _q_label_propagation(sf_dir: str):
+    from graph_data_science_ray.algos.labelprop import label_propagation
+
+    res = label_propagation(_edges_ps(sf_dir), max_iterations=10)
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "label": pa.array(res.values.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _q_docs_dedup_first(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    return exact_dedup(ds, ["lang", "source"], id_col="doc_id")
+
+
+def _q_docs_token_stats(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.textstats import token_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_stats(ds).select_columns(["doc_id", "n_tokens", "n_chars"])
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.textstats import md5_fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(md5_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_docs_lang_stats(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return ds.groupby("lang", num_partitions=4).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def _q_events_user_type_counts(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return ds.groupby(["user_id", "event_type"], num_partitions=4).aggregate(
+        Count(alias_name="n")
+    )
+
+
+def _q_events_topk_value(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+    return top.map_batches(lambda t: _round6(t, "value"), batch_format="pyarrow")
+
+
+def _q_events_daily_counts(sf_dir: str):
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t.column("ts"), format="%Y-%m-%d")})
+
+    return ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "day", num_partitions=4
+    ).aggregate(Count(alias_name="n"))
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from graph_data_science_ray.stages.embed import brute_force_topk
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = brute_force_topk(ds, np.array([q], dtype=np.float64), k=10)
+    t = t.drop_columns(["query_idx"])
+    return _round6(t, "score")
+
+
+def _q_embedding_label_counts(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+    return ds.groupby("label", num_partitions=4).aggregate(Count(alias_name="n"))
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+def _q_minhash_candidates(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.dedup import minhash_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_candidates(ds, num_partitions=4)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.dedup import simhash_signatures
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_signatures(ds)
+
+
+def _q_quality_scores(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.textstats import quality_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(ds)
+
+
+def _q_language_id(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.textstats import language_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return language_id(ds)
+
+
+def _q_lsh_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from graph_data_science_ray.stages.embed import lsh_topk
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = lsh_topk(ds, np.array([q], dtype=np.float64), k=10, bits=4)
+    return _round6(t.drop_columns(["query_idx"]), "score")
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing demo over a deterministic synthetic media table
+    (the testdata has no binary media; payload handling is the point)."""
+    import ray.data
+
+    from graph_data_science_ray.stages.multimodal import image_features, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200))
+    imgs = media.filter(expr="kind == 'image'")
+    return image_features(imgs, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: lineitem edge projection → CSR-shard PageRank on sf0.001."""
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    eng = CsrEngine.build(_edges_op("/root/testdata/sf0.001"), num_shards=4)
+    res = eng.pagerank(max_iterations=20)
+    import ray.data
+
+    return ray.data.from_arrow(_pagerank_table(res))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "edge_projection": _q_edge_projection,
+        "out_degree": _q_out_degree,
+        "in_degree": _q_in_degree,
+        "degree_topk": _q_degree_topk,
+        "pagerank_k5": _q_pagerank_k,
+        "pagerank_csr_k5": _q_pagerank_csr_k,
+        "wcc": _q_wcc,
+        "wcc_sizes": _q_wcc_sizes,
+        "triangles_global": _q_triangles_global,
+        "triangles_per_node": _q_triangles_per_node,
+        "label_propagation": _q_label_propagation,
+        "docs_dedup_first": _q_docs_dedup_first,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_lang_stats": _q_docs_lang_stats,
+        "events_user_type_counts": _q_events_user_type_counts,
+        "events_topk_value": _q_events_topk_value,
+        "events_daily_counts": _q_events_daily_counts,
+        "ann_topk": _q_ann_topk,
+        "embedding_label_counts": _q_embedding_label_counts,
+        # rows-only (non-SQL-expressible) operators
+        "minhash_candidates": _q_minhash_candidates,
+        "simhash_signatures": _q_simhash,
+        "quality_scores": _q_quality_scores,
+        "language_id": _q_language_id,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_E_OP = "SELECT DISTINCT l_orderkey AS src_id, l_partkey AS dst_id FROM lineitem"
+_E_PS = "SELECT DISTINCT l_partkey AS src_id, l_suppkey AS dst_id FROM lineitem"
+
+
+def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
+    """Fixed-iteration GDS-convention PageRank as a chain of MATERIALIZED
+    CTEs (plain CTEs inline and the plan explodes — FIXTURES.md §3)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_OP}),",
+        "nodes AS MATERIALIZED (SELECT src_id AS node FROM e UNION SELECT dst_id FROM e),",
+        "deg AS MATERIALIZED (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src_id),",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.node, {1 - d} + {d} * COALESCE(s.contrib, 0) AS r "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst_id AS node, SUM(r{i-1}.r / deg.outdeg) AS contrib "
+            f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node JOIN deg ON e.src_id = deg.src_id "
+            f"GROUP BY e.dst_id) s ON n.node = s.node),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
+
+
+_WCC_SQL_CORE = f"""
+WITH RECURSIVE
+ e AS ({_E_PS}),
+ und AS (SELECT src_id a, dst_id b FROM e UNION SELECT dst_id, src_id FROM e),
+ nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+ reach(node, label) AS (
+   SELECT node, node FROM nodes
+   UNION
+   SELECT und.b, reach.label FROM reach JOIN und ON reach.node = und.a
+ )
+"""
+
+_TRI_SQL_CORE = f"""
+WITH e0 AS ({_E_PS}),
+ e1 AS (SELECT src_id a, dst_id b FROM e0 WHERE src_id <> dst_id),
+ und AS (SELECT LEAST(a,b) u, GREATEST(a,b) v FROM e1 GROUP BY 1, 2),
+ tri AS (
+   SELECT x.u AS a, x.v AS b, y.v AS c
+   FROM und x JOIN und y ON x.v = y.u JOIN und z ON x.u = z.u AND y.v = z.v
+ )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edge_projection": _E_OP,
+        "out_degree": f"SELECT src_id AS node_id, COUNT(*) AS out_degree FROM ({_E_OP}) GROUP BY src_id",
+        "in_degree": f"SELECT dst_id AS node_id, COUNT(*) AS in_degree FROM ({_E_OP}) GROUP BY dst_id",
+        "degree_topk": (
+            f"SELECT src_id AS node_id, COUNT(*) AS out_degree FROM ({_E_OP}) "
+            "GROUP BY src_id ORDER BY out_degree DESC, node_id LIMIT 20"
+        ),
+        "pagerank_k5": _pagerank_sql(),
+        "pagerank_csr_k5": _pagerank_sql(),
+        "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
+        "wcc_sizes": _WCC_SQL_CORE + (
+            "SELECT component, COUNT(*) AS n_nodes FROM "
+            "(SELECT node, MIN(label) AS component FROM reach GROUP BY node) GROUP BY component"
+        ),
+        "triangles_global": _TRI_SQL_CORE + "SELECT COUNT(*) AS n_triangles FROM tri",
+        "triangles_per_node": _TRI_SQL_CORE + (
+            "SELECT node_id, COUNT(*) AS triangles FROM ("
+            "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri"
+            ") GROUP BY node_id"
+        ),
+        "docs_dedup_first": (
+            "SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "docs_token_stats": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "length(text) AS n_chars FROM documents"
+        ),
+        "docs_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "docs_lang_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "events_user_type_counts": (
+            "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type"
+        ),
+        "events_topk_value": (
+            "SELECT event_id, ROUND(value, 6) AS value FROM events "
+            "ORDER BY value DESC, event_id LIMIT 20"
+        ),
+        "events_daily_counts": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, ROUND(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score "
+            "FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10"
+        ),
+        "embedding_label_counts": "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label",
+    }

@@ -1,0 +1,193 @@
+"""Benchmark harness — the engine's headline pipelines over testdata.
+
+Default run (one JSON line on stdout, everything else on stderr):
+    python bench.py
+        env GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+        env RAY_GRAFT_CPUS cpu budget  (default 32)
+        env BENCH_PAGES    synthetic page count for the ingest bench (default 10000)
+
+Scaling protocol (BASELINE.md): ``python bench.py --scaling`` runs the
+headline PageRank job twice in FRESH processes (num_cpus=8 then 32 — the
+sandbox stand-in for N vs 4N node clusters) on the same input and prints
+both throughputs plus efficiency = (edges/sec@32 / edges/sec@8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS") or 32)
+N_PAGES = int(os.environ.get("BENCH_PAGES") or 10_000)
+PR_ITERS = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _pages_parquet(n: int) -> str:
+    """Deterministic synthetic pages corpus, generated once and cached."""
+    path = f"/tmp/bench_pages_{n}.parquet"
+    if not os.path.exists(path):
+        from graph_data_science_ray.fixtures import write_pages_parquet
+
+        t0 = time.time()
+        write_pages_parquet(path, n)
+        log(f"generated {n} pages in {time.time()-t0:.1f}s")
+    return path
+
+
+def run_bench(scaling_only: bool = False) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    import __ray_entry__ as harness
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- headline: CSR-shard PageRank, 20 iterations, op projection ------
+    t0 = time.time()
+    edges = harness._edges_op(SF_DIR).materialize()
+    n_edges = edges.count()
+    extras["edge_projection_sec"] = round(time.time() - t0, 3)
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    t0 = time.time()
+    eng = CsrEngine.build(edges, num_shards=min(NUM_CPUS, 16), hub_threshold=100_000)
+    build_s = time.time() - t0
+    t0 = time.time()
+    eng.pagerank(max_iterations=PR_ITERS, tolerance=0.0)
+    pr_s = time.time() - t0
+    queries["pagerank20_csr"] = round(pr_s, 3)
+    extras["csr_build_sec"] = round(build_s, 3)
+    extras["n_edges"] = n_edges
+    extras["pagerank_edges_per_sec"] = round(n_edges * PR_ITERS / pr_s, 1)
+    extras["pagerank_iters_per_hour"] = round(3600.0 / (pr_s / PR_ITERS), 1)
+
+    if not scaling_only:
+        # dataflow pagerank for comparison (5 iters, scaled)
+        from graph_data_science_ray.algos.pagerank import pagerank
+
+        t0 = time.time()
+        pagerank(edges, max_iterations=5, tolerance=0.0)
+        queries["pagerank5_dataflow"] = round(time.time() - t0, 3)
+
+        # WCC on the ps projection
+        from graph_data_science_ray.algos.wcc import wcc
+
+        t0 = time.time()
+        wcc(harness._edges_ps(SF_DIR))
+        queries["wcc"] = round(time.time() - t0, 3)
+
+        # ingest: pages html → extracted → deduped bucketed edges
+        import shutil
+
+        pages = _pages_parquet(N_PAGES)
+        out = f"/tmp/bench_ingest_{N_PAGES}"
+        shutil.rmtree(out, ignore_errors=True)
+        from graph_data_science_ray.pipelines.ingest import ingest_pages
+
+        t0 = time.time()
+        stats = ingest_pages(pages, out, num_buckets=32, concurrency=(4, NUM_CPUS // 2))
+        ing_s = time.time() - t0
+        queries["ingest_pages"] = round(ing_s, 3)
+        extras["ingest_pages_per_sec"] = round(N_PAGES / ing_s, 1)
+        extras["ingest_edges_out"] = stats["edges"]
+
+        # minhash-LSH candidates over documents
+        import ray.data
+
+        from graph_data_science_ray.stages.dedup import minhash_candidates
+
+        t0 = time.time()
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        minhash_candidates(docs).count()
+        queries["minhash_lsh"] = round(time.time() - t0, 3)
+
+        # brute-force ANN over embeddings (64 queries)
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from graph_data_science_ray.stages.embed import brute_force_topk
+
+        emb = pq_.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+        qm = np.stack(emb.column("embedding").to_pylist()[:64]).astype(np.float64)
+        t0 = time.time()
+        brute_force_topk(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            qm,
+            k=10,
+        )
+        queries["ann_bruteforce_64q"] = round(time.time() - t0, 3)
+
+        # triangle count on the ps projection
+        from graph_data_science_ray.algos.triangles import triangle_count
+
+        t0 = time.time()
+        triangle_count(harness._edges_ps(SF_DIR))
+        queries["triangles"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline pipelines wall time (csr pagerank20 + wcc + ingest + dedup + ann + triangles)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs (scaling-only bench)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tp8 = results[8]["pagerank_edges_per_sec"]
+    tp32 = results[32]["pagerank_edges_per_sec"]
+    eff = (tp32 / tp8) / 4.0
+    return {
+        "metric": "pagerank scaling efficiency (num_cpus 8 → 32, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": results[8]["queries"]["pagerank20_csr"],
+        "sec_32": results[32]["queries"]["pagerank20_csr"],
+        "edges_per_sec_8": tp8,
+        "edges_per_sec_32": tp32,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--scaling-child" in sys.argv:
+        print(json.dumps(run_bench(scaling_only=True)))
+    else:
+        print(json.dumps(run_bench()))

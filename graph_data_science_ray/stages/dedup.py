@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact_dedup: hash-partitioned groupby, keep the min-id row per key.
+- MinHash + LSH near-dup: shingle → minhash signature → banded bucket
+  groupby → candidate pairs → Jaccard verify → duplicate CLUSTERS via the
+  engine's own WCC over the candidate-pair edge table (the near-dup graph
+  is just another graph).
+- SimHash: 64-bit signature, banded into 4×16-bit tables for candidate
+  generation.
+- n-gram Jaccard: the verify kernel, exposed standalone.
+
+Shingle/minhash computation is per-doc numpy over crc32-hashed shingles
+(C-speed, deterministic across processes — Python's builtin hash() is
+salted and MUST NOT be used here).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """crc32 of each k-char shingle (lowercased), unique."""
+    t = (text or "").lower()
+    if len(t) < k:
+        return np.array([zlib.crc32(t.encode("utf-8"))], dtype=np.uint64)
+    hs = {zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
+    sh = shingle_hashes(text, k)
+    # (a*x + b) mod p, min over shingles, per permutation — one outer product
+    vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = set(shingle_hashes(text_a, k).tolist()), set(shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def exact_dedup(
+    ds: Dataset,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """One row per distinct key: (key_cols..., <id_col> = min id, n_dups).
+    hash-partition + per-group-first, ties by min id (deterministic)."""
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+    return ds.select_columns(key_cols + [id_col]).groupby(
+        key_cols, num_partitions=num_partitions
+    ).aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
+
+
+class MinHashStage:
+    """map_batches actor: (id, text) → (id, band_id, band_hash) rows,
+    ``bands`` rows per document. Permutation params built once per actor."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, bands: int = 16, shingle_k: int = 5, seed: int = 42):
+        assert num_perm % bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        out_id = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        out_hash = np.empty(n * self.bands, dtype=np.int64)
+        for i, t in enumerate(texts):
+            sig = minhash_signature(t, self.a, self.b, self.k)
+            bh = np.array(
+                [
+                    zlib.crc32(sig[j * self.rows_per_band : (j + 1) * self.rows_per_band].tobytes())
+                    for j in range(self.bands)
+                ],
+                dtype=np.int64,
+            )
+            out_hash[i * self.bands : (i + 1) * self.bands] = bh
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band_id": pa.array(out_band),
+                "band_hash": pa.array(out_hash),
+            }
+        )
+
+
+def minhash_candidates(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH:
+    shingle → minhash → (band, hash) explode → bucket groupby → in-bucket
+    pairing against the bucket minimum (star pairing keeps output linear
+    in bucket size; transitive closure happens in the cluster step)."""
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+    bands_ds = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    grouped = bands_ds.groupby(["band_id", "band_hash"], num_partitions=num_partitions)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column(id_col).to_numpy(zero_copy_only=False))
+        if ids.shape[0] < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        lo = ids[0]
+        return pa.table(
+            {"id_a": pa.array(np.full(ids.shape[0] - 1, lo)), "id_b": pa.array(ids[1:])}
+        )
+
+    cand = grouped.map_groups(pairs, batch_format="pyarrow")
+    # distinct pairs
+    return cand.groupby(["id_a", "id_b"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="_n")
+    ).drop_columns(["_n"])
+
+
+def minhash_dedup_clusters(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """(id, cluster_id) for near-duplicate groups: LSH candidates →
+    Jaccard verify (broadcast text lookup) → connected components over the
+    verified pair graph via the engine's WCC. Docs with no near-dup map to
+    their own id."""
+    import ray
+
+    from graph_data_science_ray.algos.wcc import wcc
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    configure_ray_data()
+    cand = minhash_candidates(ds, id_col, text_col, num_perm, bands, shingle_k, num_partitions)
+
+    # verify: jaccard over true shingle sets; texts broadcast (dedup corpora
+    # verify against a sampled/partitioned text store at larger scale)
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    texts_t = collect_arrow(ds.select_columns([id_col, text_col]))
+    tmap = dict(
+        zip(texts_t.column(id_col).to_pylist(), texts_t.column(text_col).to_pylist())
+    )
+    tmap_ref = ray.put(tmap)
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = ray.get(tmap_ref)
+        a = t.column("id_a").to_pylist()
+        b = t.column("id_b").to_pylist()
+        keep = [jaccard(m.get(x, ""), m.get(y, ""), shingle_k) >= jaccard_threshold for x, y in zip(a, b)]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    verified = cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    edges = verified.rename_columns({"id_a": "src_id", "id_b": "dst_id"})
+    comp = wcc(edges, num_partitions=num_partitions)
+    cluster = dict(zip(comp.node_ids.tolist(), comp.values.tolist()))
+    cl_ref = ray.put(cluster)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cl = ray.get(cl_ref)
+        ids = t.column(id_col).to_pylist()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster_id": pa.array([cl.get(i, i) for i in ids], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class SimHashStage:
+    """(id, text) → (id, simhash64, band0..band3) — 64-bit simhash over
+    crc32 token hashes; 16-bit bands for candidate bucketing."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        import re
+
+        self.id_col, self.text_col = id_col, text_col
+        self.word_re = re.compile(r"\w+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        texts = batch.column(self.text_col).to_pylist()
+        sims = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = self.word_re.findall((t or "").lower())
+            if not toks:
+                sims[i] = 0
+                continue
+            hs = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64)
+            # widen to 64 bits: crc32 of token + crc32 of reversed token
+            hs2 = np.array([zlib.crc32(w[::-1].encode()) for w in toks], dtype=np.uint64)
+            h64 = (hs << np.uint64(32)) | hs2
+            bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sims[i] = np.uint64(
+                int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+            )
+        cols = {self.id_col: ids, "simhash": pa.array(sims.view(np.int64))}
+        for b in range(4):
+            cols[f"band{b}"] = pa.array(
+                ((sims >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64)
+            )
+        return pa.table(cols)
+
+
+def simhash_signatures(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    return ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: the exact baseline — the query matrix is broadcast
+  once (``ray.put``), each batch does one numpy matmul and emits only its
+  LOCAL top-k per query (a combiner), the driver merges the tiny partials.
+- lsh_topk: the scale path — random-hyperplane LSH buckets embeddings;
+  a query probes only its own bucket (and optional neighbor probes),
+  turning an O(N·Q) scan into an O(N/2^bits · Q) bucketed search.
+- embedding_cosine_dedup: near-duplicate pairs by cosine ≥ threshold
+  within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    if col.num_chunks > 1:
+        col = col.combine_chunks()
+    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64, copy=False)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k for each query row. Returns
+    (query_idx, vec_id, score) sorted by (query_idx, -score, vec_id)."""
+    configure_ray_data()
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = qm @ m.T  # (Q, n)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(qm.shape[0], dtype=np.int64), kk)
+        vi = ids[part.ravel()]
+        sc = np.take_along_axis(sims, part, axis=1).ravel()
+        return pa.table(
+            {
+                "query_idx": pa.array(qi),
+                id_col: pa.array(vi),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    part = collect_arrow(ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True))
+    qi = part.column("query_idx").to_numpy(zero_copy_only=False)
+    vi = part.column(id_col).to_numpy(zero_copy_only=False)
+    sc = part.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vi, -sc, qi))
+    qi, vi, sc = qi[order], vi[order], sc[order]
+    keep = np.zeros(qi.shape[0], dtype=bool)
+    for qq in np.unique(qi):
+        idx = np.nonzero(qi == qq)[0][:k]
+        keep[idx] = True
+    return pa.table(
+        {
+            "query_idx": pa.array(qi[keep]),
+            id_col: pa.array(vi[keep]),
+            "score": pa.array(sc[keep], pa.float64()),
+        }
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((bits, dim))
+
+
+def add_lsh_bucket(
+    ds: Dataset, vec_col: str = "embedding", bits: int = 8, seed: int = 42, dim: int | None = None
+) -> Dataset:
+    """Append ``lsh_bucket`` = sign-pattern of ``bits`` random hyperplanes."""
+    configure_ray_data()
+    planes_ref = None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nonlocal planes_ref
+        m = _batch_matrix(batch, vec_col)
+        planes = _hyperplanes(m.shape[1], bits, seed)
+        signs = (m @ planes.T) > 0
+        bucket = signs @ (1 << np.arange(bits, dtype=np.int64))
+        return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lsh_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: brute-force, but only inside each query's LSH
+    bucket (single-probe). Recall < 1 by construction; raise ``bits``
+    resolution / add multi-probe for the recall/cost trade."""
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    planes = _hyperplanes(q.shape[1], bits, seed)
+    q_buckets = ((q @ planes.T) > 0) @ (1 << np.arange(bits, dtype=np.int64))
+    bucketed = add_lsh_bucket(ds, vec_col, bits, seed)
+    wanted = set(q_buckets.tolist())
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("lsh_bucket"), value_set=pa.array(sorted(wanted))))
+
+    sub = bucketed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    out = brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
+    return out
+
+
+def embedding_cosine_pairs(
+    ds: Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Near-duplicate pairs (id_a < id_b, cosine ≥ threshold) found within
+    LSH buckets — the embedding-space member of the dedup family."""
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+    bucketed = add_lsh_bucket(ds.select_columns([id_col, vec_col]), vec_col, bits, seed)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(g, vec_col))
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "score": pa.array(sims[ii, jj], pa.float64()),
+            }
+        )
+
+    return bucketed.groupby("lsh_bucket", num_partitions=num_partitions).map_groups(
+        pairs, batch_format="pyarrow"
+    )
