@@ -1,0 +1,249 @@
+"""Tests for the training-data pipeline operators: text stats, dedup,
+similarity search, multimodal plumbing, scalers, joins, modes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def docs_ds():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog!",   # near-dup of 0
+        "der schnelle braune fuchs springt und ist nicht da",
+        "completely different content about databases and rays",
+        "le chat est dans la maison et les oiseaux dans le ciel",
+        "",
+    ]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+
+
+def test_token_stats_and_empty_text():
+    from graph_data_science_ray.stages.textstats import token_stats
+
+    out = token_stats(docs_ds()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 9
+    assert out.loc[5, "n_tokens"] == 0
+    assert out.loc[5, "n_chars"] == 0
+
+
+def test_language_id():
+    from graph_data_science_ray.stages.textstats import language_id
+
+    out = language_id(docs_ds()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[4, "lang_pred"] == "fr"
+    assert out.loc[5, "lang_pred"] == "unknown"
+
+
+def test_quality_scores_ordering():
+    from graph_data_science_ray.stages.textstats import quality_scores
+
+    out = quality_scores(docs_ds()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "quality"] > out.loc[5, "quality"]
+    assert 0.0 <= out["quality"].min() and out["quality"].max() <= 1.0
+
+
+def test_exact_dedup_min_id():
+    from graph_data_science_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+            "key": pa.array(["a", "a", "b", "a"]),
+        }
+    )
+    out = (
+        exact_dedup(ray.data.from_arrow(t), ["key"], id_col="doc_id", num_partitions=2)
+        .to_pandas()
+        .set_index("key")
+    )
+    assert out.loc["a", "doc_id"] == 3 and out.loc["a", "n_dups"] == 3
+    assert out.loc["b", "doc_id"] == 9 and out.loc["b", "n_dups"] == 1
+
+
+def test_minhash_finds_near_dup_pair():
+    from graph_data_science_ray.stages.dedup import jaccard, minhash_candidates
+
+    cand = minhash_candidates(docs_ds(), num_partitions=2).to_pandas()
+    pairs = set(zip(cand.id_a, cand.id_b))
+    assert (0, 1) in pairs
+    assert jaccard("abcdefghij", "abcdefghij") == 1.0
+    assert jaccard("abcdefghij", "zzzzzzzzzz") == 0.0
+
+
+def test_minhash_dedup_clusters():
+    from graph_data_science_ray.stages.dedup import minhash_dedup_clusters
+
+    out = (
+        minhash_dedup_clusters(docs_ds(), jaccard_threshold=0.7, num_partitions=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "cluster_id"] == out.loc[1, "cluster_id"]
+    assert out.loc[3, "cluster_id"] == 3  # singleton keeps own id
+
+
+def test_simhash_near_dup_band_collision():
+    from graph_data_science_ray.stages.dedup import simhash_signatures
+
+    out = simhash_signatures(docs_ds()).to_pandas().set_index("doc_id")
+    shared = sum(out.loc[0, f"band{b}"] == out.loc[1, f"band{b}"] for b in range(4))
+    assert shared >= 1  # near-dups collide in at least one 16-bit band
+
+
+def test_brute_force_topk_exact():
+    from graph_data_science_ray.stages.embed import brute_force_topk
+
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((100, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(100), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    q = m[7]
+    out = brute_force_topk(ds, np.array([q]), k=5)
+    # exact: numpy reference
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ (q / np.linalg.norm(q))
+    want = set(np.argsort(-sims)[:5].tolist())
+    assert set(out.column("vec_id").to_pylist()) == want
+    assert out.column("vec_id").to_pylist()[0] == 7  # self is top-1
+
+
+def test_lsh_topk_contains_self():
+    from graph_data_science_ray.stages.embed import lsh_topk
+
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal((200, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = lsh_topk(ds, np.array([m[3]]), k=5, bits=4)
+    assert out.column("vec_id").to_pylist()[0] == 3
+
+
+def test_embedding_cosine_pairs_finds_duplicate():
+    from graph_data_science_ray.stages.embed import embedding_cosine_pairs
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((50, 8))
+    m[20] = m[10] * 2.0 + rng.standard_normal(8) * 1e-4  # cosine ≈ 1
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = embedding_cosine_pairs(ds, threshold=0.999, bits=4, num_partitions=2).to_pandas()
+    assert (10, 20) in set(zip(out.id_a, out.id_b))
+
+
+def test_multimodal_image_features_deterministic():
+    from graph_data_science_ray.stages.multimodal import (
+        image_features,
+        sample_frames,
+        synthetic_media_table,
+    )
+
+    media = ray.data.from_arrow(synthetic_media_table(30))
+    imgs = media.filter(expr="kind == 'image'")
+    a = image_features(imgs, concurrency=2).to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = image_features(imgs, concurrency=2).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert a.equals(b)
+    vids = media.filter(expr="kind == 'video'")
+    frames = sample_frames(vids, every_ms=1000).to_pandas()
+    assert (frames.groupby("media_id").size() >= 1).all()
+
+
+def test_real_decoder_is_stubbed():
+    from graph_data_science_ray.stages.multimodal import real_decode_image
+
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"xx")
+
+
+def test_scalers_match_numpy():
+    from graph_data_science_ray.functions.scalers import scale_property
+
+    v = np.array([1.0, 2.0, 3.0, 10.0])
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)}))
+    for scaler, want in {
+        "minmax": (v - 1) / 9,
+        "stdscore": (v - v.mean()) / v.std(),
+        "l2norm": v / np.linalg.norm(v),
+        "center": v - v.mean(),
+        "log": np.log(v),
+    }.items():
+        got = (
+            scale_property(ds, "x", scaler)
+            .to_pandas()
+            .sort_values("x")[f"x_{scaler}"]
+            .to_numpy()
+        )
+        assert np.allclose(np.sort(got), np.sort(want)), scaler
+
+
+def test_hash_join_types():
+    from graph_data_science_ray.functions.joins import broadcast_join, hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "a": pa.array([10, 20, 30, 40], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 5], pa.int64()), "b": pa.array([200, 300, 500], pa.int64())})
+    )
+    inner = hash_join(left, right, on=["k"], num_partitions=3).to_pandas().sort_values("k")
+    assert inner.k.tolist() == [2, 3] and inner.b.tolist() == [200, 300]
+    semi = hash_join(left, right, on=["k"], join_type="left_semi", num_partitions=3).to_pandas()
+    assert sorted(semi.k.tolist()) == [2, 3]
+    anti = hash_join(left, right, on=["k"], join_type="left_anti", num_partitions=3).to_pandas()
+    assert sorted(anti.k.tolist()) == [1, 4]
+    bc = broadcast_join(left, right.to_pandas().pipe(pa.Table.from_pandas), on=["k"]).to_pandas()
+    assert sorted(bc.k.tolist()) == [2, 3]
+
+
+def test_modes_and_estimate():
+    from graph_data_science_ray import fixtures, pagerank
+    from graph_data_science_ray.pipelines.modes import estimate, mutate, stats, stream, write
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    res = pagerank(from_arrow(fixtures.paper_graph()), max_iterations=10, num_partitions=2)
+    top = stream(res, top_k=3).to_pandas()
+    assert len(top) == 3 and top["rank"].is_monotonic_decreasing
+    st = stats(res)
+    assert st["count"] == 8 and st["max"] >= st["p99"] >= st["p50"]
+    nodes = ray.data.from_arrow(pa.table({"node_id": pa.array([0, 1, 99], pa.int64())}))
+    mut = mutate(nodes, res).to_pandas().set_index("node_id")
+    assert mut.loc[0, "rank"] == pytest.approx(res.as_dict()[0])
+    assert np.isnan(mut.loc[99, "rank"])
+    est = estimate(1_000_000, 50_000_000)
+    assert est["total_bytes"] > 0 and est["per_shard_bytes"] > 0
+
+
+def test_write_mode_partitioned(tmp_path):
+    import os
+
+    from graph_data_science_ray import fixtures, pagerank
+    from graph_data_science_ray.pipelines.modes import write
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    res = pagerank(from_arrow(fixtures.tiny_cycle()), max_iterations=3, num_partitions=2)
+    p = write(res, str(tmp_path / "ranks"), num_partitions=4)
+    assert any(d.startswith("bucket=") for d in os.listdir(p))
