@@ -173,6 +173,45 @@ def _q_label_propagation(sf_dir: str):
     )
 
 
+def _q_article_rank_k(sf_dir: str):
+    from graph_data_science_ray.algos.centrality import article_rank
+
+    res = article_rank(_edges_op(sf_dir), max_iterations=PR_ITERS, tolerance=0.0)
+    t = pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "score": pa.array(res.values, pa.float64()),
+        }
+    )
+    return _round6(t, "score")
+
+
+def _q_eigenvector(sf_dir: str):
+    from graph_data_science_ray.algos.centrality import eigenvector
+
+    res = eigenvector(_edges_ps(sf_dir), max_iterations=10, tolerance=0.0)
+    t = pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "score": pa.array(res.values, pa.float64()),
+        }
+    )
+    return _round6(t, "score")
+
+
+def _q_lcc(sf_dir: str):
+    from graph_data_science_ray.algos.centrality import local_clustering_coefficient
+
+    res = local_clustering_coefficient(_edges_ps(sf_dir))
+    t = pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "lcc": pa.array(res.values, pa.float64()),
+        }
+    )
+    return _round6(t, "lcc")
+
+
 def _q_docs_dedup_first(sf_dir: str):
     import ray.data
 
@@ -382,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_global": _q_triangles_global,
         "triangles_per_node": _q_triangles_per_node,
         "label_propagation": _q_label_propagation,
+        "article_rank_k5": _q_article_rank_k,
+        "eigenvector_k10": _q_eigenvector,
+        "local_clustering_coefficient": _q_lcc,
         "docs_dedup_first": _q_docs_dedup_first,
         "docs_token_stats": _q_docs_token_stats,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -409,21 +451,23 @@ _E_OP = "SELECT DISTINCT l_orderkey AS src_id, l_partkey AS dst_id FROM lineitem
 _E_PS = "SELECT DISTINCT l_partkey AS src_id, l_suppkey AS dst_id FROM lineitem"
 
 
-def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
+def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING, denom: str = "deg.outdeg") -> str:
     """Fixed-iteration GDS-convention PageRank as a chain of MATERIALIZED
-    CTEs (plain CTEs inline and the plan explodes — FIXTURES.md §3)."""
+    CTEs (plain CTEs inline and the plan explodes — FIXTURES.md §3).
+    ``denom`` switches PageRank (outdeg) vs ArticleRank (outdeg+avg)."""
     parts = [
         f"WITH e AS MATERIALIZED ({_E_OP}),",
         "nodes AS MATERIALIZED (SELECT src_id AS node FROM e UNION SELECT dst_id FROM e),",
         "deg AS MATERIALIZED (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src_id),",
+        "avgdeg AS MATERIALIZED (SELECT AVG(outdeg) AS a FROM deg),",
         "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes),",
     ]
     for i in range(1, k + 1):
         parts.append(
             f"r{i} AS MATERIALIZED (SELECT n.node, {1 - d} + {d} * COALESCE(s.contrib, 0) AS r "
-            f"FROM nodes n LEFT JOIN (SELECT e.dst_id AS node, SUM(r{i-1}.r / deg.outdeg) AS contrib "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst_id AS node, SUM(r{i-1}.r / ({denom})) AS contrib "
             f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node JOIN deg ON e.src_id = deg.src_id "
-            f"GROUP BY e.dst_id) s ON n.node = s.node),"
+            f"CROSS JOIN avgdeg GROUP BY e.dst_id) s ON n.node = s.node),"
         )
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
@@ -463,6 +507,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_k5": _pagerank_sql(),
         "pagerank_csr_k5": _pagerank_sql(),
+        "article_rank_k5": _pagerank_sql(denom="deg.outdeg + avgdeg.a"),
+        "local_clustering_coefficient": _TRI_SQL_CORE + (
+            ", deg AS (SELECT node_id, CAST(COUNT(*) AS DOUBLE) AS d FROM "
+            "(SELECT u AS node_id FROM und UNION ALL SELECT v FROM und) GROUP BY node_id), "
+            "tcnt AS (SELECT node_id, COUNT(*) AS t FROM ("
+            "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri"
+            ") GROUP BY node_id) "
+            "SELECT deg.node_id, ROUND(CASE WHEN deg.d < 2 THEN 0 "
+            "ELSE 2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)) END, 6) AS lcc "
+            "FROM deg LEFT JOIN tcnt ON deg.node_id = tcnt.node_id"
+        ),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_sizes": _WCC_SQL_CORE + (
             "SELECT component, COUNT(*) AS n_nodes FROM "

@@ -1,0 +1,152 @@
+"""Additional centralities from the reference catalog (SURVEY.md §2.9
+out-of-scope inventory, implemented where they reuse the PageRank
+machinery): ArticleRank, Eigenvector, and local clustering coefficient
+(derived from triangle counts).
+
+Conventions (Neo4j GDS, public docs):
+- ArticleRank: p(v) = (1-d) + d·Σ_u p(u) / (outdeg(u) + avg_outdeg) —
+  the dampened variant that de-emphasizes low-degree endorsers.
+- Eigenvector: power iteration x' = A^T x, L2-normalized every step;
+  init 1/√n; converged when max per-node change < tolerance.
+- LCC: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) on the undirected simple
+  graph; 0 where deg < 2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from graph_data_science_ray.algos.common import collect_arrow, merge_sum, unique_node_ids
+from graph_data_science_ray.algos.pagerank import IterativeResult, _out_weight
+from graph_data_science_ray.context import configure_ray_data
+
+
+def _iterate_scaled(
+    edges: Dataset,
+    node_arr: np.ndarray,
+    scale_fn,
+    apply_fn,
+    max_iterations: int,
+    tolerance: float,
+    value_name: str,
+    init: np.ndarray,
+) -> IterativeResult:
+    """Shared loop: broadcast scaled[src] per iteration, per-batch
+    combiner sum by dst, driver merge, custom apply."""
+    configure_ray_data()
+    n = node_arr.shape[0]
+    state = init
+    metrics, converged = [], False
+    iteration = -1
+    for iteration in range(max_iterations):
+        scaled = scale_fn(state)
+        ref = ray.put((node_arr, scaled))
+
+        def stage(batch: pa.Table) -> pa.Table:
+            ids, sc = ray.get(ref)
+            src = batch.column("src_id").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+            contrib = sc[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            u, inv = np.unique(dst, return_inverse=True)
+            s = np.bincount(inv, weights=contrib, minlength=u.shape[0])
+            return pa.table(
+                {"dst_id": pa.array(u, pa.int64()), "contrib": pa.array(s, pa.float64())}
+            )
+
+        t = collect_arrow(edges.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True))
+        in_sum = np.zeros(n)
+        if t.num_rows:
+            ids, sums = merge_sum(t, "dst_id", "contrib")
+            in_sum[np.searchsorted(node_arr, ids)] = sums
+        new, residual = apply_fn(state, in_sum)
+        state = new
+        metrics.append({"iteration": iteration, "residual": residual})
+        if residual < tolerance:
+            converged = True
+            break
+    return IterativeResult(node_arr, state, value_name, iteration + 1, converged, metrics)
+
+
+def article_rank(
+    edges: Dataset,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: float = 1e-7,
+) -> IterativeResult:
+    configure_ray_data()
+    edges = edges.materialize()
+    node_arr = unique_node_ids(edges)
+    out_w = _out_weight(edges, node_arr, weighted=False)
+    nonzero = out_w[out_w > 0]
+    avg_deg = float(nonzero.mean()) if nonzero.shape[0] else 0.0
+
+    def scale(state):
+        denom = out_w + avg_deg
+        return np.divide(state, denom, out=np.zeros_like(state), where=(out_w > 0))
+
+    def apply(state, in_sum):
+        new = (1.0 - damping) + damping * in_sum
+        return new, float(np.abs(new - state).max()) if state.shape[0] else 0.0
+
+    return _iterate_scaled(
+        edges, node_arr, scale, apply, max_iterations, tolerance, "article_rank",
+        np.ones(node_arr.shape[0]),
+    )
+
+
+def eigenvector(
+    edges: Dataset,
+    max_iterations: int = 20,
+    tolerance: float = 1e-7,
+) -> IterativeResult:
+    configure_ray_data()
+    edges = edges.materialize()
+    node_arr = unique_node_ids(edges)
+    n = node_arr.shape[0]
+
+    def scale(state):
+        return state
+
+    def apply(state, in_sum):
+        norm = np.linalg.norm(in_sum)
+        new = in_sum / norm if norm > 0 else np.full(n, 1.0 / np.sqrt(n) if n else 0.0)
+        return new, float(np.abs(new - state).max()) if n else 0.0
+
+    init = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
+    return _iterate_scaled(
+        edges, node_arr, scale, apply, max_iterations, tolerance, "eigenvector", init
+    )
+
+
+def local_clustering_coefficient(
+    edges: Dataset, num_partitions: int | None = None
+) -> IterativeResult:
+    """lcc per node, from the triangle counter + undirected degrees."""
+    from graph_data_science_ray.algos.triangles import _canonical_undirected, triangle_count
+
+    configure_ray_data()
+    canon = _canonical_undirected(edges, num_partitions).materialize()
+    tri = triangle_count(canon, num_partitions=num_partitions, pre_canonical=True)
+
+    def deg_partials(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                t.column("src_id").to_numpy(zero_copy_only=False),
+                t.column("dst_id").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node_id": pa.array(u, pa.int64()), "c": pa.array(c.astype(np.float64))})
+
+    t = collect_arrow(canon.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True))
+    deg = np.zeros(tri.node_ids.shape[0])
+    if t.num_rows:
+        ids, c = merge_sum(t, "node_id", "c")
+        deg[np.searchsorted(tri.node_ids, ids)] = c
+    denom = deg * (deg - 1)
+    lcc = np.divide(2.0 * tri.values, denom, out=np.zeros_like(denom), where=denom > 0)
+    return IterativeResult(tri.node_ids, lcc, "lcc", 1, True, [{}])

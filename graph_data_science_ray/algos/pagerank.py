@@ -120,6 +120,7 @@ def pagerank(
     max_iterations: int = 20,
     tolerance: float = 1e-7,
     weighted: bool = False,
+    source_nodes: list[int] | None = None,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     num_partitions: int | None = None,
@@ -141,7 +142,17 @@ def pagerank(
     num_partitions = num_partitions or shuffle_partitions_for(n)
     out_w = _out_weight(edges, node_arr, weighted)
 
-    ranks = np.ones(n, dtype=np.float64)
+    # personalized PageRank (GDS sourceNodes): the (1-d) teleport base is
+    # applied only at the source nodes; everything else starts/bases at 0
+    if source_nodes is not None:
+        base = np.zeros(n, dtype=np.float64)
+        pos = np.searchsorted(node_arr, np.asarray(sorted(source_nodes), dtype=np.int64))
+        pos = pos[(pos < n)]
+        base[pos] = 1.0 - damping
+        ranks = base.copy()
+    else:
+        base = None
+        ranks = np.ones(n, dtype=np.float64)
     start_iter = 0
     metrics: list[dict] = []
     if checkpoint is not None and resume:
@@ -162,7 +173,7 @@ def pagerank(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        new_ranks = np.full(n, 1.0 - damping, dtype=np.float64)
+        new_ranks = base.copy() if base is not None else np.full(n, 1.0 - damping, dtype=np.float64)
         if reduce == "driver":
             t = collect_arrow(contribs)
             if t.num_rows:

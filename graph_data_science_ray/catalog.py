@@ -1,0 +1,101 @@
+"""Graph catalog — the engine's equivalent of GDS's in-memory
+GraphStoreCatalog (``gds.graph.project`` / ``.list`` / ``.drop`` /
+``.export``; SURVEY.md §1.1).
+
+A catalog entry binds a name to an edge Dataset (optionally materialized)
+plus projection metadata; algorithms run against entries. Single-process
+registry — at cluster scale the entry's payload is the bucketed parquet
+layout on shared storage, so the catalog is just names + paths +
+fingerprints (cheap to reconstruct, no distributed state).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from ray.data import Dataset
+
+
+@dataclass
+class GraphEntry:
+    name: str
+    edges: Dataset
+    orientation: str = "natural"          # natural | reverse | undirected
+    aggregation: str = "single"           # GDS Aggregation at projection
+    weighted: bool = False
+    created_at: float = field(default_factory=time.time)
+    node_count: int | None = None
+    edge_count: int | None = None
+
+    def counts(self) -> tuple[int, int]:
+        if self.edge_count is None:
+            self.edge_count = self.edges.count()
+        if self.node_count is None:
+            from graph_data_science_ray.algos.common import unique_node_ids
+
+            self.node_count = int(unique_node_ids(self.edges).shape[0])
+        return self.node_count, self.edge_count
+
+
+class GraphCatalog:
+    def __init__(self) -> None:
+        self._graphs: dict[str, GraphEntry] = {}
+
+    def project(
+        self,
+        name: str,
+        edges: Dataset,
+        orientation: str = "natural",
+        aggregation: str = "single",
+        weighted: bool = False,
+        materialize: bool = True,
+    ) -> GraphEntry:
+        """Project an edge Dataset into the catalog (immutable snapshot —
+        materialized so later mutation of the source doesn't leak in,
+        mirroring the reference's project-once semantics)."""
+        if name in self._graphs:
+            raise ValueError(f"graph '{name}' already exists")
+        from graph_data_science_ray.sources.edges import dedup_edges, reverse, symmetrize
+
+        ds = edges
+        if aggregation != "none":
+            ds = dedup_edges(ds, aggregation)
+        if orientation == "reverse":
+            ds = reverse(ds)
+        elif orientation == "undirected":
+            ds = symmetrize(ds, dedup=not weighted)
+        if materialize:
+            ds = ds.materialize()
+        entry = GraphEntry(name, ds, orientation, aggregation, weighted)
+        self._graphs[name] = entry
+        return entry
+
+    def get(self, name: str) -> GraphEntry:
+        try:
+            return self._graphs[name]
+        except KeyError:
+            raise KeyError(f"graph '{name}' not in catalog; have {sorted(self._graphs)}") from None
+
+    def list(self) -> list[dict]:
+        return [
+            {
+                "name": e.name,
+                "orientation": e.orientation,
+                "aggregation": e.aggregation,
+                "weighted": e.weighted,
+                "created_at": e.created_at,
+            }
+            for e in self._graphs.values()
+        ]
+
+    def drop(self, name: str) -> None:
+        self._graphs.pop(name, None)
+
+    def export(self, name: str, path: str) -> str:
+        self.get(name).edges.write_parquet(path)
+        return path
+
+
+# module-level default catalog (the per-user catalog of the reference)
+default_catalog = GraphCatalog()

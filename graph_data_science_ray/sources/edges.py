@@ -101,31 +101,70 @@ def node_ids(edges: Dataset, num_partitions: int | None = None) -> Dataset:
     ).drop_columns(["_n"])
 
 
-def generate_graph(n: int, mean_degree: float = 8.0, seed: int = 42) -> Dataset:
+def generate_graph(
+    n: int, mean_degree: float = 8.0, seed: int = 42, alpha: float = 2.3
+) -> Dataset:
     """Seeded synthetic power-law graph as a Dataset — the equivalent of
-    the reference's gds.graph.generate (SURVEY.md §2.1). Deterministic for
-    a given (n, mean_degree, seed) regardless of parallelism: each block
-    generates edges for its own src-id range with a per-range rng."""
+    the reference's gds.graph.generate (SURVEY.md §2.1).
+
+    Out-degree of node i is a PURE FUNCTION of (i, seed): a bounded-Pareto
+    inverse transform over a splitmix64 uniform — deterministic regardless
+    of block boundaries / parallelism, with a web-like degree exponent
+    ``alpha`` (finite mean; a naive ``rng.zipf(1.3)`` has an unbounded
+    mean and explodes at large n). Targets are uniform, seeded per edge.
+    """
     import numpy as np
 
+    from graph_data_science_ray.stages.ids import bucket_of  # noqa: F401  (same mix)
+
     configure_ray_data()
+    x_m = max(1.0, mean_degree * (alpha - 2.0) / (alpha - 1.0))
+    cap = max(16, n // 50)
+
+    def _mix(x: "np.ndarray") -> "np.ndarray":
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_numpy()
-        rng = np.random.default_rng(seed ^ int(ids[0]))
-        deg = np.minimum(rng.zipf(1.3, size=len(ids)), n - 1)
-        deg = np.maximum((deg * mean_degree / 3.0).astype(np.int64), 1)
-        deg = np.minimum(deg, n - 1)
+        u = (_mix(ids ^ np.uint64(seed)) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        u = np.clip(u, 1e-12, 1.0)
+        deg = np.minimum(np.ceil(x_m * u ** (-1.0 / (alpha - 1.0))).astype(np.int64), cap)
         src = np.repeat(ids, deg)
-        dst = rng.integers(0, n, size=src.shape[0], dtype=np.int64)
+        # per-edge deterministic targets: mix(src * C + within-src index)
+        idx = np.arange(src.shape[0], dtype=np.uint64)
+        starts = np.repeat(np.cumsum(deg) - deg, deg).astype(np.uint64)
+        within = idx - starts
+        dst = (_mix(src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + within + np.uint64(seed))
+               % np.uint64(n)).astype(np.int64)
         keep = src != dst
         return pa.table(
             {"src_id": pa.array(src[keep], pa.int64()), "dst_id": pa.array(dst[keep], pa.int64())}
         )
 
-    return ray.data.range(n).rename_columns({"id": "id"}).map_batches(
-        gen, batch_format="pyarrow", batch_size=65536
-    )
+    return ray.data.range(n).map_batches(gen, batch_format="pyarrow", batch_size=65536)
+
+
+def to_undirected(edges: Dataset, num_partitions: int | None = None) -> Dataset:
+    """gds.graph.toUndirected equivalent (alias of symmetrize)."""
+    return symmetrize(edges, num_partitions=num_partitions)
+
+
+def collapse_path(first: Dataset, second: Dataset, num_partitions: int | None = None) -> Dataset:
+    """gds.collapsePath equivalent: (a→b) ∈ first, (b→c) ∈ second ⇒ a→c,
+    deduped. A single partitioned hash join on the middle node."""
+    from graph_data_science_ray.functions.joins import hash_join
+
+    left = first.rename_columns({"dst_id": "mid"}).select_columns(["src_id", "mid"])
+    right = second.rename_columns({"src_id": "mid"}).select_columns(["mid", "dst_id"])
+    joined = hash_join(left, right, on=["mid"], num_partitions=num_partitions)
+    out = joined.select_columns(["src_id", "dst_id"])
+    return dedup_edges(out, "single", num_partitions=num_partitions)
 
 
 def lineitem_projection(sf_dir: str) -> Dataset:

@@ -178,6 +178,154 @@ class CsrShard:
         pos = np.searchsorted(self.owned_ids, ids)
         return self.state[pos]
 
+    # ---------------- static routing layout (values-only exchange) ----
+    # The set of destination ids a shard contributes to per destination
+    # shard is FIXED after build. Exchanging it once and caching the
+    # positions lets every iteration ship bare value arrays (half the
+    # bytes, no per-iteration searchsorted) and apply with one bincount —
+    # the difference between scaling and anti-scaling at high P.
+
+    def get_layouts(self):
+        """ONE object: (offsets[P+1], concatenated dst ids) — the ids this
+        shard emits to, segmented by destination shard. Coalesced into a
+        single plasma object: per-object store overhead, not data volume,
+        dominates the exchange at high P (measured ~0.3 ms/object ⇒ P²
+        objects/iteration anti-scales)."""
+        offsets = np.zeros(self.P + 1, dtype=np.int64)
+        for s, (lo, hi) in enumerate(self.group_shard_slices):
+            offsets[s + 1] = offsets[s] + (hi - lo)
+        return offsets, self.group_dst.copy()
+
+    def register_incoming(self, shard_id: int, *layouts) -> int:
+        """layouts[i] = (offsets, ids) from source shard i (passed as
+        top-level args so Ray resolves the refs BEFORE the task runs —
+        an in-actor ray.get of driver-owned refs costs an owner RPC per
+        ref per call and serializes on the driver). This shard slices out
+        its own segment and caches positions + sorted-segment structure."""
+        self._in_offsets = [off for off, _ in layouts]
+        ids_list = [ids[off[shard_id] : off[shard_id + 1]] for off, ids in layouts]
+        self._in_sizes = [a.shape[0] for a in ids_list]
+        if sum(self._in_sizes):
+            big_ids = np.concatenate(ids_list)
+            self._in_pos = np.searchsorted(self.owned_ids, big_ids)
+        else:
+            self._in_pos = np.empty(0, dtype=np.int64)
+        order = np.argsort(self._in_pos, kind="stable")
+        self._in_order = order
+        sp = self._in_pos[order]
+        if sp.shape[0]:
+            seg = np.empty(sp.shape[0], dtype=bool)
+            seg[0] = True
+            seg[1:] = sp[1:] != sp[:-1]
+            self._seg_starts = np.nonzero(seg)[0]
+            self._seg_pos = sp[self._seg_starts]
+        else:
+            self._seg_starts = np.empty(0, dtype=np.int64)
+            self._seg_pos = np.empty(0, dtype=np.int64)
+        return int(self._in_pos.shape[0])
+
+    def get_timings(self) -> dict:
+        return getattr(self, "_timings", {})
+
+    def debug_kernel(self) -> dict:
+        """Time the emit kernel pieces in-place (diagnostics)."""
+        import time as _time
+
+        out: dict = {
+            "edges": int(self.edge_srcpos.shape[0]),
+            "groups": int(self.group_dst.shape[0]),
+            "srcs": int(self.src_u.shape[0]),
+        }
+        t0 = _time.perf_counter()
+        scaled = self._scaled_per_src(np.empty(0, np.int64), np.empty(0), "pagerank")
+        out["scaled_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        contrib = scaled[self.edge_srcpos]
+        out["gather_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        agg = np.bincount(self.dst_group, weights=contrib, minlength=self.group_dst.shape[0])
+        out["bincount_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        parts = tuple(agg[lo:hi] for lo, hi in self.group_shard_slices)
+        out["slice_s"] = _time.perf_counter() - t0
+        out["dtypes"] = (str(self.edge_srcpos.dtype), str(self.dst_group.dtype))
+        return out
+
+    def _t(self, key: str, dt: float) -> None:
+        tm = getattr(self, "_timings", None)
+        if tm is None:
+            tm = self._timings = {}
+        tm[key] = tm.get(key, 0.0) + dt
+        tm[key + "_n"] = tm.get(key + "_n", 0) + 1
+
+    def emit_values(self, kind: str, hub_ids: np.ndarray, hub_vals: np.ndarray):
+        """Like emit(), but returns ONE coalesced value array in the
+        static layout order (requires register_incoming on the peers).
+        Receivers slice their segment via the layout offsets — zero-copy
+        reads from the local object store; on a multi-node cluster a
+        sliced (num_returns=P) variant trades object count for transfer
+        volume (see get_layouts)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        ng = self.group_dst.shape[0]
+        if kind == "pagerank_contrib":
+            scaled = self._scaled_per_src(hub_ids, hub_vals, "pagerank")
+            contrib = scaled[self.edge_srcpos]
+            if self.edge_w is not None:
+                contrib = contrib * self.edge_w
+            agg = np.bincount(self.dst_group, weights=contrib, minlength=ng)
+        elif kind == "min_label":
+            labels = self._scaled_per_src(hub_ids, hub_vals, "label")
+            per_edge = labels[self.edge_srcpos]
+            # vectorized per-group min: sort by group once at build? group
+            # is already sorted by construction (edges lexsorted by
+            # (dst_shard, dst)) → minimum.reduceat over group starts
+            if ng:
+                starts = np.nonzero(
+                    np.concatenate(([True], self.dst_group[1:] != self.dst_group[:-1]))
+                )[0]
+                agg = np.minimum.reduceat(per_edge, starts)
+            else:
+                agg = np.empty(0, dtype=np.int64)
+        else:
+            raise ValueError(kind)
+        self._t("emit_compute", _time.perf_counter() - _t0)
+        return agg  # segmented by group_shard_slices; receivers slice
+
+    def apply_values(self, kind: str, damping: float, *emits) -> float:
+        """emits[i] = source shard i's coalesced value array, passed as
+        top-level args (refs resolved by the raylet before the task runs,
+        zero-copy from the local store); this shard extracts its segment
+        using the offsets cached at registration."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        sid = self.shard_id
+        vals_list = [
+            a[off[sid] : off[sid + 1]] for a, off in zip(emits, self._in_offsets)
+        ]
+        n = self.owned_ids.shape[0]
+        vals = np.concatenate(vals_list) if vals_list else np.empty(0)
+        if kind == "pagerank":
+            new = np.full(n, 1.0 - damping)
+            if vals.shape[0]:
+                new += damping * np.bincount(self._in_pos, weights=vals, minlength=n)
+            residual = float(np.abs(new - self.state).max()) if n else 0.0
+            self.state = new
+            self._t("apply_compute", _time.perf_counter() - _t0)
+            return residual
+        if kind == "min_label":
+            new = self.state.copy()
+            if vals.shape[0]:
+                sv = vals[self._in_order]
+                mins = np.minimum.reduceat(sv, self._seg_starts)
+                new[self._seg_pos] = np.minimum(new[self._seg_pos], mins)
+            changed = float((new != self.state).sum())
+            self.state = new
+            return changed
+        raise ValueError(kind)
+
     # ---------------- gather (scatter contributions) ----------------
     def _scaled_per_src(self, hub_ids: np.ndarray, hub_scaled: np.ndarray, mode: str) -> np.ndarray:
         """Per-unique-src value: rank/out_w ('pagerank') or label ('label')."""
@@ -262,14 +410,16 @@ class CsrShard:
         raise ValueError(kind)
 
     # ---------------- apply ----------------
-    def apply(self, kind: str, partials: list[pa.Table], damping: float = 0.85) -> float:
-        """Combine incoming partials into owned state; returns residual
-        (max |Δ| for pagerank, #changed for labels)."""
+    def apply(self, kind: str, damping: float, *partials) -> float:
+        """Combine incoming keyed partial tables into owned state; returns
+        residual (max |Δ| for pagerank, #changed for labels). Partials are
+        top-level args (refs resolved before the task runs)."""
         n = self.owned_ids.shape[0]
-        # refs arrive nested in a list (not auto-dereferenced); ray.get
-        # inside the actor is a zero-copy shared-memory read
-        partials = [ray.get(p) if isinstance(p, ray.ObjectRef) else p for p in partials]
-        t = pa.concat_tables([p for p in partials if p.num_rows > 0]) if partials else None
+        flat: list[pa.Table] = []
+        for p in partials:
+            flat.extend(p) if isinstance(p, (tuple, list)) else flat.append(p)
+        nonempty = [p for p in flat if p.num_rows > 0]
+        t = pa.concat_tables(nonempty) if nonempty else None
         if kind == "pagerank":
             new = np.full(n, 1.0 - damping)
             if t is not None and t.num_rows:

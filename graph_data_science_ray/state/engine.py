@@ -136,7 +136,24 @@ class CsrEngine:
             m = owner == b
             sets.append(s.set_owned.remote(all_ids[m], out_w[m]))
         ray.get(sets)
+
+        # static routing-layout exchange (once): each shard publishes ONE
+        # coalesced (offsets, ids) object; every destination slices its
+        # segment and caches positions — later iterations ship values only
+        layouts = [s.get_layouts.remote() for s in shards]
+        ray.get([shards[j].register_incoming.remote(j, *layouts) for j in range(P)])
         return cls(shards, P, all_ids, out_w, hub_ids, hub_out_w)
+
+    def shutdown(self) -> None:
+        """Kill shard actors and release their CSR + state memory NOW
+        (dropping the handles only releases at GC time — a sequence of
+        engines in one process otherwise accumulates into spilling)."""
+        for s in self.shards:
+            try:
+                ray.kill(s)
+            except Exception:
+                pass
+        self.shards = []
 
     # ------------------------------------------------------------------
     def _hub_values(self) -> np.ndarray:
@@ -156,16 +173,34 @@ class CsrEngine:
         return vals
 
     def _exchange(self, kind_emit: str, kind_apply: str, hub_vals: np.ndarray, damping: float = 0.85) -> float:
-        emits = [
-            s.emit.options(num_returns=self.P).remote(kind_emit, self.hub_ids, hub_vals)
-            for s in self.shards
-        ]
-        if self.P == 1:
-            emits = [[e] for e in emits]  # num_returns=1 gives a bare ref
-        applies = [
-            self.shards[j].apply.remote(kind_apply, [emits[i][j] for i in range(self.P)], damping)
-            for j in range(self.P)
-        ]
+        """One iteration's shard↔shard exchange. PageRank and WCC use the
+        values-only fast path (static layout registered at build); LPA's
+        keys change per iteration so it ships keyed tables."""
+        values_path = kind_emit in ("pagerank_contrib", "min_label")
+        if values_path:
+            # coalesced exchange: P emit objects total; every apply takes
+            # all of them as TOP-LEVEL args (raylet-resolved, zero-copy)
+            # and slices its own segment
+            emits = [
+                s.emit_values.remote(kind_emit, self.hub_ids, hub_vals) for s in self.shards
+            ]
+            applies = [
+                self.shards[j].apply_values.remote(kind_apply, damping, *emits)
+                for j in range(self.P)
+            ]
+        else:
+            emits = [
+                s.emit.options(num_returns=self.P).remote(kind_emit, self.hub_ids, hub_vals)
+                for s in self.shards
+            ]
+            if self.P == 1:
+                emits = [[e] for e in emits]  # num_returns=1 gives a bare ref
+            applies = [
+                self.shards[j].apply.remote(
+                    kind_apply, damping, *[emits[i][j] for i in range(self.P)]
+                )
+                for j in range(self.P)
+            ]
         residuals = ray.get(applies)
         return max(residuals) if kind_apply == "pagerank" else sum(residuals)
 

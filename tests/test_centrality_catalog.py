@@ -1,0 +1,101 @@
+"""ArticleRank / eigenvector / LCC + graph catalog + CLI smoke."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import fixtures
+from graph_data_science_ray.sources.edges import from_arrow
+
+
+def _pairs(t):
+    return list(zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()))
+
+
+def test_article_rank_oracle():
+    from collections import defaultdict
+
+    from graph_data_science_ray.algos.centrality import article_rank
+
+    t = fixtures.er_random(80, 0.06, seed=13)
+    pairs = _pairs(t)
+    res = article_rank(from_arrow(t), max_iterations=15)
+    # dense numpy oracle with the GDS ArticleRank denominator
+    outdeg = defaultdict(int)
+    for s, _ in pairs:
+        outdeg[s] += 1
+    avg = sum(outdeg.values()) / len(outdeg)
+    nodes = sorted({u for p in pairs for u in p})
+    idx = {u: i for i, u in enumerate(nodes)}
+    r = np.ones(len(nodes))
+    for _ in range(15):
+        contrib = np.zeros(len(nodes))
+        for s, d in pairs:
+            contrib[idx[d]] += r[idx[s]] / (outdeg[s] + avg)
+        r = 0.15 + 0.85 * contrib
+    got = res.as_dict()
+    for u in nodes:
+        assert got[u] == pytest.approx(r[idx[u]], abs=1e-6)
+
+
+def test_eigenvector_cycle_uniform():
+    from graph_data_science_ray.algos.centrality import eigenvector
+
+    res = eigenvector(from_arrow(fixtures.tiny_cycle()), max_iterations=30)
+    assert np.allclose(res.values, 1 / np.sqrt(3), atol=1e-6)
+
+
+def test_lcc_triangle_is_one():
+    from graph_data_science_ray.algos.centrality import local_clustering_coefficient
+
+    res = local_clustering_coefficient(from_arrow(fixtures.two_components()), num_partitions=2)
+    got = res.as_dict()
+    assert got[0] == got[1] == got[2] == 1.0
+    assert got[3] == got[4] == 0.0
+
+
+def test_catalog_project_list_drop(tmp_path):
+    from graph_data_science_ray.catalog import GraphCatalog
+
+    cat = GraphCatalog()
+    e = cat.project("g1", from_arrow(fixtures.two_components()), orientation="undirected")
+    n, m = e.counts()
+    assert n == 5 and m == 8  # symmetrized: 3 cycle edges ×2 + 1 edge ×2
+    assert [g["name"] for g in cat.list()] == ["g1"]
+    with pytest.raises(ValueError):
+        cat.project("g1", from_arrow(fixtures.tiny_cycle()))
+    cat.export("g1", str(tmp_path / "exp"))
+    import os
+
+    assert os.listdir(str(tmp_path / "exp"))
+    cat.drop("g1")
+    assert cat.list() == []
+
+
+def test_cli_pagerank_and_ingest(tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from graph_data_science_ray.run import main
+
+    pq.write_table(fixtures.paper_graph(), str(tmp_path / "edges.parquet"))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            [
+                "pagerank",
+                str(tmp_path / "edges.parquet"),
+                "--engine", "csr", "--shards", "2", "--iterations", "20", "--top-k", "3",
+                "--out", str(tmp_path / "ranks"),
+            ]
+        )
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    assert out["algorithm"] == "pagerank" and out["count"] == 8
+    assert len(out["top_k"]) == 3
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(str(tmp_path / "ranks")))
