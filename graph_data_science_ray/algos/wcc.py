@@ -77,15 +77,25 @@ def wcc(
     num_partitions: int | None = None,
     pre_symmetrized: bool = False,
     reduce: str = "driver",
+    seeds: dict[int, int] | None = None,
 ) -> IterativeResult:
-    """Component id per node (= min node_id in its component)."""
+    """Component id per node (= min node_id in its component).
+    ``seeds``: GDS seedProperty equivalent — initial label per node id
+    (unlisted nodes start from their own id)."""
     und = edges if pre_symmetrized else symmetrize(edges, num_partitions=num_partitions)
     und = und.materialize()
     node_arr = unique_node_ids(und)
+    init = node_arr.copy()
+    if seeds:
+        sk = np.asarray(sorted(seeds), dtype=np.int64)
+        sv = np.asarray([seeds[k] for k in sk.tolist()], dtype=np.int64)
+        pos = np.searchsorted(node_arr, sk)
+        ok = (pos < node_arr.shape[0]) & (node_arr[np.minimum(pos, node_arr.shape[0] - 1)] == sk)
+        init[pos[ok]] = sv[ok]
     res = run_iterative(
         edges=und,
         node_ids=node_arr,
-        init=node_arr.copy(),
+        init=init,
         make_stage=_make_stage,
         gather_key="node_id",
         gather_aggs=lambda: [Min("nbr_min", alias_name="nbr_min")],
