@@ -295,6 +295,35 @@ def _q_events_daily_counts(sf_dir: str):
     ).aggregate(Count(alias_name="n"))
 
 
+def _q_events_hourly_value(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.windows import tumbling_window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    win = tumbling_window(ds, "user_id", "ts", "value", window_s=3600)
+    out = win.select_columns(["user_id", "window_start", "n", "sum_value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # float-sum bit patterns differ between engines even after ROUND;
+        # the values are 2-decimal, so compare integer cents exactly
+        c = pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100.0)), pa.int64())
+        return t.set_column(t.schema.get_field_index("sum_value"), "sum_cents", c)
+
+    return out.map_batches(cents, batch_format="pyarrow")
+
+
+def _q_events_sessions(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.stages.windows import session_windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_windows(ds, "user_id", "ts", gap_s=1800, num_partitions=4)
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -431,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_counts": _q_events_user_type_counts,
         "events_topk_value": _q_events_topk_value,
         "events_daily_counts": _q_events_daily_counts,
+        "events_hourly_value": _q_events_hourly_value,
+        "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
         "embedding_label_counts": _q_embedding_label_counts,
         # rows-only (non-SQL-expressible) operators
@@ -552,6 +583,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_daily_counts": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "events_hourly_value": (
+            "SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
+            "COUNT(*) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_cents "
+            "FROM events GROUP BY user_id, window_start"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
