@@ -141,17 +141,30 @@ def _q_wcc_sizes(sf_dir: str):
     )
 
 
+def _edges_ps_raw(sf_dir: str):
+    """ps projection WITHOUT the distinct (the triangle counter's own
+    canonicalization dedups — skipping the pre-distinct saves a shuffle)."""
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).rename_columns({"l_partkey": "src_id", "l_suppkey": "dst_id"})
+
+
 def _q_triangles_global(sf_dir: str):
     from graph_data_science_ray.algos.triangles import triangle_count
 
-    res = triangle_count(_edges_ps(sf_dir))
+    res = triangle_count(_edges_ps_raw(sf_dir))
     return pa.table({"n_triangles": pa.array([res.metrics[0]["global"]], pa.int64())})
 
 
 def _q_triangles_per_node(sf_dir: str):
     from graph_data_science_ray.algos.triangles import triangle_count
 
-    res = triangle_count(_edges_ps(sf_dir))
+    res = triangle_count(_edges_ps_raw(sf_dir))
     m = res.values > 0
     return pa.table(
         {

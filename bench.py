@@ -130,9 +130,10 @@ def run_bench(scaling_only: bool = False) -> dict:
         from graph_data_science_ray.sources.edges import symmetrize
 
         t0 = time.time()
-        und = symmetrize(harness._edges_ps(SF_DIR))
+        und = symmetrize(harness._edges_ps_raw(SF_DIR), dedup=False)
         eng_w = CsrEngine.build(und, num_shards=min(NUM_CPUS, 16))
         eng_w.wcc()
+        eng_w.shutdown()
         queries["wcc_csr"] = round(time.time() - t0, 3)
 
         # ingest: pages html → extracted → deduped bucketed edges
@@ -180,7 +181,7 @@ def run_bench(scaling_only: bool = False) -> dict:
         from graph_data_science_ray.algos.triangles import triangle_count
 
         t0 = time.time()
-        triangle_count(harness._edges_ps(SF_DIR))
+        triangle_count(harness._edges_ps_raw(SF_DIR))
         queries["triangles"] = round(time.time() - t0, 3)
 
     ray.shutdown()

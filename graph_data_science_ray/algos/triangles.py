@@ -39,14 +39,107 @@ from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
 
 def _canonical_undirected(edges: Dataset, num_partitions: int | None) -> Dataset:
-    """Undirected simple edge set with src_id < dst_id, exactly once."""
-    und = symmetrize(edges, num_partitions=num_partitions)  # dedups both directions
-    und = drop_self_loops(und)
-    return und.map_batches(
-        lambda t: t.filter(pc.less(t.column("src_id"), t.column("dst_id"))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    """Undirected simple edge set with src_id < dst_id, exactly once.
+
+    One vectorized (min,max) projection + ONE dedup shuffle — NOT
+    symmetrize-then-filter, which unions 2× the rows and shuffles twice
+    for the same result."""
+    import numpy as np
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("src_id").to_numpy(zero_copy_only=False)
+        b = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(a, b), pa.int64()),
+                "dst_id": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    projected = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    from graph_data_science_ray.sources.edges import dedup_edges
+
+    return dedup_edges(projected, "single", num_partitions=num_partitions)
+
+
+def _triangles_broadcast(
+    canon: Dataset, node_arr: np.ndarray, deg: np.ndarray, excluded: np.ndarray,
+) -> np.ndarray:
+    """Broadcast-CSR path: the whole canonical edge set is ray.put once
+    (rank-packed, sorted); workers enumerate each node's wedges fully
+    vectorized (triangular-number inversion) and close them with a single
+    packed binary search — NO wedge ever shuffles. Right whenever the
+    edge set fits worker memory (the small-side-broadcast idiom); the
+    join path below is the beyond-memory fallback."""
+    import ray
+    import ray.data
+
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    n = node_arr.shape[0]
+    t = collect_arrow(canon)
+    a = t.column("src_id").to_numpy(zero_copy_only=False)
+    b = t.column("dst_id").to_numpy(zero_copy_only=False)
+    pa_ = np.searchsorted(node_arr, a)
+    pb_ = np.searchsorted(node_arr, b)
+    keep = ~(excluded[pa_] | excluded[pb_])
+    pa_, pb_ = pa_[keep], pb_[keep]
+    # degree rank order (degree, then id) — dense ranks 0..n-1
+    order = np.lexsort((node_arr, deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    ra, rb = rank[pa_], rank[pb_]
+    lo = ra < rb
+    ru = np.where(lo, ra, rb)
+    rv = np.where(lo, rb, ra)
+    # oriented CSR in rank space, adjacency sorted ascending per list
+    sort_idx = np.lexsort((rv, ru))
+    ru_s, rv_s = ru[sort_idx], rv[sort_idx]
+    indptr = np.searchsorted(ru_s, np.arange(n + 1, dtype=np.int64))
+    # packed sorted edge keys for membership (ranks < 2^31 ⇒ no overflow)
+    assert n < (1 << 31), "broadcast path requires dense rank < 2^31"
+    pk = ru_s * n + rv_s  # sorted because (ru_s, rv_s) lexsorted
+    graph_ref = ray.put((indptr, rv_s, pk, n))
+
+    def count_batch(batch) -> "pa.Table":
+        indptr_, adj, pk_, n_ = ray.get(graph_ref)
+        ranks = batch.column("id").to_numpy(zero_copy_only=False)
+        lens = indptr_[ranks + 1] - indptr_[ranks]
+        K = lens * (lens - 1) // 2
+        total = int(K.sum())
+        if total == 0:
+            return pa.table({"rank": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        node_rep = np.repeat(ranks, K)
+        start_rep = np.repeat(indptr_[ranks], K)
+        offs = np.cumsum(K) - K
+        w = np.arange(total, dtype=np.int64) - np.repeat(offs, K)
+        # invert pair index: w = j*(j-1)/2 + i with i < j
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * w)) / 2.0).astype(np.int64)
+        j -= (j * (j - 1) // 2 > w).astype(np.int64)  # float fix-up
+        i = w - j * (j - 1) // 2
+        v = adj[start_rep + i]
+        wv = adj[start_rep + j]
+        hit_pos = np.searchsorted(pk_, v * n_ + wv)
+        hit_pos = np.minimum(hit_pos, pk_.shape[0] - 1)
+        hits = pk_[hit_pos] == (v * n_ + wv)
+        corners = np.concatenate([node_rep[hits], v[hits], wv[hits]])
+        u_, c_ = np.unique(corners, return_counts=True)
+        return pa.table({"rank": pa.array(u_, pa.int64()), "c": pa.array(c_, pa.int64())})
+
+    partials = collect_arrow(
+        ray.data.range(n).map_batches(count_batch, batch_format="pyarrow", batch_size=65536)
     )
+    counts_r = np.zeros(n, dtype=np.int64)
+    if partials.num_rows:
+        from graph_data_science_ray.algos.common import merge_sum
+
+        rr, cc = merge_sum(partials, "rank", "c")
+        counts_r[rr] = cc.astype(np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    counts[order] = counts_r  # rank space → node space
+    return counts
 
 
 def triangle_count(
@@ -54,6 +147,8 @@ def triangle_count(
     max_degree: int | None = None,
     num_partitions: int | None = None,
     pre_canonical: bool = False,
+    implementation: str = "auto",  # auto | broadcast | join
+    broadcast_threshold: int = 20_000_000,
 ) -> IterativeResult:
     """Per-node triangle counts (column ``triangles``; -1 for nodes
     excluded by ``max_degree``). ``.metrics[0]['global']`` = Σ/3."""
@@ -75,21 +170,35 @@ def triangle_count(
         u, c = np.unique(ids, return_counts=True)
         return pa.table({"node_id": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
 
-    from ray.data.aggregate import Sum
+    # per-batch partial counts + driver merge — no shuffle (node-sized)
+    from graph_data_science_ray.algos.common import merge_sum
 
     deg_t = collect_arrow(
         canon.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node_id", num_partitions=num_partitions)
-        .aggregate(Sum("c", alias_name="deg"))
     )
     deg = np.zeros(n, dtype=np.int64)
     if deg_t.num_rows:
-        pos = np.searchsorted(node_arr, deg_t.column("node_id").to_numpy(zero_copy_only=False))
-        deg[pos] = deg_t.column("deg").to_numpy(zero_copy_only=False)
+        ids_, c_ = merge_sum(deg_t, "node_id", "c")
+        deg[np.searchsorted(node_arr, ids_)] = c_.astype(np.int64)
 
     excluded = np.zeros(n, dtype=bool)
     if max_degree is not None:
         excluded = deg > max_degree
+
+    if implementation == "auto":
+        n_canon_edges = canon.count()
+        implementation = "broadcast" if n_canon_edges <= broadcast_threshold else "join"
+    if implementation == "broadcast":
+        counts = _triangles_broadcast(canon, node_arr, deg, excluded)
+        counts[excluded] = -1
+        return IterativeResult(
+            node_ids=node_arr,
+            values=counts,
+            value_name="triangles",
+            iterations=1,
+            converged=True,
+            metrics=[{"global": int(counts[~excluded].sum() // 3)}],
+        )
 
     # rank position: total order by (degree, node_id); rank[i] for node_arr[i]
     order = np.lexsort((node_arr, deg))
@@ -174,13 +283,13 @@ def triangle_count(
 
     counts_t = collect_arrow(
         tris.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node_id", num_partitions=num_partitions)
-        .aggregate(Sum("c", alias_name="triangles"))
     )
     counts = np.zeros(n, dtype=np.int64)
     if counts_t.num_rows:
-        pos = np.searchsorted(node_arr, counts_t.column("node_id").to_numpy(zero_copy_only=False))
-        counts[pos] = counts_t.column("triangles").to_numpy(zero_copy_only=False)
+        from graph_data_science_ray.algos.common import merge_sum
+
+        ids_, c_ = merge_sum(counts_t, "node_id", "c")
+        counts[np.searchsorted(node_arr, ids_)] = c_.astype(np.int64)
     counts[excluded] = -1
     global_count = int(counts[~excluded].sum() // 3)
 

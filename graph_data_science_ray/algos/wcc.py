@@ -81,8 +81,14 @@ def wcc(
 ) -> IterativeResult:
     """Component id per node (= min node_id in its component).
     ``seeds``: GDS seedProperty equivalent — initial label per node id
-    (unlisted nodes start from their own id)."""
-    und = edges if pre_symmetrized else symmetrize(edges, num_partitions=num_partitions)
+    (unlisted nodes start from their own id).
+
+    Symmetrization skips deduplication: the min aggregate is idempotent
+    under parallel edges, and the dedup shuffle would cost more than the
+    duplicate emissions the within-batch combiner absorbs."""
+    und = edges if pre_symmetrized else symmetrize(
+        edges, dedup=False, num_partitions=num_partitions
+    )
     und = und.materialize()
     node_arr = unique_node_ids(und)
     init = node_arr.copy()
