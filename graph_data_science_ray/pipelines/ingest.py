@@ -85,29 +85,47 @@ def ingest_pages(
       out_dir/edges/bucket=<b>/*.parquet   (src_id, dst_id)
       out_dir/nodes/*.parquet              (node_id, url)
     """
+    import os
+
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
-    pages = read_pages(pages_path, columns=["url", "html"])
-    extracted = extract_pages(pages, concurrency=concurrency)
+
+    # markers live BESIDE the layer dirs (a non-parquet file inside a
+    # directory read by read_parquet would be picked up as data)
+    def done(layer: str) -> bool:
+        return os.path.exists(f"{out_dir}/_{layer}_SUCCESS")
+
+    def mark(layer: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        open(f"{out_dir}/_{layer}_SUCCESS", "w").close()
 
     # layer 1: extraction output, written ONCE (html is parsed exactly
-    # once per page; edges and nodes derive from this parquet)
-    cols = ["url", "text_sha256", "links"] + (["text"] if write_text else [])
-    extracted.select_columns(cols).write_parquet(f"{out_dir}/extracted")
-    extracted_pq = ray.data.read_parquet(f"{out_dir}/extracted")
+    # once per page; edges and nodes derive from this parquet). A rerun
+    # skips completed layers — the resumable-output contract.
+    if not done("extracted"):
+        pages = read_pages(pages_path, columns=["url", "html"])
+        extracted = extract_pages(pages, concurrency=concurrency)
+        cols = ["url", "text_sha256", "links"] + (["text"] if write_text else [])
+        extracted.select_columns(cols).write_parquet(f"{out_dir}/extracted")
+        mark("extracted")
+    extracted_pq = ray.data.read_parquet(f"{out_dir}/extracted", columns=["url", "links"])
 
     # layer 2: deduped, bucketed edge table
-    edges = dedup_edges(page_edges(extracted_pq), "single", num_partitions=num_partitions)
-    edges = edges.map_batches(
-        lambda t: add_bucket_column(t, "src_id", num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    edges.write_parquet(f"{out_dir}/edges", partition_cols=["bucket"])
+    if not done("edges"):
+        edges = dedup_edges(page_edges(extracted_pq), "single", num_partitions=num_partitions)
+        edges = edges.map_batches(
+            lambda t: add_bucket_column(t, "src_id", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        edges.write_parquet(f"{out_dir}/edges", partition_cols=["bucket"])
+        mark("edges")
     stats = {"edges": ray.data.read_parquet(f"{out_dir}/edges").count()}
 
     # layer 3: id-map table
     if write_nodes:
-        node_table(extracted_pq).write_parquet(f"{out_dir}/nodes")
+        if not done("nodes"):
+            node_table(extracted_pq).write_parquet(f"{out_dir}/nodes")
+            mark("nodes")
         stats["pages"] = ray.data.read_parquet(f"{out_dir}/nodes").count()
     return stats

@@ -102,6 +102,21 @@ class CsrEngine:
             spill_dir, partition_cols=["shard"]
         )
 
+        # estimate gate (the reference's memory-estimation admission,
+        # pipelines/modes.estimate): refuse silently-doomed builds
+        from graph_data_science_ray.pipelines.modes import estimate
+
+        n_edges_hint = int(src_w.sum()) if not weighted else None
+        if n_edges_hint:
+            est = estimate(len(src_ids) or 1, n_edges_hint, num_shards=P, weighted=weighted)
+            avail = ray.available_resources().get("memory", None)
+            if avail is not None and est["per_shard_bytes"] * P > avail * 4:
+                raise MemoryError(
+                    f"estimated CSR footprint {est['total_bytes']>>20} MiB exceeds "
+                    f"4x available cluster memory — raise num_shards/cluster size "
+                    f"or use the dataflow implementations"
+                )
+
         # spin up shards; each loads only its own partition directory
         shards = [CsrShard.remote(b, P, weighted) for b in range(P)]
         loads = []
