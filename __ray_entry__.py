@@ -225,6 +225,13 @@ def _q_lcc(sf_dir: str):
     return _round6(t, "lcc")
 
 
+def _q_node_similarity(sf_dir: str):
+    from graph_data_science_ray.algos.nodesim import node_similarity
+
+    t = node_similarity(_edges_op(sf_dir), top_k=3)
+    return _round6(t, "similarity")
+
+
 def _q_docs_dedup_first(sf_dir: str):
     import ray.data
 
@@ -466,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "article_rank_k5": _q_article_rank_k,
         "eigenvector_k10": _q_eigenvector,
         "local_clustering_coefficient": _q_lcc,
+        "node_similarity_top3": _q_node_similarity,
         "docs_dedup_first": _q_docs_dedup_first,
         "docs_token_stats": _q_docs_token_stats,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -572,6 +580,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node_id, COUNT(*) AS triangles FROM ("
             "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri"
             ") GROUP BY node_id"
+        ),
+        "node_similarity_top3": (
+            f"WITH e AS MATERIALIZED ({_E_OP}), "
+            "deg AS MATERIALIZED (SELECT src_id, COUNT(*) AS dc FROM e GROUP BY src_id), "
+            "pairs AS MATERIALIZED ("
+            "SELECT e1.src_id AS node1, e2.src_id AS node2, COUNT(*) AS common "
+            "FROM e e1 JOIN e e2 ON e1.dst_id = e2.dst_id AND e1.src_id <> e2.src_id "
+            "GROUP BY 1, 2), "
+            "sims AS (SELECT node1, node2, "
+            "common * 1.0 / (d1.dc + d2.dc - common) AS sim "
+            "FROM pairs JOIN deg d1 ON node1 = d1.src_id JOIN deg d2 ON node2 = d2.src_id), "
+            "ranked AS (SELECT node1, node2, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
+            "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
         ),
         "docs_dedup_first": (
             "SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "

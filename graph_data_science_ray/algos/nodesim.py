@@ -1,0 +1,142 @@
+"""Node Similarity — neighborhood Jaccard with top-k, per Neo4j GDS
+``gds.nodeSimilarity`` (public docs): compare nodes by their OUT-neighbor
+sets; J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|; only node pairs that share
+at least one neighbor are candidates; emit the top-k most similar
+neighbors per node (ties broken by the other node's id — deterministic,
+unlike the reference's unordered ties).
+
+Dataflow: the common-neighbor pair generation is the heavy part — a
+self-join of the edge table on the shared neighbor, pre-aggregated per
+batch, shuffled once on the pair key. Hub destinations blow this up
+quadratically (Σ indeg²); ``degree_cutoff`` drops neighbors above the
+cutoff first (the reference's mitigation). Degrees ride along broadcast;
+the per-source top-k runs vectorized on the collected pair-count table
+(pair-count-sized; push into a keyed aggregate when that outgrows the
+driver).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from graph_data_science_ray.algos.common import collect_arrow, merge_sum
+from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+
+
+def node_similarity(
+    edges: Dataset,
+    top_k: int = 10,
+    similarity_cutoff: float = 1e-42,
+    degree_cutoff: int | None = None,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """→ (node1, node2, similarity) — top_k per node1, sorted
+    (node1, -similarity, node2). Self-pairs excluded."""
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+    edges = edges.materialize()
+
+    # out-degrees (per-batch partials + driver merge)
+    def deg_partials(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("src_id").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"node_id": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    dt = collect_arrow(edges.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True))
+    if dt.num_rows == 0:
+        return pa.table(
+            {"node1": pa.array([], pa.int64()), "node2": pa.array([], pa.int64()),
+             "similarity": pa.array([], pa.float64())}
+        )
+    deg_ids, deg_c = merge_sum(dt, "node_id", "c")
+    deg_c = deg_c.astype(np.int64)
+
+    # optionally drop hub DESTINATIONS (in-degree cutoff) before pairing
+    if degree_cutoff is not None:
+        def in_partials(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t.column("dst_id").to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"node_id": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+        it = collect_arrow(
+            edges.map_batches(in_partials, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        in_ids, in_c = merge_sum(it, "node_id", "c")
+        hubs = in_ids[in_c.astype(np.int64) > degree_cutoff]
+        hub_ref = ray.put(hubs)
+
+        def drop_hubs(t: pa.Table) -> pa.Table:
+            h = ray.get(hub_ref)
+            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(dst, h)))
+
+        edges = edges.map_batches(drop_hubs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        if edges.count() == 0:
+            return pa.table(
+                {"node1": pa.array([], pa.int64()), "node2": pa.array([], pa.int64()),
+                 "similarity": pa.array([], pa.float64())}
+            )
+
+    # common-neighbor pairs: group edges by dst, pair the sources.
+    # groupby(dst).map_groups gives dst-pure groups; within a group the
+    # pair generation is vectorized (meshgrid upper triangle).
+    def pairs(g: pa.Table) -> pa.Table:
+        srcs = np.unique(g.column("src_id").to_numpy(zero_copy_only=False))
+        m = srcs.shape[0]
+        if m < 2:
+            return pa.table(
+                {"node1": pa.array([], pa.int64()), "node2": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table(
+            {
+                "node1": pa.array(srcs[ii], pa.int64()),
+                "node2": pa.array(srcs[jj], pa.int64()),
+                "c": pa.array(np.ones(ii.shape[0], dtype=np.int64)),
+            }
+        )
+
+    pair_counts = (
+        edges.groupby("dst_id", num_partitions=num_partitions)
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["node1", "node2"], num_partitions=num_partitions)
+        .aggregate(Sum("c", alias_name="common"))
+    )
+    pc_t = collect_arrow(pair_counts)
+    if pc_t.num_rows == 0:
+        return pa.table(
+            {"node1": pa.array([], pa.int64()), "node2": pa.array([], pa.int64()),
+             "similarity": pa.array([], pa.float64())}
+        )
+
+    n1 = pc_t.column("node1").to_numpy(zero_copy_only=False)
+    n2 = pc_t.column("node2").to_numpy(zero_copy_only=False)
+    common = pc_t.column("common").to_numpy(zero_copy_only=False).astype(np.float64)
+    d1 = deg_c[np.searchsorted(deg_ids, n1)].astype(np.float64)
+    d2 = deg_c[np.searchsorted(deg_ids, n2)].astype(np.float64)
+    sim = common / (d1 + d2 - common)
+
+    # symmetric: each unordered pair yields rows for both directions
+    a = np.concatenate([n1, n2])
+    b = np.concatenate([n2, n1])
+    s = np.concatenate([sim, sim])
+    keep = s >= similarity_cutoff
+    a, b, s = a[keep], b[keep], s[keep]
+
+    # vectorized per-node top-k: sort (node1, -sim, node2), take first k
+    order = np.lexsort((b, -s, a))
+    a, b, s = a[order], b[order], s[order]
+    _, starts = np.unique(a, return_index=True)
+    ranks = np.arange(a.shape[0]) - np.repeat(starts, np.diff(np.append(starts, a.shape[0])))
+    keep = ranks < top_k
+    return pa.table(
+        {
+            "node1": pa.array(a[keep], pa.int64()),
+            "node2": pa.array(b[keep], pa.int64()),
+            "similarity": pa.array(s[keep], pa.float64()),
+        }
+    )

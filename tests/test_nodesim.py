@@ -1,0 +1,60 @@
+"""Node similarity vs a tiny dense-python oracle."""
+
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import fixtures
+from graph_data_science_ray.algos.nodesim import node_similarity
+from graph_data_science_ray.sources.edges import from_arrow
+
+
+def _oracle(pairs, top_k):
+    out_nbrs = defaultdict(set)
+    for s, d in pairs:
+        out_nbrs[s].add(d)
+    rows = []
+    nodes = sorted(out_nbrs)
+    for a in nodes:
+        sims = []
+        for b in nodes:
+            if a == b:
+                continue
+            inter = len(out_nbrs[a] & out_nbrs[b])
+            if inter == 0:
+                continue
+            union = len(out_nbrs[a] | out_nbrs[b])
+            sims.append((inter / union, b))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for s, b in sims[:top_k]:
+            rows.append((a, b, s))
+    return rows
+
+
+def test_node_similarity_matches_oracle():
+    t = fixtures.er_random(60, 0.08, seed=61)
+    pairs = list(zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()))
+    got = node_similarity(from_arrow(t), top_k=3, num_partitions=2)
+    got_rows = list(
+        zip(
+            got.column("node1").to_pylist(),
+            got.column("node2").to_pylist(),
+            got.column("similarity").to_pylist(),
+        )
+    )
+    want = _oracle(pairs, 3)
+    assert len(got_rows) == len(want)
+    for (g1, g2, gs), (w1, w2, ws) in zip(got_rows, want):
+        assert (g1, g2) == (w1, w2)
+        assert gs == pytest.approx(ws, abs=1e-12)
+
+
+def test_node_similarity_degree_cutoff():
+    # star: every leaf shares hub 0 as neighbor → cutoff on hub in-degree
+    # removes all candidate pairs
+    t = fixtures.star_hub()
+    full = node_similarity(from_arrow(t), top_k=5, num_partitions=2)
+    assert full.num_rows > 0
+    cut = node_similarity(from_arrow(t), top_k=5, degree_cutoff=5, num_partitions=2)
+    assert cut.num_rows == 0
