@@ -430,6 +430,12 @@ def _q_lsh_ann_topk(sf_dir: str):
     return _round6(t.drop_columns(["query_idx"]), "score")
 
 
+def _q_fastrp(sf_dir: str):
+    from graph_data_science_ray.algos.fastrp import fastrp_table
+
+    return fastrp_table(_edges_ps(sf_dir), embedding_dimension=16)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo over a deterministic synthetic media table
     (the testdata has no binary media; payload handling is the point)."""
@@ -491,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "fastrp_embeddings": _q_fastrp,
         "media_features": _q_media_features,
     }
 

@@ -1,0 +1,71 @@
+"""FastRP invariants (no closed-form oracle; properties + a dense
+numpy replica of the same spec)."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import fixtures
+from graph_data_science_ray.algos.fastrp import _row_normalize, _sparse_init, fastrp
+from graph_data_science_ray.sources.edges import from_arrow
+
+
+def _dense_replica(pairs, node_ids, dim, weights, seed):
+    idx = {u: i for i, u in enumerate(node_ids)}
+    n = len(node_ids)
+    A = np.zeros((n, n))
+    outd = np.zeros(n)
+    for s, d in pairs:
+        A[idx[s], idx[d]] = 1.0
+        outd[idx[s]] += 1.0
+    h = _row_normalize(_sparse_init(np.asarray(node_ids, dtype=np.int64), dim, seed))
+    emb = weights[0] * h
+    for w in weights[1:]:
+        scaled = np.divide(h, outd[:, None], out=np.zeros_like(h), where=outd[:, None] > 0)
+        h = _row_normalize(A.T @ scaled)
+        emb = emb + w * h
+    return emb
+
+
+def test_fastrp_matches_dense_replica():
+    t = fixtures.er_random(50, 0.1, seed=71)
+    pairs = list(zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()))
+    ids, emb = fastrp(from_arrow(t), embedding_dimension=16, seed=7)
+    want = _dense_replica(pairs, ids.tolist(), 16, (0.0, 1.0, 1.0), 7)
+    assert np.allclose(emb, want, atol=1e-10)
+
+
+def test_fastrp_deterministic_across_runs():
+    t = fixtures.powerlaw(200, seed=3)
+    ids1, e1 = fastrp(from_arrow(t), embedding_dimension=8)
+    ids2, e2 = fastrp(from_arrow(t), embedding_dimension=8)
+    assert np.array_equal(ids1, ids2)
+    assert np.array_equal(e1, e2)
+
+
+def test_fastrp_similar_neighbors():
+    # two cliques joined by one edge: same-clique nodes embed closer
+    # than cross-clique ones (structural sanity)
+    pairs = []
+    for a in range(5):
+        for b in range(5):
+            if a != b:
+                pairs.append((a, b))
+                pairs.append((a + 5, b + 5))
+    pairs.append((0, 5))
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "src_id": pa.array([p[0] for p in pairs], pa.int64()),
+            "dst_id": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    ids, emb = fastrp(from_arrow(t), embedding_dimension=32, seed=5)
+    e = {i: emb[k] for k, i in enumerate(ids.tolist())}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    same = cos(e[1], e[2])
+    cross = cos(e[1], e[7])
+    assert same > cross
