@@ -82,6 +82,27 @@ class CsrShard:
         tabs = [pq.read_table(p, columns=cols) for p in paths]
         return self.ingest_edges(tabs)
 
+    def ingest_routed_blocks(self, hub_ids: np.ndarray, *blocks) -> int:
+        """Scan-routing: every shard receives ALL edge blocks (top-level
+        refs → zero-copy plasma views shared by all shards, no data is
+        duplicated) and filters out its own rows. P× scan amplification
+        but no disk round-trip — wins on a single node / small graphs;
+        the parquet spill path wins at cluster scale (see engine.build)."""
+        total = 0
+        for t in blocks:
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            shard = bucket_of(src, self.P)
+            if hub_ids.shape[0]:
+                dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+                is_hub = np.isin(src, hub_ids)
+                shard = np.where(is_hub, bucket_of(dst, self.P), shard)
+            mask = shard == self.shard_id
+            if mask.any():
+                total += self.ingest_edges([t.filter(pa.array(mask))])
+        if not hasattr(self, "_pending"):
+            self._pending = []
+        return total
+
     def build(self, hub_ids: np.ndarray) -> dict:
         """Finalize CSR structures. Returns shard stats."""
         if getattr(self, "_pending", None):

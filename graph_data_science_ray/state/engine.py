@@ -66,8 +66,17 @@ class CsrEngine:
         weighted: bool = False,
         hub_threshold: int | None = None,
         spill_dir: str | None = None,
+        routing: str = "auto",  # auto | scan | spill
+        scan_threshold: int = 100_000_000,
     ) -> "CsrEngine":
-        """One streaming routing pass + parallel shard builds."""
+        """One routing pass + parallel shard builds.
+
+        routing="scan": every shard filters its rows from the shared
+        materialized blocks (zero-copy, no disk round-trip; P× scan
+        amplification — single-node/small-graph win). routing="spill":
+        one streaming pass writes shard-partitioned parquet and each
+        actor reads only its own partition (the cluster-scale path).
+        auto picks scan below ``scan_threshold`` edges."""
         configure_ray_data()
         P = num_shards
         # out-degrees (combiner partials + driver merge) → hub set
@@ -84,23 +93,32 @@ class CsrEngine:
         else:
             hub_ids = np.empty(0, dtype=np.int64)
 
-        # route edges → shard parquet partitions (single streaming pass)
-        spill_dir = spill_dir or tempfile.mkdtemp(prefix="csr_shards_", dir="/tmp")
-        hub_ref = ray.put(hub_ids)
+        n_total_edges = int(src_w.sum()) if not weighted and src_w.shape[0] else None
+        if routing == "auto":
+            routing = (
+                "scan"
+                if (n_total_edges is not None and n_total_edges <= scan_threshold)
+                else "spill"
+            )
 
-        def route(t: pa.Table) -> pa.Table:
-            hubs = ray.get(hub_ref)
-            src = t.column("src_id").to_numpy(zero_copy_only=False)
-            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
-            shard = bucket_of(src, P)
-            if hubs.shape[0]:
-                is_hub = np.isin(src, hubs)
-                shard = np.where(is_hub, bucket_of(dst, P), shard)
-            return t.append_column("shard", pa.array(shard, pa.int64()))
+        if routing == "spill":
+            # route edges → shard parquet partitions (single streaming pass)
+            spill_dir = spill_dir or tempfile.mkdtemp(prefix="csr_shards_", dir="/tmp")
+            hub_ref = ray.put(hub_ids)
 
-        edges.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-            spill_dir, partition_cols=["shard"]
-        )
+            def route(t: pa.Table) -> pa.Table:
+                hubs = ray.get(hub_ref)
+                src = t.column("src_id").to_numpy(zero_copy_only=False)
+                dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+                shard = bucket_of(src, P)
+                if hubs.shape[0]:
+                    is_hub = np.isin(src, hubs)
+                    shard = np.where(is_hub, bucket_of(dst, P), shard)
+                return t.append_column("shard", pa.array(shard, pa.int64()))
+
+            edges.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+                spill_dir, partition_cols=["shard"]
+            )
 
         # estimate gate (the reference's memory-estimation admission,
         # pipelines/modes.estimate): refuse silently-doomed builds
@@ -117,18 +135,27 @@ class CsrEngine:
                     f"or use the dataflow implementations"
                 )
 
-        # spin up shards; each loads only its own partition directory
         shards = [CsrShard.remote(b, P, weighted) for b in range(P)]
-        loads = []
-        for b, s in enumerate(shards):
-            d = os.path.join(spill_dir, f"shard={b}")
-            files = (
-                [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-                if os.path.isdir(d)
-                else []
+        if routing == "spill":
+            # each shard loads only its own partition directory
+            loads = []
+            for b, s in enumerate(shards):
+                d = os.path.join(spill_dir, f"shard={b}")
+                files = (
+                    [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+                    if os.path.isdir(d)
+                    else []
+                )
+                loads.append(s.ingest_parquet.remote(files))
+            ray.get(loads)
+        else:
+            # scan routing: shards filter their rows from shared blocks
+            edges = edges.materialize()
+            cols = ["src_id", "dst_id"] + (["weight"] if weighted else [])
+            block_refs = edges.select_columns(cols).materialize().to_arrow_refs()
+            ray.get(
+                [s.ingest_routed_blocks.remote(hub_ids, *block_refs) for s in shards]
             )
-            loads.append(s.ingest_parquet.remote(files))
-        ray.get(loads)
         ray.get([s.build.remote(hub_ids) for s in shards])
 
         # node universe = srcs ∪ all shard-local ids
