@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+
 
 from graph_data_science_ray.algos.common import collect_arrow, merge_sum
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
