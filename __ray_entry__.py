@@ -232,6 +232,48 @@ def _q_node_similarity(sf_dir: str):
     return _round6(t, "similarity")
 
 
+def _q_bfs_hops(sf_dir: str):
+    from graph_data_science_ray.algos.paths import bfs_hops
+
+    res = bfs_hops(_edges_ps(sf_dir), max_iterations=8)
+    m = res.values >= 0
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids[m], pa.int64()),
+            "hops": pa.array(res.values[m].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _edges_ps_weighted(sf_dir: str):
+    """ps projection with weight = MIN(l_quantity) per distinct edge
+    (the reference's Aggregation.MIN at projection time)."""
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.sources.edges import dedup_edges
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    ).rename_columns({"l_partkey": "src_id", "l_suppkey": "dst_id", "l_quantity": "weight"})
+    return dedup_edges(ds, "min")
+
+
+def _q_sssp(sf_dir: str):
+    from graph_data_science_ray.algos.paths import bellman_ford
+
+    res = bellman_ford(_edges_ps_weighted(sf_dir), max_iterations=8)
+    m = np.isfinite(res.values)
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids[m], pa.int64()),
+            # l_quantity is integral ⇒ costs are exact integers
+            "cost_i": pa.array(np.round(res.values[m]).astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _q_docs_dedup_first(sf_dir: str):
     import ray.data
 
@@ -480,6 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector_k10": _q_eigenvector,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity_top3": _q_node_similarity,
+        "bfs_hops8": _q_bfs_hops,
+        "sssp_bf8": _q_sssp,
         "docs_dedup_first": _q_docs_dedup_first,
         "docs_token_stats": _q_docs_token_stats,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -530,6 +574,33 @@ def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING, denom: str = "deg.outde
         )
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
+
+
+def _relax_sql(k: int, weighted: bool) -> str:
+    """k-round synchronous Bellman-Ford relaxation as chained MATERIALIZED
+    CTEs (each round a join + groupby-min; no path enumeration). Matches
+    algos/paths.py's hop-bounded contract exactly: d_k = min cost over
+    paths of ≤ k edges from the smallest src id."""
+    if weighted:
+        e = ("SELECT l_partkey AS src_id, l_suppkey AS dst_id, MIN(l_quantity) AS w "
+             "FROM lineitem GROUP BY 1, 2")
+    else:
+        e = f"SELECT src_id, dst_id, 1 AS w FROM ({_E_PS})"
+    parts = [
+        f"WITH e AS MATERIALIZED ({e}),",
+        "s AS MATERIALIZED (SELECT MIN(src_id) AS v FROM e),",
+        "d0 AS MATERIALIZED (SELECT v AS node, CAST(0 AS DOUBLE) AS val FROM s),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, MIN(val) AS val FROM ("
+            f"SELECT node, val FROM d{i-1} UNION ALL "
+            f"SELECT e.dst_id, d{i-1}.val + e.w FROM e JOIN d{i-1} ON e.src_id = d{i-1}.node"
+            f") GROUP BY node),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    col = "cost_i" if weighted else "hops"
+    return sql + f"\nSELECT node AS node_id, CAST(ROUND(val) AS BIGINT) AS {col} FROM d{k}"
 
 
 _WCC_SQL_CORE = f"""
@@ -602,6 +673,8 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
             "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
         ),
+        "bfs_hops8": _relax_sql(8, weighted=False),
+        "sssp_bf8": _relax_sql(8, weighted=True),
         "docs_dedup_first": (
             "SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
             "FROM documents GROUP BY lang, source"

@@ -1,0 +1,317 @@
+"""Path finding over the edge table — BFS hop distance, Bellman-Ford
+single-source shortest paths, and a predecessor-tracking variant with
+path reconstruction.
+
+Reference scope (SURVEY.md §2.9 out-of-scope catalog): the reference
+ships BFS/DFS, Dijkstra, Bellman-Ford, delta-stepping etc.
+[GDS-pub: algo/.../paths/]. Pure-dataflow is a poor fit for
+priority-queue Dijkstra, but synchronous relaxation (Bellman-Ford) maps
+exactly onto this engine's iteration harness: one edge scan + min-reduce
+per round. With unit weights that IS breadth-first search, and each
+round r yields the exact minimum cost over paths of at most r edges — a
+useful contract in its own right (hop-bounded reachability) and the
+basis of the DuckDB oracle (chained k-round relaxation CTEs, no path
+enumeration).
+
+Scale notes: per round the scatter emits at most one candidate row per
+distinct dst per batch (within-batch min combiner), so shuffle volume is
+bounded by the frontier's out-neighborhood, not the edge count; rounds
+are O(diameter) for BFS (small for web graphs). State is the node-sized
+distance vector (algos/common.py's standing assumption), broadcast via
+``ray.put`` once per round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.iterate import run_iterative
+from graph_data_science_ray.algos.pagerank import IterativeResult
+from graph_data_science_ray.checkpoint import CheckpointManager
+from graph_data_science_ray.context import configure_ray_data
+from graph_data_science_ray.sources.edges import symmetrize
+
+# Sentinel for "unreached" while iterating (int64 hop distances).
+# iinfo.max/4 leaves headroom so sentinel+1 cannot overflow.
+_INF_I64 = np.iinfo(np.int64).max // 4
+
+
+def _resolve_source(edges: Dataset, source: int | None) -> int:
+    if source is not None:
+        return int(source)
+    # Deterministic default: the smallest src id (guaranteed out-edges).
+    def batch_min(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        vals = [int(s.min())] if s.shape[0] else []
+        return pa.table({"m": pa.array(vals, pa.int64())})
+
+    t = collect_arrow(edges.map_batches(batch_min, batch_format="pyarrow", zero_copy_batch=True))
+    if t.num_rows == 0:
+        raise ValueError("empty edge table: no source node to start from")
+    return int(t.column("m").to_numpy().min())
+
+
+def _make_relax_stage(weighted: bool):
+    """Stage factory: emit (node_id=dst, cand=dist[src]+w) for frontier
+    srcs, pre-combined to one min candidate per dst per batch."""
+
+    def make(state_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids, dist = ray.get(state_ref)
+            src = batch.column("src_id").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+            d_src = dist[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            if weighted:
+                w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+                finite = np.isfinite(d_src)
+                cand = np.where(finite, d_src + w, np.inf)
+            else:
+                finite = d_src < _INF_I64
+                cand = np.where(finite, d_src + 1, _INF_I64)
+            if not finite.any():
+                sch = pa.schema(
+                    [("node_id", pa.int64()), ("cand", pa.float64() if weighted else pa.int64())]
+                )
+                return sch.empty_table()
+            dst, cand = dst[finite], cand[finite]
+            u, inv = np.unique(dst, return_inverse=True)
+            best = np.full(u.shape[0], np.inf if weighted else _INF_I64, dtype=cand.dtype)
+            np.minimum.at(best, inv, cand)
+            return pa.table({"node_id": pa.array(u, pa.int64()), "cand": pa.array(best)})
+
+        return fn
+
+    return make
+
+
+def _merge_min_any(t: pa.Table) -> pa.Table:
+    ids = t.column("node_id").to_numpy(zero_copy_only=False)
+    vals = t.column("cand").to_numpy(zero_copy_only=False)
+    u, inv = np.unique(ids, return_inverse=True)
+    out = np.full(u.shape[0], np.inf if vals.dtype.kind == "f" else _INF_I64, dtype=vals.dtype)
+    np.minimum.at(out, inv, vals)
+    return pa.table({"node_id": pa.array(u, pa.int64()), "cand": pa.array(out)})
+
+
+def _apply_min(state: np.ndarray, gathered: pa.Table, node_ids: np.ndarray):
+    new = state.copy()
+    if gathered.num_rows:
+        ids = gathered.column("node_id").to_numpy(zero_copy_only=False)
+        cand = gathered.column("cand").to_numpy(zero_copy_only=False).astype(state.dtype)
+        pos = np.searchsorted(node_ids, ids)
+        np.minimum.at(new, pos, cand)
+    changed = int((new != state).sum())
+    return new, float(changed)
+
+
+def _relax_loop(
+    edges: Dataset,
+    source: int | None,
+    weighted: bool,
+    max_iterations: int,
+    value_name: str,
+    undirected: bool,
+    checkpoint: CheckpointManager | None,
+    resume: bool,
+    num_partitions: int | None,
+    reduce: str,
+) -> IterativeResult:
+    configure_ray_data()
+    g = symmetrize(edges, dedup=False, num_partitions=num_partitions) if undirected else edges
+    g = g.materialize()
+    src_node = _resolve_source(g, source)
+    node_arr = unique_node_ids(g)
+    if weighted:
+        init = np.full(node_arr.shape[0], np.inf, dtype=np.float64)
+    else:
+        init = np.full(node_arr.shape[0], _INF_I64, dtype=np.int64)
+    pos = np.searchsorted(node_arr, src_node)
+    if pos >= node_arr.shape[0] or node_arr[pos] != src_node:
+        raise ValueError(f"source node {src_node} not in graph")
+    init[pos] = 0
+    res = run_iterative(
+        edges=g,
+        node_ids=node_arr,
+        init=init,
+        make_stage=_make_relax_stage(weighted),
+        gather_key="node_id",
+        gather_aggs=lambda: [Min("cand", alias_name="cand")],
+        apply_fn=_apply_min,
+        max_iterations=max_iterations,
+        tolerance=0.0,  # converged when no distance improved
+        value_name=value_name,
+        checkpoint=checkpoint,
+        resume=resume,
+        num_partitions=num_partitions,
+        materialize_edges=False,
+        reduce=reduce,
+        driver_reduce=_merge_min_any,
+    )
+    return res
+
+
+def bfs_hops(
+    edges: Dataset,
+    source: int | None = None,
+    max_iterations: int = 50,
+    undirected: bool = False,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    reduce: str = "driver",
+) -> IterativeResult:
+    """Minimum hop count from ``source`` (default: smallest src id) to
+    every node, as int64; unreachable nodes report -1.
+
+    After k rounds (``max_iterations=k``) values are exactly the minimum
+    hops over paths of ≤ k edges — the hop-bounded contract the harness
+    oracle uses. Runs to convergence when the graph's eccentricity from
+    the source is below ``max_iterations``.
+    """
+    res = _relax_loop(
+        edges, source, False, max_iterations, "hops",
+        undirected, checkpoint, resume, num_partitions, reduce,
+    )
+    res.values = np.where(res.values >= _INF_I64, -1, res.values)
+    return res
+
+
+def bellman_ford(
+    edges: Dataset,
+    source: int | None = None,
+    max_iterations: int = 50,
+    undirected: bool = False,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    reduce: str = "driver",
+) -> IterativeResult:
+    """Single-source shortest path costs over the ``weight`` column
+    (non-negative weights), float64; unreachable nodes report +inf.
+
+    Synchronous Bellman-Ford: after k rounds, values are the exact
+    minimum cost over paths of ≤ k edges; with ``max_iterations`` at
+    least the graph's hop diameter this is the true shortest-path cost
+    (Dijkstra-equivalent for non-negative weights, no priority queue
+    needed — the min-reduce shuffle plays that role).
+    """
+    return _relax_loop(
+        edges, source, True, max_iterations, "cost",
+        undirected, checkpoint, resume, num_partitions, reduce,
+    )
+
+
+def shortest_path_tree(
+    edges: Dataset,
+    source: int | None = None,
+    weighted: bool = False,
+    max_iterations: int = 50,
+    undirected: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[IterativeResult, np.ndarray]:
+    """Bellman-Ford with predecessor tracking: returns (distances,
+    predecessor node id per node; -1 for the source and unreachable).
+
+    Ties broken by smallest predecessor id (deterministic tree). Driver
+    merge only — the (dist, pred) lexicographic argmin does not decompose
+    into a plain shuffle aggregate; at scale this variant would carry
+    pred through a packed struct column instead.
+    """
+    configure_ray_data()
+    g = symmetrize(edges, dedup=False, num_partitions=num_partitions) if undirected else edges
+    g = g.materialize()
+    src_node = _resolve_source(g, source)
+    node_arr = unique_node_ids(g)
+    n = node_arr.shape[0]
+    dist = np.full(n, np.inf, dtype=np.float64)
+    pred = np.full(n, -1, dtype=np.int64)
+    spos = np.searchsorted(node_arr, src_node)
+    if spos >= n or node_arr[spos] != src_node:
+        raise ValueError(f"source node {src_node} not in graph")
+    dist[spos] = 0.0
+
+    def make_stage(state_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids, d = ray.get(state_ref)
+            src = batch.column("src_id").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+            d_src = d[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            if weighted:
+                w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            else:
+                w = np.ones(src.shape[0], dtype=np.float64)
+            finite = np.isfinite(d_src)
+            if not finite.any():
+                return pa.schema(
+                    [("node_id", pa.int64()), ("cand", pa.float64()), ("pred", pa.int64())]
+                ).empty_table()
+            dst, cand, src = dst[finite], d_src[finite] + w[finite], src[finite]
+            # within-batch lexicographic argmin (cand, pred) per dst
+            order = np.lexsort((src, cand, dst))
+            dst, cand, src = dst[order], cand[order], src[order]
+            first = np.ones(dst.shape[0], dtype=bool)
+            first[1:] = dst[1:] != dst[:-1]
+            return pa.table(
+                {
+                    "node_id": pa.array(dst[first], pa.int64()),
+                    "cand": pa.array(cand[first], pa.float64()),
+                    "pred": pa.array(src[first], pa.int64()),
+                }
+            )
+
+        return fn
+
+    metrics: list[dict] = []
+    converged = False
+    iteration = -1
+    for iteration in range(max_iterations):
+        ref = ray.put((node_arr, dist))
+        t = collect_arrow(
+            g.map_batches(make_stage(ref), batch_format="pyarrow", zero_copy_batch=True)
+        )
+        changed = 0
+        if t.num_rows:
+            ids = t.column("node_id").to_numpy(zero_copy_only=False)
+            cand = t.column("cand").to_numpy(zero_copy_only=False)
+            cpred = t.column("pred").to_numpy(zero_copy_only=False)
+            order = np.lexsort((cpred, cand, ids))
+            ids, cand, cpred = ids[order], cand[order], cpred[order]
+            first = np.ones(ids.shape[0], dtype=bool)
+            first[1:] = ids[1:] != ids[:-1]
+            ids, cand, cpred = ids[first], cand[first], cpred[first]
+            pos = np.searchsorted(node_arr, ids)
+            better = cand < dist[pos]
+            tie = (cand == dist[pos]) & (pred[pos] >= 0) & (cpred < pred[pos])
+            upd = better | tie
+            dist[pos[upd]] = cand[upd]
+            pred[pos[upd]] = cpred[upd]
+            changed = int(upd.sum())
+        metrics.append({"iteration": iteration, "residual": float(changed)})
+        if changed == 0:
+            converged = True
+            break
+    res = IterativeResult(node_arr, dist, "cost", iteration + 1, converged, metrics)
+    return res, pred
+
+
+def reconstruct_path(res: IterativeResult, pred: np.ndarray, target: int) -> list[int]:
+    """Walk the predecessor tree driver-side: source→target node ids
+    (empty list when the target is unreachable)."""
+    node_arr = res.node_ids
+    pos = np.searchsorted(node_arr, target)
+    if pos >= node_arr.shape[0] or node_arr[pos] != target or not np.isfinite(res.values[pos]):
+        return []
+    path = [int(target)]
+    guard = node_arr.shape[0] + 1
+    while pred[pos] >= 0 and guard:
+        nxt = int(pred[pos])
+        path.append(nxt)
+        pos = np.searchsorted(node_arr, nxt)
+        guard -= 1
+    return path[::-1]
