@@ -232,6 +232,20 @@ def _q_node_similarity(sf_dir: str):
     return _round6(t, "similarity")
 
 
+def _q_hits(sf_dir: str):
+    from graph_data_science_ray.algos.centrality import hits
+
+    hub, auth = hits(_edges_op(sf_dir), max_iterations=PR_ITERS, tolerance=0.0)
+    t = pa.table(
+        {
+            "node_id": pa.array(hub.node_ids, pa.int64()),
+            "hub": pa.array(hub.values, pa.float64()),
+            "auth": pa.array(auth.values, pa.float64()),
+        }
+    )
+    return _round6(_round6(t, "hub"), "auth")
+
+
 def _q_bfs_hops(sf_dir: str):
     from graph_data_science_ray.algos.paths import bfs_hops
 
@@ -522,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector_k10": _q_eigenvector,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity_top3": _q_node_similarity,
+        "hits_k5": _q_hits,
         "bfs_hops8": _q_bfs_hops,
         "sssp_bf8": _q_sssp,
         "docs_dedup_first": _q_docs_dedup_first,
@@ -574,6 +589,38 @@ def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING, denom: str = "deg.outde
         )
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
+
+
+def _hits_sql(k: int = PR_ITERS) -> str:
+    """k-iteration Kleinberg HITS (L2-normalized each half-step) as
+    chained MATERIALIZED CTEs, matching algos/centrality.hits."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_OP}),",
+        "nodes AS MATERIALIZED (SELECT src_id AS node FROM e UNION SELECT dst_id FROM e),",
+        "h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS v FROM nodes),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS v FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst_id AS node, SUM(h{i-1}.v) AS v FROM e "
+            f"JOIN h{i-1} ON e.src_id = h{i-1}.node GROUP BY e.dst_id) s ON n.node = s.node),"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, v / SQRT((SELECT SUM(v*v) FROM ar{i})) AS v FROM ar{i}),"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS v FROM nodes n "
+            f"LEFT JOIN (SELECT e.src_id AS node, SUM(a{i}.v) AS v FROM e "
+            f"JOIN a{i} ON e.dst_id = a{i}.node GROUP BY e.src_id) s ON n.node = s.node),"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node, v / SQRT((SELECT SUM(v*v) FROM hr{i})) AS v FROM hr{i}),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + (
+        f"\nSELECT h{k}.node AS node_id, ROUND(h{k}.v, 6) AS hub, ROUND(a{k}.v, 6) AS auth "
+        f"FROM h{k} JOIN a{k} ON h{k}.node = a{k}.node"
+    )
 
 
 def _relax_sql(k: int, weighted: bool) -> str:
@@ -673,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
             "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
         ),
+        "hits_k5": _hits_sql(),
         "bfs_hops8": _relax_sql(8, weighted=False),
         "sssp_bf8": _relax_sql(8, weighted=True),
         "docs_dedup_first": (

@@ -150,3 +150,73 @@ def local_clustering_coefficient(
     denom = deg * (deg - 1)
     lcc = np.divide(2.0 * tri.values, denom, out=np.zeros_like(denom), where=denom > 0)
     return IterativeResult(tri.node_ids, lcc, "lcc", 1, True, [{}])
+
+
+def hits(
+    edges: Dataset,
+    max_iterations: int = 20,
+    tolerance: float = 1e-7,
+    num_partitions: int | None = None,
+) -> tuple[IterativeResult, IterativeResult]:
+    """HITS hubs & authorities (Kleinberg convention, L2-normalized each
+    half-step): auth = normalize(Aᵀ·hub), hub = normalize(A·auth).
+
+    Reference ships HITS as a Pregel computation [GDS-pub: algo/.../hits/].
+    Two edge scans per iteration (one per direction), each with a
+    within-batch sum combiner and a driver merge — same shuffle shape as
+    PageRank. Returns (hub, auth) IterativeResults over the same node set.
+    """
+    configure_ray_data()
+    edges = edges.materialize()
+    node_arr = unique_node_ids(edges)
+    n = node_arr.shape[0]
+
+    def scatter(vec: np.ndarray, key_in: str, key_out: str) -> np.ndarray:
+        """sum of vec[key_in-endpoint] grouped by key_out-endpoint."""
+        ref = ray.put((node_arr, vec))
+
+        def stage(batch: pa.Table) -> pa.Table:
+            ids, v = ray.get(ref)
+            src = batch.column(key_in).to_numpy(zero_copy_only=False)
+            dst = batch.column(key_out).to_numpy(zero_copy_only=False)
+            contrib = v[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            u, inv = np.unique(dst, return_inverse=True)
+            s = np.bincount(inv, weights=contrib, minlength=u.shape[0])
+            return pa.table(
+                {"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())}
+            )
+
+        t = collect_arrow(edges.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True))
+        out = np.zeros(n)
+        if t.num_rows:
+            ids, sums = merge_sum(t, "node_id", "s")
+            out[np.searchsorted(node_arr, ids)] = sums
+        return out
+
+    def l2(v: np.ndarray) -> np.ndarray:
+        nrm = np.linalg.norm(v)
+        return v / nrm if nrm > 0 else v
+
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    metrics, converged = [], False
+    iteration = -1
+    for iteration in range(max_iterations):
+        new_auth = l2(scatter(hub, "src_id", "dst_id"))
+        new_hub = l2(scatter(new_auth, "dst_id", "src_id"))
+        residual = float(
+            max(
+                np.abs(new_auth - auth).max() if n else 0.0,
+                np.abs(new_hub - hub).max() if n else 0.0,
+            )
+        )
+        hub, auth = new_hub, new_auth
+        metrics.append({"iteration": iteration, "residual": residual})
+        if residual < tolerance:
+            converged = True
+            break
+    it = iteration + 1
+    return (
+        IterativeResult(node_arr, hub, "hub", it, converged, metrics),
+        IterativeResult(node_arr, auth, "auth", it, converged, metrics),
+    )

@@ -99,3 +99,34 @@ def test_cli_pagerank_and_ingest(tmp_path):
     import os
 
     assert any(d.startswith("bucket=") for d in os.listdir(str(tmp_path / "ranks")))
+
+
+def test_hits_vs_numpy_reference():
+    import numpy as np
+    import pytest as _pt
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.centrality import hits
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.paper_graph()
+    hub, auth = hits(from_arrow(t), max_iterations=25, tolerance=0.0)
+
+    src = np.array(t.column("src_id").to_pylist())
+    dst = np.array(t.column("dst_id").to_pylist())
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    a_mat = np.zeros((nodes.size, nodes.size))
+    for s, d in zip(src, dst):
+        a_mat[idx[int(s)], idx[int(d)]] = 1.0
+    h = np.ones(nodes.size)
+    for _ in range(25):
+        a = a_mat.T @ h
+        a = a / np.linalg.norm(a)
+        h = a_mat @ a
+        h = h / np.linalg.norm(h)
+
+    assert np.array_equal(hub.node_ids, nodes)
+    np.testing.assert_allclose(hub.values, h, atol=1e-6)
+    np.testing.assert_allclose(auth.values, a, atol=1e-6)
+    assert _pt.approx(np.linalg.norm(auth.values), abs=1e-9) == 1.0
