@@ -288,6 +288,37 @@ def _q_sssp(sf_dir: str):
     )
 
 
+def _comm_mod7(sf_dir: str):
+    """The ps projection with a fixed SQL-reproducible node partition
+    (community = node_id % 7) — exercises the community-metric ops."""
+    from graph_data_science_ray.algos.common import NodeVector, unique_node_ids
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    return edges, NodeVector(ids, ids % 7)
+
+
+def _q_modularity(sf_dir: str):
+    from graph_data_science_ray.algos.community import modularity
+
+    edges, vec = _comm_mod7(sf_dir)
+    per_comm, _total = modularity(edges, vec)
+    return per_comm.map_batches(
+        lambda t: _round6(t, "modularity_contrib"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_conductance(sf_dir: str):
+    from graph_data_science_ray.algos.community import conductance
+
+    edges, vec = _comm_mod7(sf_dir)
+    return conductance(edges, vec).map_batches(
+        lambda t: _round6(t, "conductance"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_docs_dedup_first(sf_dir: str):
     import ray.data
 
@@ -539,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_k5": _q_hits,
         "bfs_hops8": _q_bfs_hops,
         "sssp_bf8": _q_sssp,
+        "modularity_mod7": _q_modularity,
+        "conductance_mod7": _q_conductance,
         "docs_dedup_first": _q_docs_dedup_first,
         "docs_token_stats": _q_docs_token_stats,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -673,6 +706,21 @@ WITH e0 AS ({_E_PS}),
 """
 
 
+_COMM_SQL_CORE = f"""
+WITH e0 AS ({_E_PS}),
+ e1 AS (SELECT src_id s, dst_id d FROM e0 WHERE src_id <> dst_id),
+ sym AS (SELECT s, d FROM e1 UNION SELECT d, s FROM e1),
+ per AS (
+   SELECT s % 7 AS community,
+          CAST(SUM(CASE WHEN s % 7 = d % 7 THEN 1 ELSE 0 END) AS BIGINT) // 2 AS internal_edges,
+          CAST(COUNT(*) - SUM(CASE WHEN s % 7 = d % 7 THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+          CAST(COUNT(*) AS BIGINT) AS volume
+   FROM sym GROUP BY 1
+ ),
+ tot AS (SELECT CAST(SUM(volume) AS DOUBLE) AS two_m FROM per)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edge_projection": _E_OP,
@@ -723,6 +771,17 @@ def oracle_sql() -> dict[str, str]:
         "hits_k5": _hits_sql(),
         "bfs_hops8": _relax_sql(8, weighted=False),
         "sssp_bf8": _relax_sql(8, weighted=True),
+        "modularity_mod7": _COMM_SQL_CORE + (
+            "SELECT community, internal_edges, cut_edges, volume, "
+            "ROUND(internal_edges / (tot.two_m / 2.0) "
+            "- POWER(volume / tot.two_m, 2), 6) AS modularity_contrib "
+            "FROM per, tot"
+        ),
+        "conductance_mod7": _COMM_SQL_CORE + (
+            "SELECT community, CASE WHEN LEAST(volume, tot.two_m - volume) > 0 "
+            "THEN ROUND(cut_edges / LEAST(volume, tot.two_m - volume), 6) "
+            "ELSE 0.0 END AS conductance FROM per, tot"
+        ),
         "docs_dedup_first": (
             "SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
             "FROM documents GROUP BY lang, source"

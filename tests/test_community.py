@@ -1,0 +1,87 @@
+"""Community metrics (modularity, conductance) + detection algorithms."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from graph_data_science_ray import fixtures
+from graph_data_science_ray.sources.edges import from_arrow
+
+
+def _nx_graph(t):
+    import networkx as nx
+
+    g = nx.Graph()
+    for s, d in zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()):
+        if s != d:
+            g.add_edge(s, d)
+    return g
+
+
+def _mod_partition(t, k=3):
+    nodes = sorted({u for c in ("src_id", "dst_id") for u in t.column(c).to_pylist()})
+    return pa.table(
+        {
+            "node_id": pa.array(nodes, pa.int64()),
+            "community": pa.array([u % k for u in nodes], pa.int64()),
+        }
+    )
+
+
+def test_modularity_matches_networkx():
+    import networkx.algorithms.community as nx_comm
+
+    from graph_data_science_ray.algos.community import modularity
+
+    t = fixtures.er_random(60, 0.08, seed=5)
+    part_t = _mod_partition(t, 3)
+    per_comm, total = modularity(from_arrow(t), part_t, num_partitions=2)
+    g = _nx_graph(t)
+    groups = [
+        {u for u, c in zip(part_t.column("node_id").to_pylist(), part_t.column("community").to_pylist()) if c == i and u in g}
+        for i in range(3)
+    ]
+    expected = nx_comm.modularity(g, [s for s in groups if s])
+    assert total == pytest.approx(expected, abs=1e-9)
+    rows = per_comm.take_all()
+    assert sorted(r["community"] for r in rows) == [0, 1, 2]
+
+
+def test_conductance_matches_networkx():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.community import conductance
+
+    t = fixtures.er_random(50, 0.1, seed=11)
+    part_t = _mod_partition(t, 2)
+    got = {
+        r["community"]: r["conductance"]
+        for r in conductance(from_arrow(t), part_t, num_partitions=2).take_all()
+    }
+    g = _nx_graph(t)
+    for c in (0, 1):
+        s = {
+            u
+            for u, cc in zip(part_t.column("node_id").to_pylist(), part_t.column("community").to_pylist())
+            if cc == c and u in g
+        }
+        expected = nx.conductance(g, s)
+        assert got[c] == pytest.approx(expected, abs=1e-12)
+
+
+def test_perfect_partition_zero_conductance():
+    from graph_data_science_ray.algos.community import conductance, modularity
+
+    # two disjoint triangles → each component its own community
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    t = fixtures.edges_table(pairs)
+    part = pa.table(
+        {
+            "node_id": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+            "community": pa.array([0, 0, 0, 1, 1, 1], pa.int64()),
+        }
+    )
+    got = {r["community"]: r["conductance"] for r in conductance(from_arrow(t), part, num_partitions=2).take_all()}
+    assert got == {0: 0.0, 1: 0.0}
+    _, q = modularity(from_arrow(t), part, num_partitions=2)
+    assert q == pytest.approx(0.5, abs=1e-12)
