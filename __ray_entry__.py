@@ -319,6 +319,18 @@ def _q_conductance(sf_dir: str):
     )
 
 
+def _q_kcore(sf_dir: str):
+    from graph_data_science_ray.algos.kcore import core_decomposition
+
+    res = core_decomposition(_edges_ps(sf_dir))
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "core": pa.array(res.values, pa.int64()),
+        }
+    )
+
+
 def _q_docs_dedup_first(sf_dir: str):
     import ray.data
 
@@ -584,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "embedding_label_counts": _q_embedding_label_counts,
         # rows-only (non-SQL-expressible) operators
+        "kcore": _q_kcore,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

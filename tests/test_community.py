@@ -85,3 +85,38 @@ def test_perfect_partition_zero_conductance():
     assert got == {0: 0.0, 1: 0.0}
     _, q = modularity(from_arrow(t), part, num_partitions=2)
     assert q == pytest.approx(0.5, abs=1e-12)
+
+
+def test_kcore_matches_networkx():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.kcore import core_decomposition
+
+    for fix, seed in ((fixtures.er_random(70, 0.07, seed=3), 3), (fixtures.powerlaw(200, seed=9), 9)):
+        res = core_decomposition(from_arrow(fix), num_partitions=2)
+        assert res.converged
+        g = _nx_graph(fix)
+        expected = nx.core_number(g)
+        got = dict(zip(res.node_ids.tolist(), res.values.tolist()))
+        for u, k in expected.items():
+            assert got[u] == k, (seed, u, got[u], k)
+
+
+def test_kcore_shuffle_reduce_matches_driver():
+    from graph_data_science_ray.algos.kcore import core_decomposition
+
+    t = fixtures.er_random(50, 0.1, seed=21)
+    a = core_decomposition(from_arrow(t), num_partitions=2, reduce="driver")
+    b = core_decomposition(from_arrow(t), num_partitions=2, reduce="shuffle")
+    assert np.array_equal(a.node_ids, b.node_ids)
+    assert np.array_equal(a.values, b.values)
+
+
+def test_kcore_known_small():
+    from graph_data_science_ray.algos.kcore import core_decomposition
+
+    # K4 (4-clique, core 3) plus a pendant chain 3-100-101
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 100), (100, 101)]
+    res = core_decomposition(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
+    got = dict(zip(res.node_ids.tolist(), res.values.tolist()))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 100: 1, 101: 1}
