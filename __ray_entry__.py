@@ -319,6 +319,12 @@ def _q_conductance(sf_dir: str):
     )
 
 
+def _q_scc(sf_dir: str):
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+
+    return strongly_connected_components(_edges_ps(sf_dir)).to_table()
+
+
 def _q_kcore(sf_dir: str):
     from graph_data_science_ray.algos.kcore import core_decomposition
 
@@ -597,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_counts": _q_embedding_label_counts,
         # rows-only (non-SQL-expressible) operators
         "kcore": _q_kcore,
+        "scc": _q_scc,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

@@ -120,3 +120,40 @@ def test_kcore_known_small():
     res = core_decomposition(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
     got = dict(zip(res.node_ids.tolist(), res.values.tolist()))
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 100: 1, 101: 1}
+
+
+def _nx_scc_canon(t):
+    import networkx as nx
+
+    g = nx.DiGraph()
+    nodes = set()
+    for s, d in zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()):
+        nodes.update((s, d))
+        if s != d:
+            g.add_edge(s, d)
+    g.add_nodes_from(nodes)
+    out = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for u in comp:
+            out[u] = m
+    return out
+
+
+def test_scc_matches_networkx():
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+
+    for t in (fixtures.er_random(60, 0.05, seed=2), fixtures.powerlaw(150, seed=4)):
+        res = strongly_connected_components(t if not hasattr(t, "num_rows") else from_arrow(t), num_partitions=2)
+        expected = _nx_scc_canon(t)
+        got = res.as_dict()
+        assert got == expected
+
+
+def test_scc_known_small():
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+
+    # cycle {0,1,2} → bridge → cycle {5,6}; pendant 9
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 5), (5, 6), (6, 5), (6, 9)]
+    res = strongly_connected_components(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
+    assert res.as_dict() == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
