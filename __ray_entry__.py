@@ -319,6 +319,13 @@ def _q_conductance(sf_dir: str):
     )
 
 
+def _q_mst(sf_dir: str):
+    from graph_data_science_ray.algos.mst import minimum_spanning_forest
+
+    res = minimum_spanning_forest(_edges_ps_weighted(sf_dir))
+    return _round6(res.edges, "weight")
+
+
 def _q_scc(sf_dir: str):
     from graph_data_science_ray.algos.scc import strongly_connected_components
 
@@ -604,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible) operators
         "kcore": _q_kcore,
         "scc": _q_scc,
+        "mst_forest": _q_mst,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

@@ -157,3 +157,41 @@ def test_scc_known_small():
     pairs = [(0, 1), (1, 2), (2, 0), (2, 5), (5, 6), (6, 5), (6, 9)]
     res = strongly_connected_components(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
     assert res.as_dict() == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+
+
+def test_mst_matches_networkx():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.mst import minimum_spanning_forest
+
+    rng = np.random.default_rng(17)
+    t0 = fixtures.er_random(60, 0.08, seed=8)
+    n_e = t0.num_rows
+    w = np.round(rng.random(n_e) * 10, 3)
+    t = t0.append_column("weight", pa.array(w, pa.float64()))
+    res = minimum_spanning_forest(from_arrow(t), num_partitions=2)
+    g = nx.Graph()
+    for s, d, ww in zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist(), w):
+        if s == d:
+            continue
+        if g.has_edge(s, d):
+            g[s][d]["weight"] = min(g[s][d]["weight"], ww)
+        else:
+            g.add_edge(s, d, weight=ww)
+    expected = sum(d["weight"] for _, _, d in nx.minimum_spanning_edges(g, data=True))
+    assert res.total_weight == pytest.approx(expected, abs=1e-9)
+    import networkx as nx2
+    n_comp = nx2.number_connected_components(g)
+    assert res.n_components == n_comp
+    assert res.edges.num_rows == g.number_of_nodes() - n_comp
+
+
+def test_mst_forest_two_components():
+    from graph_data_science_ray.algos.mst import minimum_spanning_forest
+
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11)]
+    t = fixtures.edges_table(pairs, weights=[1.0, 2.0, 3.0, 5.0])
+    res = minimum_spanning_forest(from_arrow(t), num_partitions=2)
+    assert res.total_weight == pytest.approx(8.0)
+    got = list(zip(res.edges["u"].to_pylist(), res.edges["v"].to_pylist()))
+    assert got == [(0, 1), (1, 2), (10, 11)]
