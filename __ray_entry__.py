@@ -319,6 +319,13 @@ def _q_conductance(sf_dir: str):
     )
 
 
+def _q_louvain(sf_dir: str):
+    from graph_data_science_ray.algos.louvain import louvain
+
+    res = louvain(_edges_ps(sf_dir), max_levels=5, max_rounds_per_level=5)
+    return res.to_table()
+
+
 def _q_mst(sf_dir: str):
     from graph_data_science_ray.algos.mst import minimum_spanning_forest
 
@@ -612,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "scc": _q_scc,
         "mst_forest": _q_mst,
+        "louvain": _q_louvain,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

@@ -1,0 +1,321 @@
+"""Louvain community detection — modularity local moving + coarsening.
+
+Reference semantics (``gds.louvain``, [GDS-pub: algo/.../louvain/]):
+maximize modularity by (phase 1) greedily moving nodes between
+communities while gain is positive, then (phase 2) coarsening each
+community to a supernode and repeating, until no level improves. The
+reference's parallel local moving is order-dependent (and its results
+are seed/thread-count dependent); this engine is **deterministic by
+construction** — a requirement for this repo's reproducibility
+contract:
+
+- synchronous rounds: every node evaluates its best move against the
+  same frozen assignment (one edge scan per round; per-batch
+  (node, community) weight partials merged on the driver);
+- ties broken by smallest community id;
+- the round's moves are applied together, the new global modularity is
+  recomputed incrementally on the driver, and **a round that does not
+  strictly improve modularity is rolled back and ends the phase** — the
+  monotone guard that makes synchronous updates (which can oscillate in
+  general) terminate with a non-decreasing modularity sequence.
+
+Community bookkeeping (k_v, Σ_tot per community, internal weight per
+supernode) is node-sized driver state (algos/common.py standing
+assumption); the per-round edge scan and the coarsening
+(map communities over edges → ``groupby(pair).sum``) are the only
+distributed steps. Level graphs shrink geometrically, so total work is
+dominated by the level-0 scans.
+
+Modularity convention: γ = 1, undirected weighted view, self-loops at
+level 0 dropped (engine simple-graph convention); Q = Σ_c (in_c / m −
+(Σ_tot_c / 2m)²) — identical to networkx ``community.modularity``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
+
+
+class LouvainResult:
+    def __init__(self, node_ids, values, modularity, levels, metrics):
+        self.node_ids = node_ids
+        self.values = values  # final community id = min original member id
+        self.value_name = "community"
+        self.modularity = modularity
+        self.levels = levels
+        self.metrics = metrics
+
+    def as_dict(self) -> dict:
+        return dict(zip(self.node_ids.tolist(), self.values.tolist()))
+
+    def to_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.array(self.node_ids, pa.int64()),
+                "community": pa.array(self.values, pa.int64()),
+            }
+        )
+
+
+def _neighbor_community_weights(sym: Dataset, ids_ref) -> pa.Table:
+    """One scan: per (node, neighbor community) summed edge weight,
+    pre-aggregated per batch, merged by the caller."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, comm = ray.get(ids_ref)
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        sp = np.searchsorted(ids, src)
+        dc = comm[np.searchsorted(ids, dst)]
+        # pack (src position, dst community) — both < n ≤ 2^31 typical;
+        # use int64 pair packing via lexsort-free unique on 2 keys
+        key = sp.astype(np.int64) * (comm.max() + 1) + dc
+        u_key, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(u_key.shape[0], dtype=np.float64)
+        np.add.at(sums, inv, w)
+        width = comm.max() + 1
+        return pa.table(
+            {
+                "node_pos": pa.array(u_key // width, pa.int64()),
+                "comm": pa.array(u_key % width, pa.int64()),
+                "w": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return collect_arrow(sym.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def _merge_partials(t: pa.Table, n_comm: int):
+    pos = t.column("node_pos").to_numpy(zero_copy_only=False)
+    com = t.column("comm").to_numpy(zero_copy_only=False)
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    key = pos * np.int64(n_comm) + com
+    u_key, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(u_key.shape[0], dtype=np.float64)
+    np.add.at(sums, inv, w)
+    return u_key // n_comm, u_key % n_comm, sums
+
+
+def louvain(
+    edges: Dataset,
+    max_levels: int = 10,
+    max_rounds_per_level: int = 20,
+    tolerance: float = 1e-9,
+    num_partitions: int | None = None,
+    weighted: bool = False,
+) -> LouvainResult:
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+
+    # ---- level-0 graph: symmetrized simple weighted view ------------
+    base = edges
+    if not weighted:
+        def add_w(t: pa.Table) -> pa.Table:
+            return t.select(["src_id", "dst_id"]).append_column(
+                "weight", pa.array(np.ones(t.num_rows), pa.float64())
+            )
+        base = base.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True)
+    orig_ids = unique_node_ids(edges)
+
+    # current level state (all positional, driver-side)
+    level_ids = orig_ids.copy()          # node id of each supernode
+    min_member = orig_ids.copy()         # min ORIGINAL member id per supernode
+    internal = np.zeros(level_ids.shape[0])  # internal undirected weight
+    # mapping original node -> position in current level
+    assign = np.arange(orig_ids.shape[0], dtype=np.int64)
+
+    ded = drop_self_loops(base)
+
+    def lo_hi(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(s, d), pa.int64()),
+                "dst_id": pa.array(np.maximum(s, d), pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+
+    # undirected simple view: unweighted inputs dedup to weight 1 (a
+    # bidirectional pair is ONE undirected edge); weighted inputs sum
+    # parallel weights (projection-time Aggregation.SUM)
+    from ray.data.aggregate import Min as _Min
+
+    agg = Sum("weight", alias_name="weight") if weighted else _Min("weight", alias_name="weight")
+    und = (
+        ded.map_batches(lo_hi, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_id", "dst_id"], num_partitions=num_partitions)
+        .aggregate(agg)
+    )
+    sym = symmetrize(und.materialize(), dedup=False).materialize()
+
+    metrics: list[dict] = []
+    total_q = None
+    level = 0
+    for level in range(1, max_levels + 1):
+        n = level_ids.shape[0]
+        # strengths from one scan (out-weight per node; no self rows)
+        def strength_fn(t: pa.Table) -> pa.Table:
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            u, inv = np.unique(src, return_inverse=True)
+            s = np.zeros(u.shape[0])
+            np.add.at(s, inv, w)
+            return pa.table({"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())})
+
+        st = collect_arrow(sym.map_batches(strength_fn, batch_format="pyarrow", zero_copy_batch=True))
+        k = np.zeros(n)
+        if st.num_rows:
+            pos = np.searchsorted(level_ids, st.column("node_id").to_numpy(zero_copy_only=False))
+            np.add.at(k, pos, st.column("s").to_numpy(zero_copy_only=False))
+        k += 2.0 * internal
+        two_m = float(k.sum())
+        if two_m == 0:
+            break
+        m = two_m / 2.0
+
+        comm = np.arange(n, dtype=np.int64)      # community = position
+        sigma = k.copy()                          # Σ_tot per community
+        in_w = internal.copy()                    # internal weight per community
+        q = float(np.sum(in_w / m - (sigma / two_m) ** 2))
+        if total_q is None:
+            total_q = q
+
+        # Synchronous all-node moves oscillate (standard parallel-Louvain
+        # failure mode): restrict each sub-round to one deterministic
+        # phase class (position mod C), the classic coloring workaround.
+        C = 4
+        moved_any = False
+        stall = 0
+        for rnd in range(max_rounds_per_level * C):
+            ph = rnd % C
+            ids_ref = ray.put((level_ids, comm))
+            part = _neighbor_community_weights(sym, ids_ref)
+            if part.num_rows == 0:
+                break
+            npos, ncomm, nw = _merge_partials(part, n)
+            # score(c) = k_vc − k_v·(Σ_c − [c==cur]·k_v)/(2m); compare vs stay
+            cur = comm[npos]
+            adj = np.where(ncomm == cur, k[npos], 0.0)
+            score = nw - k[npos] * (sigma[ncomm] - adj) / two_m
+            # per node: best (score desc, comm asc); rows sorted by (pos, comm)
+            order = np.lexsort((ncomm, -score, npos))
+            npos_o, ncomm_o, score_o, nw_o = npos[order], ncomm[order], score[order], nw[order]
+            first = np.r_[True, npos_o[1:] != npos_o[:-1]]
+            b_pos, b_comm, b_score = npos_o[first], ncomm_o[first], score_o[first]
+            # stay score: k_v,cur − k_v(Σ_cur − k_v)/2m  (k_v,cur from rows)
+            stay = np.zeros(n)
+            is_cur = ncomm == cur
+            stay_kvc = np.zeros(n)
+            np.add.at(stay_kvc, npos[is_cur], nw[is_cur])
+            stay_all = stay_kvc - k * (sigma[comm] - k) / two_m
+            do_move = (
+                (b_comm != comm[b_pos])
+                & (b_score > stay_all[b_pos] + 1e-12)
+                & (b_pos % C == ph)
+            )
+            if not do_move.any():
+                stall += 1
+                if stall >= C:
+                    break
+                continue
+            new_comm = comm.copy()
+            new_comm[b_pos[do_move]] = b_comm[do_move]
+            # recompute Σ_tot and internal per community + modularity
+            new_sigma = np.zeros(n)
+            np.add.at(new_sigma, new_comm, k)
+            new_in_total = np.zeros(n)
+            np.add.at(new_in_total, new_comm, internal)
+            # exact intra weight needs the NEW assignment on both ends —
+            # one fresh scan (rows above carry the OLD neighbor community)
+            ids_ref2 = ray.put((level_ids, new_comm))
+            part2 = _neighbor_community_weights(sym, ids_ref2)
+            p2, c2, w2 = _merge_partials(part2, n)
+            intra2 = new_comm[p2] == c2
+            np.add.at(new_in_total, new_comm[p2[intra2]], w2[intra2] / 2.0)
+            new_q = float(np.sum(new_in_total / m) - np.sum((new_sigma / two_m) ** 2))
+            if new_q <= q + tolerance:
+                # monotone guard: reject a non-improving phase
+                stall += 1
+                if stall >= C:
+                    break
+                continue
+            comm, sigma, q = new_comm, new_sigma, new_q
+            moved_any = True
+            stall = 0
+
+        metrics.append({"level": level, "modularity": q, "n_supernodes": int(n)})
+        total_q = q
+        if not moved_any:
+            break
+
+        # ---- coarsen -------------------------------------------------
+        # canonical community representative: min min_member in community
+        rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, comm, min_member)
+        new_labels = rep[comm]                     # per supernode: new id
+        u_new, comp_pos = np.unique(new_labels, return_inverse=True)
+        if u_new.shape[0] == n:
+            break  # nothing merged
+
+        # internal weight of new supernodes = old internal + intra edges
+        new_internal = np.zeros(u_new.shape[0])
+        np.add.at(new_internal, comp_pos, internal)
+        ids_ref3 = ray.put((level_ids, comm))
+        part3 = _neighbor_community_weights(sym, ids_ref3)
+        p3, c3, w3 = _merge_partials(part3, n)
+        intra3 = comm[p3] == c3
+        np.add.at(new_internal, comp_pos[p3[intra3]], w3[intra3] / 2.0)
+
+        # coarsened symmetric edge table (inter-community rows only)
+        map_ref = ray.put((level_ids, new_labels))
+
+        def coarsen_fn(t: pa.Table) -> pa.Table:
+            ids, lab = ray.get(map_ref)
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+            w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            cs = lab[np.searchsorted(ids, src)]
+            cd = lab[np.searchsorted(ids, dst)]
+            keep = cs != cd
+            return pa.table(
+                {
+                    "src_id": pa.array(cs[keep], pa.int64()),
+                    "dst_id": pa.array(cd[keep], pa.int64()),
+                    "weight": pa.array(w[keep], pa.float64()),
+                }
+            )
+
+        sym = (
+            sym.map_batches(coarsen_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["src_id", "dst_id"], num_partitions=num_partitions)
+            .aggregate(Sum("weight", alias_name="weight"))
+            .materialize()
+        )
+
+        # fold the level assignment into the original-node mapping:
+        # orig o sat at level position assign[o]; its new supernode's
+        # position is comp_pos[assign[o]] (constant within a community)
+        assign = comp_pos[assign]
+        new_min = np.full(u_new.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(new_min, comp_pos, min_member)
+        level_ids = u_new
+        min_member = new_min
+        internal = new_internal
+
+    # nodes that never coarsened keep their own id; otherwise the min
+    # original member of their final supernode
+    final = min_member[assign]
+    return LouvainResult(orig_ids, final, total_q if total_q is not None else 0.0, level, metrics)

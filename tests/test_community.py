@@ -195,3 +195,52 @@ def test_mst_forest_two_components():
     assert res.total_weight == pytest.approx(8.0)
     got = list(zip(res.edges["u"].to_pylist(), res.edges["v"].to_pylist()))
     assert got == [(0, 1), (1, 2), (10, 11)]
+
+
+def _cliques_with_bridges(k=5, n_cliques=4):
+    pairs = []
+    for c in range(n_cliques):
+        base = c * 10
+        for i in range(k):
+            for j in range(i + 1, k):
+                pairs.append((base + i, base + j))
+    for c in range(n_cliques):  # ring of bridges
+        pairs.append((c * 10, ((c + 1) % n_cliques) * 10 + 1))
+    return fixtures.edges_table(pairs)
+
+
+def test_louvain_recovers_cliques():
+    from graph_data_science_ray.algos.louvain import louvain
+
+    t = _cliques_with_bridges()
+    res = louvain(from_arrow(t), num_partitions=2)
+    got = res.as_dict()
+    # every clique ends up in one community
+    for c in range(4):
+        base = c * 10
+        labels = {got[base + i] for i in range(5)}
+        assert len(labels) == 1, (c, labels)
+    # distinct cliques in distinct communities
+    assert len({got[c * 10] for c in range(4)}) == 4
+    assert res.modularity > 0.5
+
+
+def test_louvain_deterministic_and_matches_own_modularity():
+    import networkx.algorithms.community as nxc
+
+    from graph_data_science_ray.algos.louvain import louvain
+
+    t = fixtures.powerlaw(150, seed=6)
+    r1 = louvain(from_arrow(t), num_partitions=2)
+    r2 = louvain(from_arrow(t), num_partitions=3)
+    assert np.array_equal(r1.values, r2.values), "must be parallelism-invariant"
+    g = _nx_graph(t)
+    part = {}
+    for u, c in r1.as_dict().items():
+        part.setdefault(c, set()).add(u)
+    groups = [s & set(g.nodes()) for s in part.values()]
+    expected_q = nxc.modularity(g, [s for s in groups if s])
+    assert r1.modularity == pytest.approx(expected_q, abs=1e-9)
+    # nx sequential Louvain reaches ~0.204 on this graph, greedy ~0.194;
+    # the deterministic phased variant must land in the same ballpark
+    assert r1.modularity > 0.18
