@@ -319,6 +319,12 @@ def _q_conductance(sf_dir: str):
     )
 
 
+def _q_k1coloring(sf_dir: str):
+    from graph_data_science_ray.algos.kcoloring import k1coloring
+
+    return k1coloring(_edges_ps(sf_dir)).to_table()
+
+
 def _q_louvain(sf_dir: str):
     from graph_data_science_ray.algos.louvain import louvain
 
@@ -620,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": _q_scc,
         "mst_forest": _q_mst,
         "louvain": _q_louvain,
+        "k1coloring": _q_k1coloring,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

@@ -244,3 +244,36 @@ def test_louvain_deterministic_and_matches_own_modularity():
     # nx sequential Louvain reaches ~0.204 on this graph, greedy ~0.194;
     # the deterministic phased variant must land in the same ballpark
     assert r1.modularity > 0.18
+
+
+def test_k1coloring_proper_and_deterministic():
+    from graph_data_science_ray.algos.kcoloring import k1coloring
+
+    for t in (fixtures.er_random(60, 0.1, seed=14), fixtures.powerlaw(150, seed=2)):
+        res = k1coloring(from_arrow(t), num_partitions=2)
+        assert res.converged
+        got = res.as_dict()
+        deg = {}
+        for s, d in zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist()):
+            if s == d:
+                continue
+            assert got[s] != got[d], (s, d)
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        assert res.n_colors <= max(deg.values()) + 1  # greedy bound
+        assert min(got.values()) >= 0
+        res2 = k1coloring(from_arrow(t), num_partitions=3)
+        assert np.array_equal(res.values, res2.values)
+
+
+def test_k1coloring_bipartite_two_colors():
+    from graph_data_science_ray.algos.kcoloring import k1coloring
+
+    # even cycle, Δ=2 → greedy uses ≤ 3 colors (optimal 2 not guaranteed,
+    # matching the reference's greedy semantics)
+    pairs = [(i, (i + 1) % 8) for i in range(8)]
+    res = k1coloring(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
+    assert res.converged and res.n_colors <= 3
+    # star: hub forced apart from leaves, leaves share → exactly 2
+    res2 = k1coloring(from_arrow(fixtures.star_hub()), num_partitions=2)
+    assert res2.converged and res2.n_colors == 2
