@@ -319,6 +319,18 @@ def _q_conductance(sf_dir: str):
     )
 
 
+def _q_harmonic64(sf_dir: str):
+    """Harmonic centrality from the 64 smallest node ids, hop-capped at
+    16 (one MSBFS wave) — the bounded variant both sides can compute."""
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.msbfs import harmonic_centrality
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    t = harmonic_centrality(edges, sources=ids[:64], max_depth=16)
+    return _round6(t, "harmonic")
+
+
 def _q_k1coloring(sf_dir: str):
     from graph_data_science_ray.algos.kcoloring import k1coloring
 
@@ -610,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_bf8": _q_sssp,
         "modularity_mod7": _q_modularity,
         "conductance_mod7": _q_conductance,
+        "harmonic_64src": _q_harmonic64,
         "docs_dedup_first": _q_docs_dedup_first,
         "docs_token_stats": _q_docs_token_stats,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -819,6 +832,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(internal_edges / (tot.two_m / 2.0) "
             "- POWER(volume / tot.two_m, 2), 6) AS modularity_contrib "
             "FROM per, tot"
+        ),
+        "harmonic_64src": (
+            # NOTE: under WITH RECURSIVE, DuckDB 1.0 does NOT dedup plain
+            # UNION in non-recursive CTEs — DISTINCT must be explicit.
+            f"WITH RECURSIVE e AS ({_E_PS}), "
+            "und AS (SELECT DISTINCT a, b FROM "
+            "(SELECT src_id a, dst_id b FROM e UNION ALL SELECT dst_id, src_id FROM e)), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT a AS node FROM und UNION ALL SELECT b FROM und)), "
+            "srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 64), "
+            "walk(src, node, d) AS ("
+            "SELECT node, node, 0 FROM srcs "
+            "UNION "
+            "SELECT walk.src, und.b, walk.d + 1 FROM walk JOIN und ON walk.node = und.a "
+            "WHERE walk.d < 16), "
+            "md AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY src, node), "
+            "h AS (SELECT node, SUM(1.0 / d) AS hsum FROM md WHERE d > 0 GROUP BY node) "
+            "SELECT nodes.node AS node_id, ROUND(COALESCE(h.hsum, 0), 6) AS harmonic "
+            "FROM nodes LEFT JOIN h ON nodes.node = h.node"
         ),
         "conductance_mod7": _COMM_SQL_CORE + (
             "SELECT community, CASE WHEN LEAST(volume, tot.two_m - volume) > 0 "

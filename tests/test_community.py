@@ -277,3 +277,33 @@ def test_k1coloring_bipartite_two_colors():
     # star: hub forced apart from leaves, leaves share → exactly 2
     res2 = k1coloring(from_arrow(fixtures.star_hub()), num_partitions=2)
     assert res2.converged and res2.n_colors == 2
+
+
+def test_harmonic_closeness_match_networkx():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.msbfs import closeness_centrality, harmonic_centrality
+
+    t = fixtures.er_random(80, 0.04, seed=19)  # sparse → disconnected bits
+    g = _nx_graph(t)
+    # densify the node set: isolated nodes exist in edges but not nx? (all edge endpoints are in g)
+    h = harmonic_centrality(from_arrow(t), num_partitions=2)
+    got_h = dict(zip(h["node_id"].to_pylist(), h["harmonic"].to_pylist()))
+    exp_h = nx.harmonic_centrality(g)
+    for u, v in exp_h.items():
+        assert got_h[u] == pytest.approx(v, abs=1e-9), u
+    c = closeness_centrality(from_arrow(t), num_partitions=2)
+    got_c = dict(zip(c["node_id"].to_pylist(), c["closeness"].to_pylist()))
+    exp_c = nx.closeness_centrality(g)
+    for u, v in exp_c.items():
+        assert got_c[u] == pytest.approx(v, abs=1e-9), u
+
+
+def test_harmonic_sources_subset():
+    from graph_data_science_ray.algos.msbfs import harmonic_centrality
+
+    # chain 0-1-2-3: harmonic contributions only from sources {0}
+    t = fixtures.tiny_chain()
+    h = harmonic_centrality(from_arrow(t), sources=[0], num_partitions=2)
+    got = dict(zip(h["node_id"].to_pylist(), h["harmonic"].to_pylist()))
+    assert got == {0: 0.0, 1: 1.0, 2: 0.5, 3: pytest.approx(1 / 3)}
