@@ -331,6 +331,21 @@ def _q_harmonic64(sf_dir: str):
     return _round6(t, "harmonic")
 
 
+def _q_random_walks(sf_dir: str):
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.randomwalk import random_walks
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    return random_walks(edges, ids[:8], walk_length=10, walks_per_node=2, seed=42)
+
+
+def _q_toposort(sf_dir: str):
+    from graph_data_science_ray.algos.toposort import topological_sort
+
+    return topological_sort(_edges_op(sf_dir)).to_table()
+
+
 def _q_k1coloring(sf_dir: str):
     from graph_data_science_ray.algos.kcoloring import k1coloring
 
@@ -640,6 +655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_forest": _q_mst,
         "louvain": _q_louvain,
         "k1coloring": _q_k1coloring,
+        "random_walks": _q_random_walks,
+        "topological_sort": _q_toposort,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

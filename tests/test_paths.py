@@ -103,3 +103,84 @@ def test_shortest_path_tree_unweighted_deterministic():
     t = fixtures.edges_table([(1, 2), (1, 3), (2, 4), (3, 4)])
     res, pred = shortest_path_tree(from_arrow(t), source=1, num_partitions=NP)
     assert reconstruct_path(res, pred, 4) == [1, 2, 4]
+
+
+def test_random_walks_deterministic_and_valid():
+    import numpy as np
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.randomwalk import random_walks
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.powerlaw(120, seed=3)
+    adj = {}
+    for s, d in zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist()):
+        adj.setdefault(s, set()).add(d)
+    starts = sorted(adj.keys())[:10]
+    w1 = random_walks(from_arrow(t), starts, walk_length=12, walks_per_node=2, seed=7, num_partitions=2)
+    w2 = random_walks(from_arrow(t), starts, walk_length=12, walks_per_node=2, seed=7, num_partitions=3)
+    assert w1.equals(w2), "walks must be partitioning-invariant"
+    # every consecutive step follows a real edge
+    rows = list(zip(w1["walk_id"].to_pylist(), w1["step"].to_pylist(), w1["node_id"].to_pylist()))
+    by_walk = {}
+    for wid, st, node in rows:
+        by_walk.setdefault(wid, []).append((st, node))
+    for wid, seq in by_walk.items():
+        seq.sort()
+        assert seq[0] == (0, starts[wid // 2])
+        for (s0, a), (s1, b) in zip(seq, seq[1:]):
+            assert s1 == s0 + 1
+            assert b in adj.get(a, set()), (wid, a, b)
+    # different seed → different walks (overwhelmingly)
+    w3 = random_walks(from_arrow(t), starts, walk_length=12, walks_per_node=2, seed=8, num_partitions=2)
+    assert not w1.equals(w3)
+
+
+def test_sample_rwr_induced_subgraph():
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.randomwalk import sample_rwr
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.powerlaw(150, seed=9)
+    sub = sample_rwr(from_arrow(t), [t["src_id"][0].as_py()], walk_length=20, walks_per_node=4, seed=1, num_partitions=2)
+    st = sub.take_all()
+    full = set(zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist()))
+    assert 0 < len(st) < len(full)
+    assert all((r["src_id"], r["dst_id"]) in full for r in st)
+
+
+def test_toposort_matches_networkx_generations():
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.toposort import topological_sort
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # random DAG: keep only edges low→high
+    t0 = fixtures.er_random(60, 0.08, seed=12)
+    s = np.array(t0["src_id"].to_pylist())
+    d = np.array(t0["dst_id"].to_pylist())
+    keep = s < d
+    t = pa.table({"src_id": pa.array(s[keep], pa.int64()), "dst_id": pa.array(d[keep], pa.int64())})
+    res = topological_sort(from_arrow(t), num_partitions=2)
+    assert not res.has_cycle_nodes
+    g = nx.DiGraph(zip(s[keep].tolist(), d[keep].tolist()))
+    exp = {}
+    for lvl, gen in enumerate(nx.topological_generations(g)):
+        for u in gen:
+            exp[u] = lvl
+    assert res.as_dict() == exp
+
+
+def test_toposort_excludes_cycle_nodes():
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.toposort import topological_sort
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # DAG part 0→1→2 feeding a cycle {5,6}, plus downstream 6→9 (cyclic-reachable nodes stay excluded? no: 9 has indeg from 6 which never peels → 9 excluded too)
+    pairs = [(0, 1), (1, 2), (2, 5), (5, 6), (6, 5), (6, 9)]
+    res = topological_sort(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
+    assert res.has_cycle_nodes
+    assert res.as_dict() == {0: 0, 1: 1, 2: 2}
