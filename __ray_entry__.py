@@ -331,6 +331,15 @@ def _q_harmonic64(sf_dir: str):
     return _round6(t, "harmonic")
 
 
+def _q_betweenness32(sf_dir: str):
+    from graph_data_science_ray.algos.betweenness import betweenness_centrality
+    from graph_data_science_ray.algos.common import unique_node_ids
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    return _round6(betweenness_centrality(edges, sources=ids[:32]), "betweenness")
+
+
 def _q_random_walks(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.randomwalk import random_walks
@@ -657,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,
+        "betweenness_32src": _q_betweenness32,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

@@ -307,3 +307,32 @@ def test_harmonic_sources_subset():
     h = harmonic_centrality(from_arrow(t), sources=[0], num_partitions=2)
     got = dict(zip(h["node_id"].to_pylist(), h["harmonic"].to_pylist()))
     assert got == {0: 0.0, 1: 1.0, 2: 0.5, 3: pytest.approx(1 / 3)}
+
+
+def test_betweenness_matches_networkx_exact():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.betweenness import betweenness_centrality
+
+    t = fixtures.er_random(50, 0.08, seed=23)
+    got_t = betweenness_centrality(from_arrow(t), num_partitions=2)
+    got = dict(zip(got_t["node_id"].to_pylist(), got_t["betweenness"].to_pylist()))
+    g = _nx_graph(t)
+    exp = nx.betweenness_centrality(g, normalized=False)
+    for u, v in exp.items():
+        assert got[u] == pytest.approx(v, abs=1e-9), u
+
+
+def test_betweenness_sampled_subset():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.betweenness import betweenness_centrality
+
+    t = fixtures.er_random(40, 0.1, seed=29)
+    g = _nx_graph(t)
+    srcs = sorted(g.nodes())[:8]
+    got_t = betweenness_centrality(from_arrow(t), sources=srcs, num_partitions=2)
+    got = dict(zip(got_t["node_id"].to_pylist(), got_t["betweenness"].to_pylist()))
+    exp = nx.betweenness_centrality_subset(g, sources=srcs, targets=list(g.nodes()), normalized=False)
+    for u, v in exp.items():
+        assert got[u] == pytest.approx(v, abs=1e-9), u
