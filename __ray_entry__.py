@@ -331,6 +331,12 @@ def _q_harmonic64(sf_dir: str):
     return _round6(t, "harmonic")
 
 
+def _q_hashgnn(sf_dir: str):
+    from graph_data_science_ray.algos.hashgnn import hashgnn
+
+    return hashgnn(_edges_ps(sf_dir), dimension=256, embedding_density=16, iterations=2)
+
+
 def _q_betweenness32(sf_dir: str):
     from graph_data_science_ray.algos.betweenness import betweenness_centrality
     from graph_data_science_ray.algos.common import unique_node_ids
@@ -673,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "fastrp_embeddings": _q_fastrp,
+        "hashgnn_embeddings": _q_hashgnn,
         "media_features": _q_media_features,
     }
 

@@ -69,3 +69,51 @@ def test_fastrp_similar_neighbors():
     same = cos(e[1], e[2])
     cross = cos(e[1], e[7])
     assert same > cross
+
+
+def test_hashgnn_deterministic_and_similarity():
+    import numpy as np
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.hashgnn import hashgnn
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # two 6-cliques joined by one bridge
+    pairs = []
+    for base in (0, 100):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                pairs.append((base + i, base + j))
+    pairs.append((0, 100))
+    t = fixtures.edges_table(pairs)
+
+    e1 = hashgnn(from_arrow(t), dimension=128, embedding_density=24, iterations=2, seed=5, num_partitions=2)
+    e2 = hashgnn(from_arrow(t), dimension=128, embedding_density=24, iterations=2, seed=5, num_partitions=3)
+    assert e1.equals(e2), "must be partitioning-invariant"
+
+    emb = {r["node_id"]: set(r["features"]) for r in e1.to_pylist()}
+
+    def jac(a, b):
+        return len(emb[a] & emb[b]) / max(1, len(emb[a] | emb[b]))
+
+    # within-clique similarity (non-bridge members) far above cross-clique
+    within = np.mean([jac(1, 2), jac(2, 3), jac(101, 102), jac(102, 103)])
+    across = np.mean([jac(1, 101), jac(2, 102), jac(3, 103)])
+    assert within > across + 0.2, (within, across)
+
+    # different seed → different embeddings
+    e3 = hashgnn(from_arrow(t), dimension=128, embedding_density=24, iterations=2, seed=6, num_partitions=2)
+    assert not e1.equals(e3)
+
+
+def test_hashgnn_isolated_node_keeps_own_features():
+    import pyarrow as pa
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.hashgnn import generate_features, hashgnn
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.edges_table([(1, 2), (7, 7)])  # 7 only self-loops
+    e = hashgnn(from_arrow(t), dimension=64, base_density=3, embedding_density=8, iterations=1, seed=9, num_partitions=2)
+    got = {r["node_id"]: set(r["features"]) for r in e.to_pylist()}
+    assert got[7], "node with only a self-loop still has features"
