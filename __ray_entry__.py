@@ -387,16 +387,22 @@ def _q_scc(sf_dir: str):
     return strongly_connected_components(_edges_ps(sf_dir)).to_table()
 
 
-def _q_kcore(sf_dir: str):
+def _q_kcore(sf_dir: str, max_iterations: int = 200):
     from graph_data_science_ray.algos.kcore import core_decomposition
 
-    res = core_decomposition(_edges_ps(sf_dir))
+    res = core_decomposition(_edges_ps(sf_dir), max_iterations=max_iterations)
     return pa.table(
         {
             "node_id": pa.array(res.node_ids, pa.int64()),
             "core": pa.array(res.values, pa.int64()),
         }
     )
+
+
+def _q_kcore_h8(sf_dir: str):
+    # engine round 1 materializes the degree (SQL's v0), rounds 2..9 are
+    # the 8 h-index rounds — identical to the oracle's v8 by monotonicity
+    return _q_kcore(sf_dir, max_iterations=9)
 
 
 def _q_docs_dedup_first(sf_dir: str):
@@ -666,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_counts": _q_embedding_label_counts,
         # rows-only (non-SQL-expressible) operators
         "kcore": _q_kcore,
+        "kcore_h8": _q_kcore_h8,
         "scc": _q_scc,
         "mst_forest": _q_mst,
         "louvain": _q_louvain,
@@ -796,6 +803,81 @@ WITH e0 AS ({_E_PS}),
 """
 
 
+def _eigenvector_sql(k: int = 10) -> str:
+    """k power iterations with per-step L2 normalization, as chained
+    MATERIALIZED CTEs (same chaining idiom as _pagerank_sql)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_PS}),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM e UNION ALL SELECT dst_id FROM e)),",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) c FROM nodes),",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / SQRT(nn.c) AS r FROM nodes, nn),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst_id AS node, SUM(r{i-1}.r) AS s "
+            f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node GROUP BY 1),"
+        )
+        parts.append(f"n{i} AS MATERIALIZED (SELECT SQRT(SUM(s * s)) AS nrm FROM s{i}),")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.node, COALESCE(s{i}.s, 0) / n{i}.nrm AS r "
+            f"FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node, n{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}")
+    return "\n".join(parts)
+
+
+def _lpa_sql(k: int = 10) -> str:
+    """k synchronous LPA rounds (min-label tie-break) as chained CTEs.
+    A converged state is a fixpoint of the deterministic update, so
+    exactly-k SQL rounds equal the engine's ≤k-with-early-stop."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_E_PS}),",
+        "e1 AS MATERIALIZED (SELECT src_id s, dst_id d FROM e0 WHERE src_id <> dst_id),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT s a, d b FROM e1 UNION ALL SELECT d, s FROM e1)),",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"lab{i} AS MATERIALIZED (SELECT node, label FROM ("
+            "SELECT u.a AS node, l.label AS label, "
+            "ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY COUNT(*) DESC, l.label) rn "
+            f"FROM und u JOIN lab{i-1} l ON u.b = l.node GROUP BY u.a, l.label) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node AS node_id, label FROM lab{k}")
+    return "\n".join(parts)
+
+
+def _kcore_sql(k: int = 8) -> str:
+    """k h-index rounds from degree init (the Lü et al. iteration the
+    engine runs); h-index per node via a window rank: h = MAX(LEAST(val,
+    rank)) over neighbors sorted by value desc."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_E_PS}),",
+        "e1 AS MATERIALIZED (SELECT src_id s, dst_id d FROM e0 WHERE src_id <> dst_id),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT s a, d b FROM e1 UNION ALL SELECT d, s FROM e1)),",
+        "allnodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0)),",
+        "v0 AS MATERIALIZED (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS val FROM und GROUP BY a),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT a AS node, MAX(LEAST(val, rn)) AS val FROM ("
+            "SELECT u.a, v.val, ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY v.val DESC) rn "
+            f"FROM und u JOIN v{i-1} v ON u.b = v.node) GROUP BY a),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT allnodes.node AS node_id, COALESCE(v{0}.val, 0) AS core "
+        "FROM allnodes LEFT JOIN v{0} ON allnodes.node = v{0}.node".format(k)
+    )
+    return "\n".join(parts)
+
+
 _COMM_SQL_CORE = f"""
 WITH e0 AS ({_E_PS}),
  e1 AS (SELECT src_id s, dst_id d FROM e0 WHERE src_id <> dst_id),
@@ -861,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
         "hits_k5": _hits_sql(),
         "bfs_hops8": _relax_sql(8, weighted=False),
         "sssp_bf8": _relax_sql(8, weighted=True),
+        "eigenvector_k10": _eigenvector_sql(10),
+        "label_propagation": _lpa_sql(10),
+        "kcore_h8": _kcore_sql(8),
         "modularity_mod7": _COMM_SQL_CORE + (
             "SELECT community, internal_edges, cut_edges, volume, "
             "ROUND(internal_edges / (tot.two_m / 2.0) "
