@@ -374,6 +374,13 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_leiden(sf_dir: str):
+    from graph_data_science_ray.algos.leiden import leiden
+
+    res = leiden(_edges_ps(sf_dir), max_levels=4, max_rounds_per_level=4)
+    return res.to_table()
+
+
 def _q_mst(sf_dir: str):
     from graph_data_science_ray.algos.mst import minimum_spanning_forest
 
@@ -676,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": _q_scc,
         "mst_forest": _q_mst,
         "louvain": _q_louvain,
+        "leiden": _q_leiden,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,

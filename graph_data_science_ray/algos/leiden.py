@@ -1,0 +1,291 @@
+"""Leiden community detection — Louvain + refinement, deterministic.
+
+Reference semantics (``gds.leiden``, [GDS-pub: algo/.../leiden/]):
+Traag-Waltman-van Eck's improvement of Louvain: after each local-moving
+phase, the partition is **refined** — every community is re-partitioned
+from singletons, and a node may merge only with a refined subcommunity
+*inside its own local-moving community*; the coarsening then aggregates
+by the refined partition while the local-moving communities seed the
+next level. This guarantees every output community is internally
+connected (Louvain's known failure mode is disconnected communities).
+
+Determinism (same contract as algos/louvain.py): synchronous rounds in
+phase classes (position mod C), min-id tie-breaks, and Leiden's own
+"only nodes currently alone in their refined community may move" rule,
+which makes refinement monotone. The randomized merge selection of the
+published algorithm is replaced by deterministic argmax-gain — a
+quality-neutral simplification the reference also offers (its
+``randomSeed`` merely fixes its PRNG).
+
+Dataflow cost per level: the same one-scan-per-round shape as Louvain
+(per-(node, community) weight partials, driver-merged), plus one scan
+per refinement round restricted to intra-community edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.louvain import (
+    LouvainResult,
+    _merge_partials,
+    _neighbor_community_weights,
+)
+from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
+
+
+def _strengths(sym: Dataset, level_ids: np.ndarray, internal: np.ndarray) -> np.ndarray:
+    def fn(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        u, inv = np.unique(src, return_inverse=True)
+        s = np.zeros(u.shape[0])
+        np.add.at(s, inv, w)
+        return pa.table({"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())})
+
+    st = collect_arrow(sym.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
+    k = np.zeros(level_ids.shape[0])
+    if st.num_rows:
+        pos = np.searchsorted(level_ids, st.column("node_id").to_numpy(zero_copy_only=False))
+        np.add.at(k, pos, st.column("s").to_numpy(zero_copy_only=False))
+    return k + 2.0 * internal
+
+
+def _exact_q(
+    sym: Dataset, level_ids: np.ndarray, comm: np.ndarray, internal: np.ndarray,
+    k: np.ndarray, m: float,
+) -> float:
+    n = level_ids.shape[0]
+    sigma = np.zeros(n)
+    np.add.at(sigma, comm, k)
+    in_total = np.zeros(n)
+    np.add.at(in_total, comm, internal)
+    ids_ref = ray.put((level_ids, comm))
+    part = _neighbor_community_weights(sym, ids_ref)
+    if part.num_rows:
+        p, c, w = _merge_partials(part, n)
+        intra = comm[p] == c
+        np.add.at(in_total, comm[p[intra]], w[intra] / 2.0)
+    return float(np.sum(in_total / m) - np.sum((sigma / (2 * m)) ** 2))
+
+
+def _local_move(
+    sym: Dataset, level_ids: np.ndarray, k: np.ndarray, internal: np.ndarray,
+    comm: np.ndarray, two_m: float, max_rounds: int, tolerance: float,
+    restrict: np.ndarray | None = None, singleton_only: bool = False,
+) -> tuple[np.ndarray, float, bool]:
+    """Phased synchronous local moving with the monotone-Q guard.
+
+    ``restrict``: optional per-node community cage — a node may only
+    move to a target whose cage equals its own (Leiden refinement).
+    ``singleton_only``: only nodes alone in their current community may
+    move (Leiden refinement rule).
+    """
+    n = level_ids.shape[0]
+    m = two_m / 2.0
+    sigma = np.zeros(n)
+    np.add.at(sigma, comm, k)
+    q = _exact_q(sym, level_ids, comm, internal, k, m)
+    C = 4
+    stall = 0
+    moved_any = False
+    for rnd in range(max_rounds * C):
+        ph = rnd % C
+        ids_ref = ray.put((level_ids, comm))
+        part = _neighbor_community_weights(sym, ids_ref)
+        if part.num_rows == 0:
+            break
+        npos, ncomm, nw = _merge_partials(part, n)
+        if restrict is not None:
+            ok = restrict[npos] == restrict[ncomm]
+            npos, ncomm, nw = npos[ok], ncomm[ok], nw[ok]
+            if npos.shape[0] == 0:
+                break
+        cur = comm[npos]
+        adj = np.where(ncomm == cur, k[npos], 0.0)
+        score = nw - k[npos] * (sigma[ncomm] - adj) / two_m
+        order = np.lexsort((ncomm, -score, npos))
+        npos_o, ncomm_o, score_o = npos[order], ncomm[order], score[order]
+        first = np.r_[True, npos_o[1:] != npos_o[:-1]]
+        b_pos, b_comm, b_score = npos_o[first], ncomm_o[first], score_o[first]
+        stay_kvc = np.zeros(n)
+        is_cur = ncomm == cur
+        np.add.at(stay_kvc, npos[is_cur], nw[is_cur])
+        stay_all = stay_kvc - k * (sigma[comm] - k) / two_m
+        do_move = (
+            (b_comm != comm[b_pos])
+            & (b_score > stay_all[b_pos] + 1e-12)
+            & (b_pos % C == ph)
+        )
+        if singleton_only:
+            size = np.bincount(comm, minlength=n)
+            do_move &= size[comm[b_pos]] == 1
+        if not do_move.any():
+            stall += 1
+            if stall >= C:
+                break
+            continue
+        new_comm = comm.copy()
+        new_comm[b_pos[do_move]] = b_comm[do_move]
+        new_q = _exact_q(sym, level_ids, new_comm, internal, k, m)
+        if new_q <= q + tolerance:
+            stall += 1
+            if stall >= C:
+                break
+            continue
+        comm = new_comm
+        sigma = np.zeros(n)
+        np.add.at(sigma, comm, k)
+        q = new_q
+        moved_any = True
+        stall = 0
+    return comm, q, moved_any
+
+
+def leiden(
+    edges: Dataset,
+    max_levels: int = 10,
+    max_rounds_per_level: int = 10,
+    tolerance: float = 1e-9,
+    num_partitions: int | None = None,
+    weighted: bool = False,
+) -> LouvainResult:
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+
+    base = edges
+    if not weighted:
+        def add_w(t: pa.Table) -> pa.Table:
+            return t.select(["src_id", "dst_id"]).append_column(
+                "weight", pa.array(np.ones(t.num_rows), pa.float64())
+            )
+        base = base.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True)
+    orig_ids = unique_node_ids(edges)
+
+    def lo_hi(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(s, d), pa.int64()),
+                "dst_id": pa.array(np.maximum(s, d), pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+
+    agg = Sum("weight", alias_name="weight") if weighted else Min("weight", alias_name="weight")
+    und = (
+        drop_self_loops(base)
+        .map_batches(lo_hi, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_id", "dst_id"], num_partitions=num_partitions)
+        .aggregate(agg)
+    )
+    sym = symmetrize(und.materialize(), dedup=False).materialize()
+
+    level_ids = orig_ids.copy()
+    min_member = orig_ids.copy()
+    internal = np.zeros(level_ids.shape[0])
+    assign = np.arange(orig_ids.shape[0], dtype=np.int64)
+    # communities of the CURRENT level's supernodes (positional), seeded
+    # from the previous level's local-moving partition
+    comm_seed = np.arange(level_ids.shape[0], dtype=np.int64)
+
+    metrics: list[dict] = []
+    total_q = 0.0
+    final_comm_labels = min_member.copy()
+    level = 0
+    for level in range(1, max_levels + 1):
+        n = level_ids.shape[0]
+        k = _strengths(sym, level_ids, internal)
+        two_m = float(k.sum())
+        if two_m == 0:
+            break
+
+        # ---- phase 1: local moving (Louvain step) --------------------
+        comm, q, moved = _local_move(
+            sym, level_ids, k, internal, comm_seed.copy(), two_m,
+            max_rounds_per_level, tolerance,
+        )
+        total_q = q
+        # canonical label per community = min original member
+        rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, comm, min_member)
+        final_comm_labels = rep[comm[assign]]
+        metrics.append({"level": level, "modularity": q, "n_supernodes": int(n)})
+        if not moved and level > 1:
+            break
+
+        # ---- phase 2: refinement inside each community ---------------
+        ref, _, _ = _local_move(
+            sym, level_ids, k, internal, np.arange(n, dtype=np.int64), two_m,
+            max_rounds_per_level, tolerance,
+            restrict=comm, singleton_only=True,
+        )
+
+        # ---- coarsen by the REFINED partition ------------------------
+        ref_rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(ref_rep, ref, min_member)
+        new_labels = ref_rep[ref]
+        u_new, comp_pos = np.unique(new_labels, return_inverse=True)
+        if u_new.shape[0] == n:
+            break  # refinement kept everything singleton → done
+
+        new_internal = np.zeros(u_new.shape[0])
+        np.add.at(new_internal, comp_pos, internal)
+        ids_ref3 = ray.put((level_ids, ref))
+        part3 = _neighbor_community_weights(sym, ids_ref3)
+        if part3.num_rows:
+            p3, c3, w3 = _merge_partials(part3, n)
+            intra3 = ref[p3] == c3
+            np.add.at(new_internal, comp_pos[p3[intra3]], w3[intra3] / 2.0)
+
+        map_ref = ray.put((level_ids, new_labels))
+
+        def coarsen_fn(t: pa.Table) -> pa.Table:
+            ids, lab = ray.get(map_ref)
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+            w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            cs = lab[np.searchsorted(ids, src)]
+            cd = lab[np.searchsorted(ids, dst)]
+            keep = cs != cd
+            return pa.table(
+                {
+                    "src_id": pa.array(cs[keep], pa.int64()),
+                    "dst_id": pa.array(cd[keep], pa.int64()),
+                    "weight": pa.array(w[keep], pa.float64()),
+                }
+            )
+
+        sym = (
+            sym.map_batches(coarsen_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["src_id", "dst_id"], num_partitions=num_partitions)
+            .aggregate(Sum("weight", alias_name="weight"))
+            .materialize()
+        )
+
+        # seed next level's communities from THIS level's local-moving
+        # partition: refined supernode p inherits comm[p]'s group
+        next_seed = np.full(u_new.shape[0], -1, dtype=np.int64)
+        next_seed[comp_pos] = comm  # last-writer; all writers in a
+        # refined group share the same comm by the restrict cage
+        # normalize seeds to 0..n_new-1 group ids
+        _, next_seed = np.unique(next_seed, return_inverse=True)
+
+        assign = comp_pos[assign]
+        new_min = np.full(u_new.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(new_min, comp_pos, min_member)
+        level_ids = u_new
+        min_member = new_min
+        internal = new_internal
+        comm_seed = next_seed.astype(np.int64)
+
+    return LouvainResult(orig_ids, final_comm_labels, total_q, level, metrics)

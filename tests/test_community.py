@@ -336,3 +336,51 @@ def test_betweenness_sampled_subset():
     exp = nx.betweenness_centrality_subset(g, sources=srcs, targets=list(g.nodes()), normalized=False)
     for u, v in exp.items():
         assert got[u] == pytest.approx(v, abs=1e-9), u
+
+
+def test_leiden_recovers_cliques_and_connected():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.leiden import leiden
+
+    t = _cliques_with_bridges()
+    res = leiden(from_arrow(t), num_partitions=2)
+    got = res.as_dict()
+    for c in range(4):
+        labels = {got[c * 10 + i] for i in range(5)}
+        assert len(labels) == 1, (c, labels)
+    assert len({got[c * 10] for c in range(4)}) == 4
+    assert res.modularity > 0.5
+    # Leiden guarantee: every community induces a connected subgraph
+    g = _nx_graph(t)
+    comms = {}
+    for u, c in got.items():
+        comms.setdefault(c, set()).add(u)
+    for c, members in comms.items():
+        sub = g.subgraph(members)
+        assert nx.is_connected(sub), c
+
+
+def test_leiden_deterministic_and_quality():
+    import networkx as nx
+    import networkx.algorithms.community as nxc
+
+    from graph_data_science_ray.algos.leiden import leiden
+
+    t = fixtures.powerlaw(150, seed=6)
+    r1 = leiden(from_arrow(t), num_partitions=2)
+    r2 = leiden(from_arrow(t), num_partitions=3)
+    assert np.array_equal(r1.values, r2.values)
+    g = _nx_graph(t)
+    part = {}
+    for u, c in r1.as_dict().items():
+        part.setdefault(c, set()).add(u)
+    groups = [s & set(g.nodes()) for s in part.values()]
+    expected_q = nxc.modularity(g, [s for s in groups if s])
+    assert r1.modularity == pytest.approx(expected_q, abs=1e-9)
+    assert r1.modularity > 0.17
+    # connectivity guarantee holds on the organic graph too
+    for members in part.values():
+        live = members & set(g.nodes())
+        if len(live) > 1:
+            assert nx.is_connected(g.subgraph(live))
