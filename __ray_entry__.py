@@ -361,6 +361,37 @@ def _q_toposort(sf_dir: str):
     return topological_sort(_edges_op(sf_dir)).to_table()
 
 
+def _q_toposort_k6(sf_dir: str):
+    """Bounded 6-round peel — identical to the SQL oracle's 6 chained
+    peels by construction (and to the full run when depth < 6)."""
+    from graph_data_science_ray.algos.toposort import topological_sort
+
+    return topological_sort(_edges_op(sf_dir), max_rounds=6).to_table()
+
+
+def _toposort_sql(k: int = 6) -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_E_OP}),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0)),",
+        "p0 AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT dst_id FROM e0)),",
+        "cum0 AS MATERIALIZED (SELECT node FROM p0),",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT node FROM nodes WHERE "
+            f"node NOT IN (SELECT node FROM cum{i-1}) AND node NOT IN "
+            f"(SELECT dst_id FROM e0 WHERE src_id NOT IN (SELECT node FROM cum{i-1}))),"
+        )
+        parts.append(
+            f"cum{i} AS MATERIALIZED (SELECT node FROM cum{i-1} UNION ALL SELECT node FROM p{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    union = " UNION ALL ".join(f"SELECT node, {i} AS lvl FROM p{i}" for i in range(k))
+    parts.append(f"SELECT node AS node_id, CAST(lvl AS BIGINT) AS level FROM ({union})")
+    return "\n".join(parts)
+
+
 def _q_k1coloring(sf_dir: str):
     from graph_data_science_ray.algos.kcoloring import k1coloring
 
@@ -687,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,
+        "toposort_k6": _q_toposort_k6,
         "betweenness_32src": _q_betweenness32,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
@@ -954,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_k10": _eigenvector_sql(10),
         "label_propagation": _lpa_sql(10),
         "kcore_h8": _kcore_sql(8),
+        "toposort_k6": _toposort_sql(6),
         "modularity_mod7": _COMM_SQL_CORE + (
             "SELECT community, internal_edges, cut_edges, volume, "
             "ROUND(internal_edges / (tot.two_m / 2.0) "
