@@ -25,6 +25,21 @@ from graph_data_science_ray.algos.wcc import wcc
 from graph_data_science_ray.algos.labelprop import label_propagation
 from graph_data_science_ray.algos.triangles import triangle_count
 from graph_data_science_ray.algos.degree import degree
+from graph_data_science_ray.algos.betweenness import betweenness_centrality
+from graph_data_science_ray.algos.community import conductance, modularity
+from graph_data_science_ray.algos.fastrp import fastrp
+from graph_data_science_ray.algos.hashgnn import hashgnn
+from graph_data_science_ray.algos.kcore import core_decomposition
+from graph_data_science_ray.algos.kcoloring import k1coloring
+from graph_data_science_ray.algos.leiden import leiden
+from graph_data_science_ray.algos.louvain import louvain
+from graph_data_science_ray.algos.msbfs import closeness_centrality, harmonic_centrality
+from graph_data_science_ray.algos.mst import minimum_spanning_forest
+from graph_data_science_ray.algos.nodesim import node_similarity
+from graph_data_science_ray.algos.paths import bellman_ford, bfs_hops
+from graph_data_science_ray.algos.randomwalk import random_walks, sample_rwr
+from graph_data_science_ray.algos.scc import strongly_connected_components
+from graph_data_science_ray.algos.toposort import topological_sort
 
 __all__ = [
     "configure_ray_data",
@@ -33,6 +48,25 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "degree",
+    "betweenness_centrality",
+    "modularity",
+    "conductance",
+    "fastrp",
+    "hashgnn",
+    "core_decomposition",
+    "k1coloring",
+    "leiden",
+    "louvain",
+    "closeness_centrality",
+    "harmonic_centrality",
+    "minimum_spanning_forest",
+    "node_similarity",
+    "bellman_ford",
+    "bfs_hops",
+    "random_walks",
+    "sample_rwr",
+    "strongly_connected_components",
+    "topological_sort",
 ]
 
 __version__ = "0.1.0"
