@@ -128,8 +128,19 @@ def _triangles_broadcast(
         u_, c_ = np.unique(corners, return_counts=True)
         return pa.table({"rank": pa.array(u_, pa.int64()), "c": pa.array(c_, pa.int64())})
 
+    # ray.data.range(n) yields ONE tiny block → one task → one core, and
+    # contiguous rank ranges skew (high ranks = high degree). Interleave
+    # ranks across CPU-proportional blocks so every task spans the
+    # degree spectrum and wedge work balances.
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:
+        cpus = 8
+    tb = min(max(cpus * 4, 16), max(n, 1))
+    perm = np.argsort(np.arange(n, dtype=np.int64) % tb, kind="stable")
+    ids_ds = ray.data.from_arrow(pa.table({"id": pa.array(perm, pa.int64())})).repartition(tb)
     partials = collect_arrow(
-        ray.data.range(n).map_batches(count_batch, batch_format="pyarrow", batch_size=65536)
+        ids_ds.map_batches(count_batch, batch_format="pyarrow", batch_size=None)
     )
     counts_r = np.zeros(n, dtype=np.int64)
     if partials.num_rows:
