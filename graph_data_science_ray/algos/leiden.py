@@ -58,19 +58,19 @@ def _strengths(sym: Dataset, level_ids: np.ndarray, internal: np.ndarray) -> np.
     return k + 2.0 * internal
 
 
-def _exact_q(
-    sym: Dataset, level_ids: np.ndarray, comm: np.ndarray, internal: np.ndarray,
+def _q_from_rows(
+    rows, level_ids: np.ndarray, comm: np.ndarray, internal: np.ndarray,
     k: np.ndarray, m: float,
 ) -> float:
+    """Exact modularity from already-merged (node_pos, nbr_comm, w) rows
+    gathered under the SAME ``comm`` assignment — no extra scan."""
     n = level_ids.shape[0]
     sigma = np.zeros(n)
     np.add.at(sigma, comm, k)
     in_total = np.zeros(n)
     np.add.at(in_total, comm, internal)
-    ids_ref = ray.put((level_ids, comm))
-    part = _neighbor_community_weights(sym, ids_ref)
-    if part.num_rows:
-        p, c, w = _merge_partials(part, n)
+    if rows is not None:
+        p, c, w = rows
         intra = comm[p] == c
         np.add.at(in_total, comm[p[intra]], w[intra] / 2.0)
     return float(np.sum(in_total / m) - np.sum((sigma / (2 * m)) ** 2))
@@ -92,17 +92,20 @@ def _local_move(
     m = two_m / 2.0
     sigma = np.zeros(n)
     np.add.at(sigma, comm, k)
-    q = _exact_q(sym, level_ids, comm, internal, k, m)
     C = 4
     stall = 0
     moved_any = False
+    # ONE scan per round: the acceptance scan under the tentative
+    # assignment is reused as the next round's candidate rows.
+    ids_ref = ray.put((level_ids, comm))
+    part = _neighbor_community_weights(sym, ids_ref)
+    rows = _merge_partials(part, n) if part.num_rows else None
+    q = _q_from_rows(rows, level_ids, comm, internal, k, m)
     for rnd in range(max_rounds * C):
         ph = rnd % C
-        ids_ref = ray.put((level_ids, comm))
-        part = _neighbor_community_weights(sym, ids_ref)
-        if part.num_rows == 0:
+        if rows is None:
             break
-        npos, ncomm, nw = _merge_partials(part, n)
+        npos, ncomm, nw = rows
         if restrict is not None:
             ok = restrict[npos] == restrict[ncomm]
             npos, ncomm, nw = npos[ok], ncomm[ok], nw[ok]
@@ -134,7 +137,10 @@ def _local_move(
             continue
         new_comm = comm.copy()
         new_comm[b_pos[do_move]] = b_comm[do_move]
-        new_q = _exact_q(sym, level_ids, new_comm, internal, k, m)
+        ids_ref2 = ray.put((level_ids, new_comm))
+        part2 = _neighbor_community_weights(sym, ids_ref2)
+        rows2 = _merge_partials(part2, n) if part2.num_rows else None
+        new_q = _q_from_rows(rows2, level_ids, new_comm, internal, k, m)
         if new_q <= q + tolerance:
             stall += 1
             if stall >= C:
@@ -144,6 +150,7 @@ def _local_move(
         sigma = np.zeros(n)
         np.add.at(sigma, comm, k)
         q = new_q
+        rows = rows2  # reuse the acceptance scan's rows
         moved_any = True
         stall = 0
     return comm, q, moved_any

@@ -199,13 +199,20 @@ def louvain(
         C = 4
         moved_any = False
         stall = 0
+        # ONE scan per round: the acceptance scan under the tentative
+        # assignment doubles as the next round's candidate rows (on
+        # reject the old rows stay valid — comm didn't change).
+        ids_ref = ray.put((level_ids, comm))
+        part = _neighbor_community_weights(sym, ids_ref)
+        if part.num_rows == 0:
+            rows = None
+        else:
+            rows = _merge_partials(part, n)
         for rnd in range(max_rounds_per_level * C):
             ph = rnd % C
-            ids_ref = ray.put((level_ids, comm))
-            part = _neighbor_community_weights(sym, ids_ref)
-            if part.num_rows == 0:
+            if rows is None:
                 break
-            npos, ncomm, nw = _merge_partials(part, n)
+            npos, ncomm, nw = rows
             # score(c) = k_vc − k_v·(Σ_c − [c==cur]·k_v)/(2m); compare vs stay
             cur = comm[npos]
             adj = np.where(ncomm == cur, k[npos], 0.0)
@@ -253,6 +260,7 @@ def louvain(
                     break
                 continue
             comm, sigma, q = new_comm, new_sigma, new_q
+            rows = (p2, c2, w2)  # reuse the acceptance scan's rows
             moved_any = True
             stall = 0
 
