@@ -405,6 +405,12 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_sllpa(sf_dir: str):
+    from graph_data_science_ray.algos.sllpa import sllpa
+
+    return sllpa(_edges_ps(sf_dir), max_iterations=20, threshold=0.1).to_table()
+
+
 def _q_leiden(sf_dir: str):
     from graph_data_science_ray.algos.leiden import leiden
 
@@ -715,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_forest": _q_mst,
         "louvain": _q_louvain,
         "leiden": _q_leiden,
+        "sllpa": _q_sllpa,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,

@@ -384,3 +384,44 @@ def test_leiden_deterministic_and_quality():
         live = members & set(g.nodes())
         if len(live) > 1:
             assert nx.is_connected(g.subgraph(live))
+
+
+def test_sllpa_overlapping_bridge_node():
+    from graph_data_science_ray.algos.sllpa import sllpa
+
+    # two 6-cliques sharing node 50
+    pairs = []
+    for base, members in ((0, list(range(5)) + [50]), (100, list(range(100, 105)) + [50])):
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.append((members[i], members[j]))
+    t = fixtures.edges_table(pairs)
+    res = sllpa(from_arrow(t), max_iterations=30, threshold=0.12, seed=3, num_partitions=2)
+    bridge = set(res.communities_of(50))
+    # the shared node retains labels from both cliques
+    left_labels = set()
+    for i in (0, 1, 2):
+        left_labels |= set(res.communities_of(i))
+    right_labels = set()
+    for i in (100, 101, 102):
+        right_labels |= set(res.communities_of(i))
+    assert bridge & left_labels, (bridge, left_labels)
+    assert bridge & right_labels, (bridge, right_labels)
+
+    res2 = sllpa(from_arrow(t), max_iterations=30, threshold=0.12, seed=3, num_partitions=3)
+    assert res.to_table().equals(res2.to_table()), "must be partitioning-invariant"
+
+
+def test_sllpa_disjoint_cliques_partition():
+    from graph_data_science_ray.algos.sllpa import sllpa
+
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    res = sllpa(from_arrow(fixtures.edges_table(pairs)), max_iterations=20, threshold=0.3, num_partitions=2)
+    t = res.to_table()
+    labs = {}
+    for r in t.to_pylist():
+        labs.setdefault(r["node_id"], set()).add(r["label"])
+    # labels never cross the component boundary
+    left = set().union(*(labs[u] for u in (0, 1, 2)))
+    right = set().union(*(labs[u] for u in (10, 11, 12)))
+    assert not (left & right)
