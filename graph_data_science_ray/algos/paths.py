@@ -63,16 +63,18 @@ def _make_relax_stage(weighted: bool):
 
     def make(state_ref):
         def fn(batch: pa.Table) -> pa.Table:
-            ids, dist = ray.get(state_ref)
+            ids, dist, frontier = ray.get(state_ref)
             src = batch.column("src_id").to_numpy(zero_copy_only=False)
             dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
-            d_src = dist[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            sp = np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)
+            d_src = dist[sp]
+            active = frontier[sp]  # only improved srcs can improve dsts
             if weighted:
                 w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
-                finite = np.isfinite(d_src)
+                finite = active & np.isfinite(d_src)
                 cand = np.where(finite, d_src + w, np.inf)
             else:
-                finite = d_src < _INF_I64
+                finite = active & (d_src < _INF_I64)
                 cand = np.where(finite, d_src + 1, _INF_I64)
             if not finite.any():
                 sch = pa.schema(
@@ -91,6 +93,8 @@ def _make_relax_stage(weighted: bool):
 
 
 def _merge_min_any(t: pa.Table) -> pa.Table:
+    if "node_id" not in t.column_names:  # frontier drained: no emissions
+        return pa.schema([("node_id", pa.int64()), ("cand", pa.float64())]).empty_table()
     ids = t.column("node_id").to_numpy(zero_copy_only=False)
     vals = t.column("cand").to_numpy(zero_copy_only=False)
     u, inv = np.unique(ids, return_inverse=True)
@@ -152,6 +156,7 @@ def _relax_loop(
         materialize_edges=False,
         reduce=reduce,
         driver_reduce=_merge_min_any,
+        pass_frontier=True,
     )
     return res
 
