@@ -34,10 +34,17 @@ from graph_data_science_ray.sources.edges import symmetrize
 
 def _make_stage(state_ref):
     def fn(batch: pa.Table) -> pa.Table:
-        ids, labels = ray.get(state_ref)
+        ids, labels, frontier = ray.get(state_ref)
         src = batch.column("src_id").to_numpy(zero_copy_only=False)
         dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
-        src_label = labels[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+        sp = np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)
+        # frontier-limited: only a label that DECREASED last round can
+        # decrease a neighbor (min-propagation is monotone)
+        active = frontier[sp]
+        src, dst, sp = src[active], dst[active], sp[active]
+        if src.shape[0] == 0:
+            return pa.schema([("node_id", pa.int64()), ("nbr_min", pa.int64())]).empty_table()
+        src_label = labels[sp]
         # within-batch combiner: min src-label per dst before the shuffle
         u_dst, inv = np.unique(dst, return_inverse=True)
         best = np.full(u_dst.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
@@ -115,5 +122,6 @@ def wcc(
         materialize_edges=False,
         reduce=reduce,
         driver_reduce=_driver_reduce,
+        pass_frontier=True,
     )
     return res
