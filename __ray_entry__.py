@@ -405,6 +405,13 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_celf(sf_dir: str):
+    from graph_data_science_ray.algos.celf import celf
+
+    res = celf(_edges_ps(sf_dir), k=5, propagation_probability=0.02, simulations=4)
+    return res.to_table()
+
+
 def _q_sllpa(sf_dir: str):
     from graph_data_science_ray.algos.sllpa import sllpa
 
@@ -722,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "leiden": _q_leiden,
         "sllpa": _q_sllpa,
+        "celf_im": _q_celf,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,

@@ -1,0 +1,162 @@
+"""CELF influence maximization — live-edge cascades + lazy greedy.
+
+Reference semantics (``gds.influenceMaximization.celf``,
+[GDS-pub: algo/.../influenceMaximization/]): pick k seed nodes
+maximizing expected spread under the Independent Cascade model
+(each edge transmits independently with probability p), estimated by
+Monte-Carlo simulation; CELF (Leskovec et al., public) is the
+lazy-greedy that exploits submodularity to skip re-evaluations.
+
+This engine's construction (public technique — live-edge / reachability
+sketches): a cascade is equivalent to percolating each undirected edge
+with probability p and spreading to the seed's connected component in
+the surviving "live" subgraph. So:
+
+1. For each of R simulations, filter the edge table by the repo's
+   hash-determinism rule — pair {u,v} is live in simulation r iff
+   ``mix64(seed, r, lo, hi) mod 2^20 < p·2^20`` (one scan, then this
+   engine's own frontier-limited WCC on the survivor edges).
+2. Per simulation keep the node→component map + component sizes
+   (node-sized driver state × R).
+3. Lazy greedy on the driver: marginal gain of u = (1/R) Σ_r
+   |comp_r(u)| if comp_r(u) is not already covered by an earlier seed
+   (0 if covered; 1 + nothing if u isolated in r). Submodular ⇒ CELF's
+   stale-top re-evaluation is exact.
+
+Deterministic end-to-end: same (graph, k, p, R, seed) → same seeds and
+the same spread estimate, on any partitioning or cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from graph_data_science_ray.algos.common import unique_node_ids
+from graph_data_science_ray.algos.wcc import wcc
+from graph_data_science_ray.context import configure_ray_data
+from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class CelfResult:
+    def __init__(self, seeds: list[int], spreads: list[float], expected_spread: float):
+        self.seeds = seeds
+        self.spreads = spreads  # cumulative expected spread after each seed
+        self.expected_spread = expected_spread
+
+    def to_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "seed_rank": pa.array(range(len(self.seeds)), pa.int64()),
+                "node_id": pa.array(self.seeds, pa.int64()),
+                "cumulative_spread": pa.array(
+                    np.round(self.spreads, 6), pa.float64()
+                ),
+            }
+        )
+
+
+def celf(
+    edges: Dataset,
+    k: int = 5,
+    propagation_probability: float = 0.1,
+    simulations: int = 32,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> CelfResult:
+    configure_ray_data()
+    sym = drop_self_loops(
+        symmetrize(edges, dedup=True, num_partitions=num_partitions)
+    ).materialize()
+    node_ids = unique_node_ids(sym)
+    n = node_ids.shape[0]
+    if n == 0:
+        return CelfResult([], [], 0.0)
+    thresh = np.uint64(int(propagation_probability * (1 << 20)))
+
+    comp = np.empty((simulations, n), dtype=np.int64)   # component per node
+    size = []                                            # per sim: comp id → size
+
+    for r in range(simulations):
+        salt = np.uint64((seed * 0x9E3779B97F4A7C15 + r * 0xC2B2AE35) & ((1 << 64) - 1))
+
+        def live(t: pa.Table, _salt=salt) -> pa.Table:
+            s = t.column("src_id").to_numpy(zero_copy_only=False)
+            d = t.column("dst_id").to_numpy(zero_copy_only=False)
+            lo = np.minimum(s, d).astype(np.uint64)
+            hi = np.maximum(s, d).astype(np.uint64)
+            h = _mix(lo * np.uint64(0x9E3779B97F4A7C15) ^ hi ^ _salt)
+            return t.filter(pa.array((h % np.uint64(1 << 20)) < thresh))
+
+        live_edges = sym.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+        res = wcc(live_edges.materialize(), pre_symmetrized=True, num_partitions=num_partitions)
+        # map live-graph components onto the full node universe; nodes
+        # with no live edge are their own singleton component
+        comp_r = node_ids.copy()
+        if res.node_ids.shape[0]:
+            pos = np.searchsorted(node_ids, res.node_ids)
+            comp_r[pos] = res.values
+        comp[r] = comp_r
+        u, inv = np.unique(comp_r, return_inverse=True)
+        sizes = np.bincount(inv)
+        # store as dense lookup aligned with comp_r via searchsorted
+        size.append((u, sizes))
+
+    # per (sim, node): component size
+    gain_tbl = np.empty((simulations, n), dtype=np.float64)
+    for r in range(simulations):
+        u, sizes = size[r]
+        gain_tbl[r] = sizes[np.searchsorted(u, comp[r])]
+
+    covered = [set() for _ in range(simulations)]
+    base_gain = gain_tbl.mean(axis=0)
+
+    # CELF lazy greedy
+    order = np.argsort(-base_gain, kind="stable")
+    cand_gain = base_gain.copy()
+    stale = np.zeros(n, dtype=np.int64)  # last seed-round the gain was computed
+    seeds: list[int] = []
+    spreads: list[float] = []
+    total = 0.0
+    chosen = np.zeros(n, dtype=bool)
+    import heapq
+
+    heap = [(-cand_gain[i], int(node_ids[i]), int(i)) for i in range(n)]
+    heapq.heapify(heap)
+    for round_i in range(min(k, n)):
+        while True:
+            negg, nid, i = heapq.heappop(heap)
+            if chosen[i]:
+                continue
+            if stale[i] == round_i:
+                break
+            # re-evaluate marginal gain against current coverage
+            g = 0.0
+            for r in range(simulations):
+                c = comp[r, i]
+                if c not in covered[r]:
+                    g += gain_tbl[r, i]
+            g /= simulations
+            stale[i] = round_i
+            heapq.heappush(heap, (-g, nid, i))
+        chosen[i] = True
+        seeds.append(int(node_ids[i]))
+        total += -negg
+        spreads.append(total)
+        for r in range(simulations):
+            covered[r].add(comp[r, i])
+
+    return CelfResult(seeds, spreads, total)

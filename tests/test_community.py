@@ -425,3 +425,34 @@ def test_sllpa_disjoint_cliques_partition():
     left = set().union(*(labs[u] for u in (0, 1, 2)))
     right = set().union(*(labs[u] for u in (10, 11, 12)))
     assert not (left & right)
+
+
+def test_celf_deterministic_structure():
+    from graph_data_science_ray.algos.celf import celf
+
+    # two disjoint triangles, p=1 → each triangle one component
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    t = fixtures.edges_table(pairs)
+    res = celf(from_arrow(t), k=2, propagation_probability=1.0, simulations=4, num_partitions=2)
+    assert res.seeds == [0, 10]
+    assert res.expected_spread == pytest.approx(6.0)
+
+    # p=0 → everyone isolated; smallest ids win, spread = k
+    res0 = celf(from_arrow(t), k=2, propagation_probability=0.0, simulations=4, num_partitions=2)
+    assert res0.seeds == [0, 1] and res0.expected_spread == pytest.approx(2.0)
+
+
+def test_celf_star_hub_first_and_invariant():
+    from graph_data_science_ray.algos.celf import celf
+
+    res = celf(from_arrow(fixtures.star_hub()), k=1, propagation_probability=1.0, simulations=2, num_partitions=2)
+    assert res.seeds == [0]
+    assert res.expected_spread == pytest.approx(10.0)
+
+    t = fixtures.powerlaw(80, seed=5)
+    a = celf(from_arrow(t), k=3, propagation_probability=0.2, simulations=6, seed=9, num_partitions=2)
+    b = celf(from_arrow(t), k=3, propagation_probability=0.2, simulations=6, seed=9, num_partitions=3)
+    assert a.seeds == b.seeds and a.spreads == b.spreads
+    # submodularity: marginal gains non-increasing
+    marg = np.diff([0.0] + a.spreads)
+    assert all(marg[i] + 1e-9 >= marg[i + 1] for i in range(len(marg) - 1))
