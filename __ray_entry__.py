@@ -111,6 +111,35 @@ def _q_pagerank_k(sf_dir: str):
     return _pagerank_table(res)
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    from graph_data_science_ray.algos.pagerank import pagerank
+
+    res = pagerank(
+        _edges_ps_weighted(sf_dir),
+        damping=DAMPING,
+        max_iterations=PR_ITERS,
+        tolerance=0.0,
+        weighted=True,
+    )
+    return _pagerank_table(res)
+
+
+def _q_pagerank_personalized(sf_dir: str):
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.pagerank import pagerank
+
+    edges = _edges_op(sf_dir)
+    srcs = unique_node_ids(edges)[:4].tolist()
+    res = pagerank(
+        edges,
+        damping=DAMPING,
+        max_iterations=PR_ITERS,
+        tolerance=0.0,
+        source_nodes=srcs,
+    )
+    return _pagerank_table(res)
+
+
 def _q_pagerank_csr_k(sf_dir: str):
     from graph_data_science_ray.state.engine import CsrEngine
 
@@ -695,6 +724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_topk": _q_degree_topk,
         "pagerank_k5": _q_pagerank_k,
         "pagerank_csr_k5": _q_pagerank_csr_k,
+        "pagerank_weighted_k5": _q_pagerank_weighted,
+        "pagerank_personalized_k5": _q_pagerank_personalized,
         "wcc": _q_wcc,
         "wcc_sizes": _q_wcc_sizes,
         "triangles_global": _q_triangles_global,
@@ -771,6 +802,56 @@ def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING, denom: str = "deg.outde
             f"FROM nodes n LEFT JOIN (SELECT e.dst_id AS node, SUM(r{i-1}.r / ({denom})) AS contrib "
             f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node JOIN deg ON e.src_id = deg.src_id "
             f"CROSS JOIN avgdeg GROUP BY e.dst_id) s ON n.node = s.node),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
+
+
+_E_PS_W = (
+    "SELECT l_partkey AS src_id, l_suppkey AS dst_id, "
+    "CAST(MIN(l_quantity) AS DOUBLE) AS weight FROM lineitem GROUP BY 1, 2"
+)
+
+
+def _pagerank_weighted_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
+    """Weighted GDS PageRank (contribution ∝ w/Σw_out) on the ps
+    projection with Aggregation.MIN weights."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_PS_W}),",
+        "nodes AS MATERIALIZED (SELECT src_id AS node FROM e UNION SELECT dst_id FROM e),",
+        "deg AS MATERIALIZED (SELECT src_id, CAST(SUM(weight) AS DOUBLE) AS outw FROM e GROUP BY src_id),",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.node, {1 - d} + {d} * COALESCE(s.contrib, 0) AS r "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst_id AS node, "
+            f"SUM(r{i-1}.r * e.weight / deg.outw) AS contrib "
+            f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node JOIN deg ON e.src_id = deg.src_id "
+            f"GROUP BY e.dst_id) s ON n.node = s.node),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
+
+
+def _pagerank_personalized_sql(k: int = PR_ITERS, d: float = DAMPING, n_src: int = 4) -> str:
+    """Personalized PageRank: the (1−d) teleport base only at the n_src
+    smallest node ids; r0 = base (matches algos/pagerank.py sourceNodes)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_OP}),",
+        "nodes AS MATERIALIZED (SELECT src_id AS node FROM e UNION SELECT dst_id FROM e),",
+        f"srcs AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT {n_src}),",
+        "deg AS MATERIALIZED (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src_id),",
+        f"base AS MATERIALIZED (SELECT nodes.node, CASE WHEN srcs.node IS NULL THEN 0.0 ELSE {1 - d} END AS b "
+        "FROM nodes LEFT JOIN srcs ON nodes.node = srcs.node),",
+        "r0 AS MATERIALIZED (SELECT node, b AS r FROM base),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT base.node, base.b + {d} * COALESCE(s.contrib, 0) AS r "
+            f"FROM base LEFT JOIN (SELECT e.dst_id AS node, SUM(r{i-1}.r / deg.outdeg) AS contrib "
+            f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node JOIN deg ON e.src_id = deg.src_id "
+            f"GROUP BY e.dst_id) s ON base.node = s.node),"
         )
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
@@ -959,6 +1040,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_k5": _pagerank_sql(),
         "pagerank_csr_k5": _pagerank_sql(),
+        "pagerank_weighted_k5": _pagerank_weighted_sql(),
+        "pagerank_personalized_k5": _pagerank_personalized_sql(),
         "article_rank_k5": _pagerank_sql(denom="deg.outdeg + avgdeg.a"),
         "local_clustering_coefficient": _TRI_SQL_CORE + (
             ", deg AS (SELECT node_id, CAST(COUNT(*) AS DOUBLE) AS d FROM "

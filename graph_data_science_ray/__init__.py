@@ -39,6 +39,8 @@ from graph_data_science_ray.algos.nodesim import node_similarity
 from graph_data_science_ray.algos.paths import bellman_ford, bfs_hops
 from graph_data_science_ray.algos.randomwalk import random_walks, sample_rwr
 from graph_data_science_ray.algos.scc import strongly_connected_components
+from graph_data_science_ray.algos.sllpa import sllpa
+from graph_data_science_ray.algos.celf import celf
 from graph_data_science_ray.algos.toposort import topological_sort
 
 __all__ = [
@@ -66,6 +68,8 @@ __all__ = [
     "random_walks",
     "sample_rwr",
     "strongly_connected_components",
+    "sllpa",
+    "celf",
     "topological_sort",
 ]
 
