@@ -434,6 +434,12 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_knn(sf_dir: str):
+    from graph_data_science_ray.algos.knn import knn_graph
+
+    return knn_graph(_edges_ps(sf_dir), k=5, embedding_dimension=32)
+
+
 def _q_celf(sf_dir: str):
     from graph_data_science_ray.algos.celf import celf
 
@@ -761,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leiden": _q_leiden,
         "sllpa": _q_sllpa,
         "celf_im": _q_celf,
+        "knn_fastrp": _q_knn,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,

@@ -1,0 +1,88 @@
+"""KNN — k nearest neighbors per node over node-property vectors.
+
+Reference semantics (``gds.knn``, [GDS-pub: algo/.../knn/]): for every
+node, the k most similar nodes by a node-property vector (cosine), with
+the reference using randomized neighbor-list refinement (NN-Descent)
+for scale. This engine composes its existing primitives instead:
+
+- property vectors default to this repo's FastRP embeddings (or any
+  caller-provided (node_id, embedding) source),
+- exact top-k by the broadcast-matrix idiom: the normalized (n × d)
+  matrix is ``ray.put`` once (node-vector × d — the standing driver
+  assumption), and the embedding rows stream through ``map_batches``,
+  each batch computing sims against the broadcast matrix and keeping
+  its rows' top-k (self excluded). Exact, deterministic, one scan; the
+  LSH-bucketed variant in stages/embed.py is the beyond-n² scale path.
+
+Output: (node_id, neighbour_id, similarity) — GDS stream-mode shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+from graph_data_science_ray.algos.fastrp import fastrp
+from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+
+
+def knn_graph(
+    edges: Dataset,
+    k: int = 5,
+    embedding_dimension: int = 64,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """KNN over FastRP embeddings of the graph itself."""
+    node_ids, emb = fastrp(edges, embedding_dimension=embedding_dimension, seed=seed)
+    return knn_matrix(node_ids, emb, k=k, num_partitions=num_partitions)
+
+
+def knn_matrix(
+    node_ids: np.ndarray,
+    emb: np.ndarray,
+    k: int = 5,
+    num_partitions: int | None = None,
+) -> Dataset:
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    m = np.divide(emb, norms, out=np.zeros_like(emb), where=norms > 0)
+    mat_ref = ray.put((node_ids, m))
+
+    rows = pa.table({"pos": pa.array(np.arange(node_ids.shape[0]), pa.int64())})
+    ds = ray.data.from_arrow(rows).repartition(min(num_partitions, max(1, node_ids.shape[0])))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids, mm = ray.get(mat_ref)
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        sims = mm[pos] @ mm.T  # (b, n)
+        sims[np.arange(pos.shape[0]), pos] = -np.inf  # exclude self
+        kk = min(k, mm.shape[0] - 1)
+        if kk <= 0:
+            return pa.table(
+                {
+                    "node_id": pa.array([], pa.int64()),
+                    "neighbour_id": pa.array([], pa.int64()),
+                    "similarity": pa.array([], pa.float64()),
+                }
+            )
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        sc = np.take_along_axis(sims, part, axis=1)
+        # deterministic order within each row: (-score, neighbour id)
+        ord2 = np.lexsort((ids[part], -sc), axis=1)
+        part = np.take_along_axis(part, ord2, axis=1)
+        sc = np.take_along_axis(sc, ord2, axis=1)
+        return pa.table(
+            {
+                "node_id": pa.array(np.repeat(ids[pos], kk), pa.int64()),
+                "neighbour_id": pa.array(ids[part.ravel()], pa.int64()),
+                "similarity": pa.array(np.round(sc.ravel(), 9), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)

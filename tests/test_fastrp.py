@@ -117,3 +117,35 @@ def test_hashgnn_isolated_node_keeps_own_features():
     e = hashgnn(from_arrow(t), dimension=64, base_density=3, embedding_density=8, iterations=1, seed=9, num_partitions=2)
     got = {r["node_id"]: set(r["features"]) for r in e.to_pylist()}
     assert got[7], "node with only a self-loop still has features"
+
+
+def test_knn_graph_matches_numpy_oracle():
+    import numpy as np
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.fastrp import fastrp
+    from graph_data_science_ray.algos.knn import knn_graph, knn_matrix
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.powerlaw(80, seed=4)
+    ids, emb = fastrp(from_arrow(t), embedding_dimension=32, seed=7)
+    got = knn_matrix(ids, emb, k=3, num_partitions=2).take_all()
+    # numpy oracle
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    m = np.divide(emb, norms, out=np.zeros_like(emb), where=norms > 0)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    by_node = {}
+    for r in got:
+        by_node.setdefault(r["node_id"], []).append((r["neighbour_id"], r["similarity"]))
+    for i, nid in enumerate(ids.tolist()):
+        exp_order = sorted(
+            ((ids[j], round(sims[i, j], 9)) for j in range(len(ids)) if j != i),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        assert by_node[nid] == exp_order, nid
+
+    a = knn_graph(from_arrow(t), k=3, embedding_dimension=32, num_partitions=2).take_all()
+    b = knn_graph(from_arrow(t), k=3, embedding_dimension=32, num_partitions=3).take_all()
+    key = lambda r: (r["node_id"], r["neighbour_id"])
+    assert sorted(a, key=key) == sorted(b, key=key)
