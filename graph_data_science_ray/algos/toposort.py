@@ -33,6 +33,8 @@ class TopoResult:
     def __init__(self, node_ids, levels, has_cycle_nodes, rounds):
         self.node_ids = node_ids          # acyclic nodes only, sorted
         self.levels = levels
+        self.values = levels              # modes.py duck-type contract
+        self.value_name = "level"
         self.has_cycle_nodes = has_cycle_nodes
         self.rounds = rounds
 

@@ -52,8 +52,11 @@ def stats(result: IterativeResult) -> dict:
         "p50": float(np.percentile(v, 50)),
         "p90": float(np.percentile(v, 90)),
         "p99": float(np.percentile(v, 99)),
-        "iterations": result.iterations,
-        "converged": result.converged,
+        # duck-typed: every algo result carries node_ids/values; the
+        # iteration metadata differs per family (e.g. SCC reports
+        # outer_rounds, coloring reports n_colors)
+        "iterations": getattr(result, "iterations", getattr(result, "outer_rounds", None)),
+        "converged": getattr(result, "converged", True),
     }
 
 

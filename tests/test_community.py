@@ -456,3 +456,22 @@ def test_celf_star_hub_first_and_invariant():
     # submodularity: marginal gains non-increasing
     marg = np.diff([0.0] + a.spreads)
     assert all(marg[i] + 1e-9 >= marg[i + 1] for i in range(len(marg) - 1))
+
+
+def test_modes_work_over_new_result_types():
+    from graph_data_science_ray.algos.kcoloring import k1coloring
+    from graph_data_science_ray.algos.louvain import louvain
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+    from graph_data_science_ray.algos.toposort import topological_sort
+    from graph_data_science_ray.pipelines import modes
+
+    t = fixtures.two_components()
+    for res in (
+        strongly_connected_components(from_arrow(t), num_partitions=2),
+        k1coloring(from_arrow(t), num_partitions=2),
+        topological_sort(from_arrow(fixtures.tiny_chain()), num_partitions=2),
+    ):
+        s = modes.stats(res)
+        assert s["count"] == len(res.node_ids) and "p50" in s
+        st = modes.stream(res, top_k=3)
+        assert st.count() == min(3, len(res.node_ids))
