@@ -94,14 +94,20 @@ def sllpa(
             )
             slot = (h % np.uint64(rnd)).astype(np.int64)
             label = mem[sp, slot]
-            # per-batch (listener, label) counts — labels are arbitrary
-            # int64, so pair via 2-column unique
-            key = np.stack([dst, label], axis=1)
-            u_key, cnt = np.unique(key, axis=0, return_counts=True)
+            # per-batch (listener, label) counts. Labels are always node
+            # ids (memory starts from ids and only circulates them), so
+            # both key parts map to positions < n and pack into one
+            # int64 — 1-D unique beats a 2-column row-sort by ~5-10×.
+            n_ids = ids.shape[0]
+            assert n_ids < (1 << 31), "packed pairing requires n < 2^31"
+            dp = np.searchsorted(ids, dst)
+            lp = np.searchsorted(ids, label)
+            packed = dp.astype(np.int64) * n_ids + lp
+            u_pack, cnt = np.unique(packed, return_counts=True)
             return pa.table(
                 {
-                    "node_id": pa.array(u_key[:, 0], pa.int64()),
-                    "label": pa.array(u_key[:, 1], pa.int64()),
+                    "node_id": pa.array(ids[u_pack // n_ids], pa.int64()),
+                    "label": pa.array(ids[u_pack % n_ids], pa.int64()),
                     "c": pa.array(cnt.astype(np.int64), pa.int64()),
                 }
             )
