@@ -434,6 +434,12 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_maxkcut(sf_dir: str):
+    from graph_data_science_ray.algos.maxkcut import approx_max_k_cut
+
+    return approx_max_k_cut(_edges_ps(sf_dir), k=4).to_table()
+
+
 def _q_knn(sf_dir: str):
     from graph_data_science_ray.algos.knn import knn_graph
 
@@ -768,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sllpa": _q_sllpa,
         "celf_im": _q_celf,
         "knn_fastrp": _q_knn,
+        "max_k_cut": _q_maxkcut,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,

@@ -475,3 +475,27 @@ def test_modes_work_over_new_result_types():
         assert s["count"] == len(res.node_ids) and "p50" in s
         st = modes.stream(res, top_k=3)
         assert st.count() == min(3, len(res.node_ids))
+
+
+def test_max_k_cut_bipartite_perfect():
+    from graph_data_science_ray.algos.maxkcut import approx_max_k_cut
+
+    # complete bipartite K_{3,3}: perfect 2-cut = all 9 edges
+    pairs = [(a, b) for a in (0, 1, 2) for b in (10, 11, 12)]
+    res = approx_max_k_cut(from_arrow(fixtures.edges_table(pairs)), k=2, num_partitions=2)
+    assert res.cut_weight == pytest.approx(9.0)
+    got = res.as_dict()
+    assert {got[0], got[1], got[2]} != {got[10], got[11], got[12]}
+    assert len({got[0], got[1], got[2]}) == 1 and len({got[10], got[11], got[12]}) == 1
+
+
+def test_max_k_cut_quality_and_invariance():
+    from graph_data_science_ray.algos.maxkcut import approx_max_k_cut
+
+    t = fixtures.powerlaw(120, seed=8)
+    a = approx_max_k_cut(from_arrow(t), k=3, num_partitions=2)
+    b = approx_max_k_cut(from_arrow(t), k=3, num_partitions=3)
+    assert np.array_equal(a.values, b.values)
+    # local-search quality: well above the random-assignment expectation floor
+    assert a.cut_weight >= 0.5 * a.total_weight
+    assert a.cut_weight <= a.total_weight + 1e-9
