@@ -434,6 +434,18 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_bridges(sf_dir: str):
+    from graph_data_science_ray.algos.bridges import bridges_and_articulation_points
+
+    return bridges_and_articulation_points(_edges_op(sf_dir)).bridges
+
+
+def _q_articulation_points(sf_dir: str):
+    from graph_data_science_ray.algos.bridges import bridges_and_articulation_points
+
+    return bridges_and_articulation_points(_edges_op(sf_dir)).articulation_points
+
+
 def _q_maxkcut(sf_dir: str):
     from graph_data_science_ray.algos.maxkcut import approx_max_k_cut
 
@@ -775,6 +787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "celf_im": _q_celf,
         "knn_fastrp": _q_knn,
         "max_k_cut": _q_maxkcut,
+        "bridges": _q_bridges,
+        "articulation_points": _q_articulation_points,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,

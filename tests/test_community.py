@@ -499,3 +499,33 @@ def test_max_k_cut_quality_and_invariance():
     # local-search quality: well above the random-assignment expectation floor
     assert a.cut_weight >= 0.5 * a.total_weight
     assert a.cut_weight <= a.total_weight + 1e-9
+
+
+def test_bridges_and_articulation_points_match_networkx():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.bridges import bridges_and_articulation_points
+
+    for t in (
+        fixtures.er_random(60, 0.05, seed=31),      # sparse → many bridges
+        fixtures.powerlaw(150, seed=13),
+        fixtures.edges_table([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6)]),
+    ):
+        res = bridges_and_articulation_points(from_arrow(t), num_partitions=2)
+        g = _nx_graph(t)
+        exp_b = {tuple(sorted(e)) for e in nx.bridges(g)}
+        got_b = set(zip(res.bridges["u"].to_pylist(), res.bridges["v"].to_pylist()))
+        assert got_b == exp_b
+        exp_a = set(nx.articulation_points(g))
+        got_a = set(res.articulation_points["node_id"].to_pylist())
+        assert got_a == exp_a
+
+
+def test_bridges_partitioning_invariant():
+    from graph_data_science_ray.algos.bridges import bridges_and_articulation_points
+
+    t = fixtures.powerlaw(120, seed=22)
+    a = bridges_and_articulation_points(from_arrow(t), num_partitions=2)
+    b = bridges_and_articulation_points(from_arrow(t), num_partitions=3)
+    assert a.bridges.equals(b.bridges)
+    assert a.articulation_points.equals(b.articulation_points)
