@@ -434,6 +434,27 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_scale_events(sf_dir: str):
+    """GDS scaleProperties over the events value column: minmax +
+    stdscore, both SQL-expressible."""
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.functions.scalers import scale_property
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ds = scale_property(ds, "value", "minmax", out_col="value_minmax")
+    ds = scale_property(ds, "value", "stdscore", out_col="value_std")
+
+    def fin(t: pa.Table) -> pa.Table:
+        out = t.select(["event_id", "value_minmax", "value_std"])
+        out = _round6(out, "value_minmax")
+        return _round6(out, "value_std")
+
+    return ds.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_bridges(sf_dir: str):
     from graph_data_science_ray.algos.bridges import bridges_and_articulation_points
 
@@ -773,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_value": _q_events_topk_value,
         "events_daily_counts": _q_events_daily_counts,
         "events_hourly_value": _q_events_hourly_value,
+        "events_scaled": _q_scale_events,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
         "embedding_label_counts": _q_embedding_label_counts,
@@ -1171,6 +1193,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
             "COUNT(*) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY user_id, window_start"
+        ),
+        "events_scaled": (
+            "WITH st AS (SELECT MIN(value) mn, MAX(value) mx, AVG(value) mu, "
+            "STDDEV_POP(value) sd FROM events) "
+            "SELECT event_id, ROUND((value - st.mn) / (st.mx - st.mn), 6) AS value_minmax, "
+            "ROUND((value - st.mu) / st.sd, 6) AS value_std FROM events, st"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "

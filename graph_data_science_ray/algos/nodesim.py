@@ -34,9 +34,16 @@ def node_similarity(
     similarity_cutoff: float = 1e-42,
     degree_cutoff: int | None = None,
     num_partitions: int | None = None,
+    source_filter: "np.ndarray | list | None" = None,
+    target_filter: "np.ndarray | list | None" = None,
 ) -> pa.Table:
     """→ (node1, node2, similarity) — top_k per node1, sorted
-    (node1, -similarity, node2). Self-pairs excluded."""
+    (node1, -similarity, node2). Self-pairs excluded.
+
+    ``source_filter`` / ``target_filter``: the reference's
+    ``gds.nodeSimilarity.filtered`` variant — restrict node1 to the
+    source set and node2 to the target set BEFORE top-k selection, so
+    each source gets its k best among allowed targets."""
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
     edges = edges.materialize()
@@ -140,6 +147,10 @@ def node_similarity(
     b = np.concatenate([n2, n1])
     s = np.concatenate([sim, sim])
     keep = s >= similarity_cutoff
+    if source_filter is not None:
+        keep &= np.isin(a, np.asarray(source_filter, dtype=np.int64))
+    if target_filter is not None:
+        keep &= np.isin(b, np.asarray(target_filter, dtype=np.int64))
     a, b, s = a[keep], b[keep], s[keep]
 
     # vectorized per-node top-k: sort (node1, -sim, node2), take first k

@@ -58,3 +58,32 @@ def test_node_similarity_degree_cutoff():
     assert full.num_rows > 0
     cut = node_similarity(from_arrow(t), top_k=5, degree_cutoff=5, num_partitions=2)
     assert cut.num_rows == 0
+
+
+def test_node_similarity_filtered():
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.nodesim import node_similarity
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.er_random(40, 0.15, seed=12)
+    full = node_similarity(from_arrow(t), top_k=3, num_partitions=2)
+    srcs = sorted(set(full["node1"].to_pylist()))[:5]
+    tgts = sorted(set(full["node2"].to_pylist()))[:10]
+    filt = node_similarity(
+        from_arrow(t), top_k=3, num_partitions=2, source_filter=srcs, target_filter=tgts
+    )
+    assert set(filt["node1"].to_pylist()) <= set(srcs)
+    assert set(filt["node2"].to_pylist()) <= set(tgts)
+    # per source: results are the top-3 among allowed targets of the
+    # UNFILTERED top-k=everything ranking
+    unrestricted = node_similarity(from_arrow(t), top_k=10**9, num_partitions=2)
+    by_src = {}
+    for r in unrestricted.to_pylist():
+        if r["node1"] in srcs and r["node2"] in tgts:
+            by_src.setdefault(r["node1"], []).append((r["node2"], r["similarity"]))
+    got = {}
+    for r in filt.to_pylist():
+        got.setdefault(r["node1"], []).append((r["node2"], r["similarity"]))
+    for s_ in got:
+        exp = sorted(by_src[s_], key=lambda x: (-x[1], x[0]))[:3]
+        assert got[s_] == exp
