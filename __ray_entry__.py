@@ -434,6 +434,24 @@ def _q_louvain(sf_dir: str):
     return res.to_table()
 
 
+def _q_steiner(sf_dir: str):
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.steiner import steiner_tree
+
+    edges = _edges_ps_weighted(sf_dir)
+    terms = unique_node_ids(edges)[:5].tolist()
+    return _round6(steiner_tree(edges, terms).edges, "weight")
+
+
+def _q_yens(sf_dir: str):
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.yens import yens_k_shortest_paths
+
+    edges = _edges_ps_weighted(sf_dir)
+    ids = unique_node_ids(edges)
+    return yens_k_shortest_paths(edges, int(ids[0]), int(ids[-1]), k=2)
+
+
 def _q_scale_events(sf_dir: str):
     """GDS scaleProperties over the events value column: minmax +
     stdscore, both SQL-expressible."""
@@ -811,6 +829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_k_cut": _q_maxkcut,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
+        "steiner_tree_5t": _q_steiner,
+        "yens_k2": _q_yens,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,

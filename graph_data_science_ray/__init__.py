@@ -41,6 +41,8 @@ from graph_data_science_ray.algos.randomwalk import random_walks, sample_rwr
 from graph_data_science_ray.algos.scc import strongly_connected_components
 from graph_data_science_ray.algos.sllpa import sllpa
 from graph_data_science_ray.algos.celf import celf
+from graph_data_science_ray.algos.steiner import steiner_tree
+from graph_data_science_ray.algos.yens import yens_k_shortest_paths
 from graph_data_science_ray.algos.toposort import topological_sort
 
 __all__ = [
@@ -70,6 +72,8 @@ __all__ = [
     "strongly_connected_components",
     "sllpa",
     "celf",
+    "steiner_tree",
+    "yens_k_shortest_paths",
     "topological_sort",
 ]
 

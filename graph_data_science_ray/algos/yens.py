@@ -1,0 +1,148 @@
+"""Yen's K shortest loopless paths — spur-node composition over BF.
+
+Reference semantics (``gds.shortestPath.yens``,
+[GDS-pub: algo/.../paths/yens/]): the K cheapest loopless s→t paths in
+cost order. Yen's algorithm (public) needs one shortest-path run per
+spur node per accepted path; the reference uses Dijkstra per spur —
+this engine composes its frontier-limited Bellman-Ford with
+predecessors (algos/paths.py ``shortest_path_tree``) instead, running
+it on a FILTERED edge Dataset per spur (root-prefix nodes and
+previously-used continuation edges masked out inside ``map_batches``
+with a broadcast exclusion set — the exclusion sets are path-sized,
+tiny). Deterministic: candidates are ordered by (cost, node sequence).
+
+Every path carries its per-node cumulative costs (the SSSP tree's
+distances along the path), so prefix costs for spur candidates are
+exact without re-running anything.
+
+Cost: Σ over accepted paths of (path length) Bellman-Ford runs, each
+O(diameter) frontier-limited scans — the documented trade for having
+no priority queue in the dataflow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from graph_data_science_ray.algos.paths import reconstruct_path, shortest_path_tree
+from graph_data_science_ray.context import configure_ray_data
+
+
+def _filtered_edges(edges: Dataset, excl_nodes: set[int], excl_pairs: set[tuple[int, int]]) -> Dataset:
+    nodes = np.array(sorted(excl_nodes), dtype=np.int64)
+    pairs = sorted(excl_pairs)
+    ref = ray.put((nodes, pairs))
+
+    def fn(t: pa.Table) -> pa.Table:
+        nd, prs = ray.get(ref)
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        drop = np.isin(s, nd) | np.isin(d, nd)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        for a, b in prs:  # exclusion sets are path-sized (tiny)
+            drop |= (lo == a) & (hi == b)
+        return t.filter(pa.array(~drop))
+
+    return edges.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cumcosts(res, path: list[int]) -> list[float]:
+    pos = np.searchsorted(res.node_ids, np.asarray(path, dtype=np.int64))
+    return [float(res.values[p]) for p in pos]
+
+
+def yens_k_shortest_paths(
+    edges: Dataset,
+    source: int,
+    target: int,
+    k: int = 3,
+    weighted: bool = True,
+    max_iterations: int = 100,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """(path_rank, seq, node_id, total_cost) — K cheapest loopless
+    source→target paths over the undirected weighted view."""
+    configure_ray_data()
+    edges = edges.materialize()
+
+    res, pred = shortest_path_tree(
+        edges, source=source, weighted=weighted,
+        max_iterations=max_iterations, undirected=True, num_partitions=num_partitions,
+    )
+    first = reconstruct_path(res, pred, target)
+    empty = pa.table(
+        {
+            "path_rank": pa.array([], pa.int64()),
+            "seq": pa.array([], pa.int64()),
+            "node_id": pa.array([], pa.int64()),
+            "total_cost": pa.array([], pa.float64()),
+        }
+    )
+    if not first:
+        return empty
+    first_cum = _cumcosts(res, first)
+    accepted: list[tuple[float, list[int], list[float]]] = [(first_cum[-1], first, first_cum)]
+    # candidate pool: path tuple → (total cost, cumulative costs)
+    candidates: dict[tuple[int, ...], tuple[float, list[float]]] = {}
+
+    while len(accepted) < k:
+        _, prev, prev_cum = accepted[-1]
+        for i in range(len(prev) - 1):
+            root = prev[: i + 1]
+            spur = root[-1]
+            excl_pairs = {
+                (min(p[i], p[i + 1]), max(p[i], p[i + 1]))
+                for _, p, _ in accepted
+                if len(p) > i + 1 and p[: i + 1] == root
+            }
+            excl_nodes = set(root[:-1])
+            g2 = _filtered_edges(edges, excl_nodes, excl_pairs)
+            try:
+                r2, p2 = shortest_path_tree(
+                    g2, source=spur, weighted=weighted,
+                    max_iterations=max_iterations, undirected=True,
+                    num_partitions=num_partitions,
+                )
+            except ValueError:
+                continue  # spur isolated after filtering
+            spur_path = reconstruct_path(r2, p2, target)
+            if not spur_path:
+                continue
+            spur_cum = _cumcosts(r2, spur_path)
+            cand = root[:-1] + spur_path
+            if len(set(cand)) != len(cand):
+                continue  # loop via prefix re-entry
+            root_cost = prev_cum[i]
+            total = root_cost + spur_cum[-1]
+            cum = prev_cum[:i] + [root_cost + c for c in spur_cum]
+            key = tuple(cand)
+            if key not in candidates or candidates[key][0] > total + 1e-12:
+                candidates[key] = (total, cum)
+        for _, p, _ in accepted:
+            candidates.pop(tuple(p), None)
+        if not candidates:
+            break
+        best_key = min(candidates, key=lambda kk: (round(candidates[kk][0], 9), kk))
+        total, cum = candidates.pop(best_key)
+        accepted.append((total, list(best_key), cum))
+
+    ranks, seqs, nodes, costs = [], [], [], []
+    for r_i, (c, p, _) in enumerate(accepted):
+        for s_i, nid in enumerate(p):
+            ranks.append(r_i)
+            seqs.append(s_i)
+            nodes.append(nid)
+            costs.append(round(c, 9))
+    return pa.table(
+        {
+            "path_rank": pa.array(ranks, pa.int64()),
+            "seq": pa.array(seqs, pa.int64()),
+            "node_id": pa.array(nodes, pa.int64()),
+            "total_cost": pa.array(costs, pa.float64()),
+        }
+    )

@@ -184,3 +184,100 @@ def test_toposort_excludes_cycle_nodes():
     res = topological_sort(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
     assert res.has_cycle_nodes
     assert res.as_dict() == {0: 0, 1: 1, 2: 2}
+
+
+def test_steiner_tree_valid_and_competitive():
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.steiner import steiner_tree
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    rng = np.random.default_rng(33)
+    t0 = fixtures.er_random(40, 0.12, seed=15)
+    w = np.round(rng.random(t0.num_rows) * 9 + 1, 3)
+    t = t0.append_column("weight", pa.array(w, pa.float64()))
+    g = nx.Graph()
+    for s, d, ww in zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist(), w):
+        if s == d:
+            continue
+        if g.has_edge(s, d):
+            g[s][d]["weight"] = min(g[s][d]["weight"], ww)
+        else:
+            g.add_edge(s, d, weight=ww)
+    comp = max(nx.connected_components(g), key=len)
+    terms = sorted(comp)[:5]
+    res = steiner_tree(from_arrow(t), terms, num_partitions=2)
+    # validity: subgraph, connects all terminals
+    sub = nx.Graph()
+    for u, v, ww in zip(res.edges["u"].to_pylist(), res.edges["v"].to_pylist(), res.edges["weight"].to_pylist()):
+        assert g.has_edge(u, v) and abs(g[u][v]["weight"] - ww) < 1e-9
+        sub.add_edge(u, v)
+    assert all(tm in sub for tm in terms)
+    assert nx.is_connected(sub)
+    # 2-approx bound vs networkx' own metric-closure steiner tree
+    nx_st = nx.algorithms.approximation.steiner_tree(g, terms, weight="weight")
+    nx_w = sum(d["weight"] for _, _, d in nx_st.edges(data=True))
+    assert res.total_weight <= 2.0 * nx_w + 1e-9
+    assert res.total_weight >= 0.5 * nx_w - 1e-9
+
+
+def test_steiner_tree_exact_small():
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.steiner import steiner_tree
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # path graph 0-1-2-3-4, terminals {0, 4} → whole path, weight 4
+    pairs = [(i, i + 1) for i in range(4)]
+    t = fixtures.edges_table(pairs, weights=[1.0] * 4)
+    res = steiner_tree(from_arrow(t), [0, 4], num_partitions=2)
+    assert res.total_weight == 4.0
+    assert res.edges.num_rows == 4
+
+
+def test_yens_k_shortest_matches_networkx():
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.yens import yens_k_shortest_paths
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    rng = np.random.default_rng(41)
+    t0 = fixtures.er_random(25, 0.2, seed=19)
+    w = np.round(rng.random(t0.num_rows) * 9 + 1, 3)
+    t = t0.append_column("weight", pa.array(w, pa.float64()))
+    g = nx.Graph()
+    for s, d, ww in zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist(), w):
+        if s == d:
+            continue
+        if g.has_edge(s, d):
+            g[s][d]["weight"] = min(g[s][d]["weight"], ww)
+        else:
+            g.add_edge(s, d, weight=ww)
+    comp = sorted(max(nx.connected_components(g), key=len))
+    src, dst = comp[0], comp[-1]
+    got = yens_k_shortest_paths(from_arrow(t), src, dst, k=3, num_partitions=2)
+    # parse paths
+    rows = got.to_pylist()
+    paths = {}
+    for r in rows:
+        paths.setdefault(r["path_rank"], {"cost": r["total_cost"], "nodes": []})
+        paths[r["path_rank"]]["nodes"].append((r["seq"], r["node_id"]))
+    got_costs = []
+    for rank in sorted(paths):
+        seq = [n for _, n in sorted(paths[rank]["nodes"])]
+        assert seq[0] == src and seq[-1] == dst
+        assert len(set(seq)) == len(seq), "paths must be loopless"
+        cost = sum(g[a][b]["weight"] for a, b in zip(seq, seq[1:]))
+        assert abs(cost - paths[rank]["cost"]) < 1e-6
+        got_costs.append(round(paths[rank]["cost"], 6))
+    exp_costs = []
+    for i, p in enumerate(nx.shortest_simple_paths(g, src, dst, weight="weight")):
+        if i >= 3:
+            break
+        exp_costs.append(round(sum(g[a][b]["weight"] for a, b in zip(p, p[1:])), 6))
+    assert got_costs == exp_costs, (got_costs, exp_costs)
