@@ -1227,4 +1227,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10"
         ),
         "embedding_label_counts": "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label",
+        "scc": (
+            # transitive-closure SCC: component = min node mutually
+            # reachable; feasible at sf0.01 (2k nodes / 52k edges, ~3 s)
+            f"WITH RECURSIVE e AS ({_E_PS}), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT src_id AS node FROM e UNION ALL SELECT dst_id FROM e)), "
+            "reach(s, d) AS (SELECT src_id, dst_id FROM e "
+            "UNION SELECT r.s, e.dst_id FROM reach r JOIN e ON r.d = e.src_id), "
+            "mutual AS (SELECT a.s AS v, a.d AS w "
+            "FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s) "
+            "SELECT nodes.node AS node_id, "
+            "LEAST(nodes.node, COALESCE(MIN(m.w), nodes.node)) AS component "
+            "FROM nodes LEFT JOIN mutual m ON m.v = nodes.node GROUP BY nodes.node"
+        ),
+        "events_sessions": (
+            # gap-based sessions: LAG marks boundaries, running SUM
+            # numbers sessions; first row's NULL lag → 0 (cumsum still 0)
+            "WITH s AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events), "
+            "m AS (SELECT user_id, sec, CASE WHEN sec - LAG(sec) OVER "
+            "(PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 ELSE 0 END AS new_s FROM s), "
+            "g AS (SELECT user_id, sec, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_end, "
+            "COUNT(*) AS n_events FROM g GROUP BY user_id, sid"
+        ),
     }
