@@ -719,6 +719,16 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_kmeans(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.algos.kmeans import kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    res = kmeans(ds, k=8, max_iterations=10)
+    return res.assignments.select_columns(["vec_id", "cluster"])
+
+
 def _q_language_id(sf_dir: str):
     import ray.data
 
@@ -844,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastrp_embeddings": _q_fastrp,
         "hashgnn_embeddings": _q_hashgnn,
         "media_features": _q_media_features,
+        "kmeans_embeddings": _q_kmeans,
     }
 
 

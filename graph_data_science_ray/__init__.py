@@ -30,6 +30,7 @@ from graph_data_science_ray.algos.community import conductance, modularity
 from graph_data_science_ray.algos.fastrp import fastrp
 from graph_data_science_ray.algos.hashgnn import hashgnn
 from graph_data_science_ray.algos.kcore import core_decomposition
+from graph_data_science_ray.algos.kmeans import kmeans
 from graph_data_science_ray.algos.kcoloring import k1coloring
 from graph_data_science_ray.algos.leiden import leiden
 from graph_data_science_ray.algos.louvain import louvain
@@ -58,6 +59,7 @@ __all__ = [
     "fastrp",
     "hashgnn",
     "core_decomposition",
+    "kmeans",
     "k1coloring",
     "leiden",
     "louvain",
