@@ -719,6 +719,27 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_filtered_knn(sf_dir: str):
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.knn import filtered_knn_graph
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    sources = set(ids[: max(1, ids.shape[0] // 10)].tolist())
+    targets = set(ids[ids.shape[0] // 2 :].tolist())
+    return filtered_knn_graph(
+        edges, k=5, source_nodes=sources, target_nodes=targets,
+        embedding_dimension=32,
+    )
+
+
+def _q_k_spanning_tree(sf_dir: str):
+    from graph_data_science_ray.algos.mst import k_spanning_tree
+
+    res = k_spanning_tree(_edges_ps_weighted(sf_dir), k=20)
+    return _round6(res.edges, "weight")
+
+
 def _q_kmeans(sf_dir: str):
     import ray.data
 
@@ -855,6 +876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashgnn_embeddings": _q_hashgnn,
         "media_features": _q_media_features,
         "kmeans_embeddings": _q_kmeans,
+        "filtered_knn": _q_filtered_knn,
+        "k_spanning_tree_20": _q_k_spanning_tree,
     }
 
 

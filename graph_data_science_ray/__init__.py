@@ -35,7 +35,8 @@ from graph_data_science_ray.algos.kcoloring import k1coloring
 from graph_data_science_ray.algos.leiden import leiden
 from graph_data_science_ray.algos.louvain import louvain
 from graph_data_science_ray.algos.msbfs import closeness_centrality, harmonic_centrality
-from graph_data_science_ray.algos.mst import minimum_spanning_forest
+from graph_data_science_ray.algos.knn import filtered_knn_graph, knn_graph
+from graph_data_science_ray.algos.mst import k_spanning_tree, minimum_spanning_forest
 from graph_data_science_ray.algos.nodesim import node_similarity
 from graph_data_science_ray.algos.paths import bellman_ford, bfs_hops
 from graph_data_science_ray.algos.randomwalk import random_walks, sample_rwr
@@ -65,6 +66,9 @@ __all__ = [
     "louvain",
     "closeness_centrality",
     "harmonic_centrality",
+    "filtered_knn_graph",
+    "knn_graph",
+    "k_spanning_tree",
     "minimum_spanning_forest",
     "node_similarity",
     "bellman_ford",

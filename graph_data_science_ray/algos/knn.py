@@ -42,26 +42,59 @@ def knn_graph(
     return knn_matrix(node_ids, emb, k=k, num_partitions=num_partitions)
 
 
+def filtered_knn_graph(
+    edges: Dataset,
+    k: int = 5,
+    source_nodes=None,
+    target_nodes=None,
+    embedding_dimension: int = 64,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Filtered KNN (``gds.knn.filtered`` [GDS-pub: algo/.../similarity/
+    filteredknn/]): results restricted to sourceNodeFilter rows and
+    targetNodeFilter neighbour candidates. Same exact broadcast-matrix
+    kernel; the filters shrink the streamed row set (source) and mask
+    the broadcast columns (target) — no extra shuffle."""
+    node_ids, emb = fastrp(edges, embedding_dimension=embedding_dimension, seed=seed)
+    return knn_matrix(
+        node_ids, emb, k=k, num_partitions=num_partitions,
+        source_nodes=source_nodes, target_nodes=target_nodes,
+    )
+
+
 def knn_matrix(
     node_ids: np.ndarray,
     emb: np.ndarray,
     k: int = 5,
     num_partitions: int | None = None,
+    source_nodes=None,
+    target_nodes=None,
 ) -> Dataset:
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     m = np.divide(emb, norms, out=np.zeros_like(emb), where=norms > 0)
-    mat_ref = ray.put((node_ids, m))
+    target_mask = None
+    if target_nodes is not None:
+        target_mask = np.isin(node_ids, np.asarray(list(target_nodes), dtype=np.int64))
+    mat_ref = ray.put((node_ids, m, target_mask))
 
-    rows = pa.table({"pos": pa.array(np.arange(node_ids.shape[0]), pa.int64())})
-    ds = ray.data.from_arrow(rows).repartition(min(num_partitions, max(1, node_ids.shape[0])))
+    positions = np.arange(node_ids.shape[0])
+    if source_nodes is not None:
+        positions = positions[
+            np.isin(node_ids, np.asarray(list(source_nodes), dtype=np.int64))
+        ]
+    rows = pa.table({"pos": pa.array(positions, pa.int64())})
+    ds = ray.data.from_arrow(rows).repartition(min(num_partitions, max(1, positions.shape[0])))
 
     def topk(batch: pa.Table) -> pa.Table:
-        ids, mm = ray.get(mat_ref)
+        ids, mm, tmask = ray.get(mat_ref)
         pos = batch.column("pos").to_numpy(zero_copy_only=False)
         sims = mm[pos] @ mm.T  # (b, n)
         sims[np.arange(pos.shape[0]), pos] = -np.inf  # exclude self
+        if tmask is not None:
+            sims[:, ~tmask] = -np.inf
         kk = min(k, mm.shape[0] - 1)
         if kk <= 0:
             return pa.table(
@@ -77,11 +110,17 @@ def knn_matrix(
         ord2 = np.lexsort((ids[part], -sc), axis=1)
         part = np.take_along_axis(part, ord2, axis=1)
         sc = np.take_along_axis(sc, ord2, axis=1)
+        src = np.repeat(ids[pos], kk)
+        nbr = ids[part.ravel()]
+        scr = sc.ravel()
+        # target filtering can leave a row with < kk candidates — the
+        # -inf placeholders are dropped here
+        keep = np.isfinite(scr)
         return pa.table(
             {
-                "node_id": pa.array(np.repeat(ids[pos], kk), pa.int64()),
-                "neighbour_id": pa.array(ids[part.ravel()], pa.int64()),
-                "similarity": pa.array(np.round(sc.ravel(), 9), pa.float64()),
+                "node_id": pa.array(src[keep], pa.int64()),
+                "neighbour_id": pa.array(nbr[keep], pa.int64()),
+                "similarity": pa.array(np.round(scr[keep], 9), pa.float64()),
             }
         )
 

@@ -160,3 +160,90 @@ def minimum_spanning_forest(
     )
     n_components = int(np.unique(comp).shape[0]) if n else 0
     return ForestResult(forest, float(fw.sum()), rounds, n_components)
+
+
+def k_spanning_tree(
+    edges: Dataset,
+    k: int,
+    objective: str = "minimum",
+    num_partitions: int | None = None,
+) -> ForestResult:
+    """K-Spanning tree (``gds.kSpanningTree`` [GDS-pub:
+    algo/.../spanningtree/KSpanningTree]): prune the spanning tree down
+    to exactly ``k`` nodes by repeatedly removing the worst leaf edge
+    (max weight for ``minimum`` objective, min weight for ``maximum``;
+    ties → larger leaf id removed first).
+
+    The distributed part is the Borůvka forest (one scan per round);
+    pruning operates on the ≤ n-1 forest edges — node-vector-sized
+    driver state, the dataflow path's standing assumption. Prunes the
+    largest component of the forest (the reference prunes the root's
+    component; we have no root parameter by default)."""
+    import heapq
+
+    forest = minimum_spanning_forest(edges, num_partitions=num_partitions)
+    fu = forest.edges.column("u").to_numpy(zero_copy_only=False)
+    fv = forest.edges.column("v").to_numpy(zero_copy_only=False)
+    fw = forest.edges.column("weight").to_numpy(zero_copy_only=False)
+    if fu.shape[0] == 0 or k <= 1:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "weight": pa.array([], pa.float64())})
+        return ForestResult(empty, 0.0, forest.rounds, forest.n_components)
+
+    # adjacency of the forest (tiny)
+    import collections
+    adj: dict[int, dict[int, float]] = collections.defaultdict(dict)
+    for a, b, w in zip(fu.tolist(), fv.tolist(), fw.tolist()):
+        adj[a][b] = w
+        adj[b][a] = w
+
+    # pick the largest component (tie → the one with the smallest node id)
+    seen: set[int] = set()
+    best_comp: list[int] = []
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        if len(comp) > len(best_comp):
+            best_comp = comp
+    alive = set(best_comp)
+    if k >= len(alive):
+        keep = alive
+    else:
+        sign = -1.0 if objective == "maximum" else 1.0
+        # heap of leaf edges: (sign*-weight … ) we pop the WORST leaf:
+        # for minimum objective remove the heaviest leaf edge first
+        def leaf_key(x):
+            (nb, w), = adj[x].items()
+            return (-sign * w, -x)
+
+        heap = [(*leaf_key(x), x) for x in alive if len(adj[x]) == 1]
+        heapq.heapify(heap)
+        n_alive = len(alive)
+        while n_alive > k and heap:
+            kw, kx, x = heapq.heappop(heap)
+            if x not in alive or len(adj[x]) != 1 or (*leaf_key(x),) != (kw, kx):
+                continue  # stale entry
+            (nb, _), = adj[x].items()
+            alive.discard(x)
+            del adj[nb][x]
+            del adj[x]
+            n_alive -= 1
+            if len(adj[nb]) == 1 and nb in alive:
+                heapq.heappush(heap, (*leaf_key(nb), nb))
+        keep = alive
+
+    mask = np.array([a in keep and b in keep for a, b in zip(fu.tolist(), fv.tolist())])
+    out = pa.table({"u": pa.array(fu[mask], pa.int64()),
+                    "v": pa.array(fv[mask], pa.int64()),
+                    "weight": pa.array(fw[mask], pa.float64())})
+    return ForestResult(out, float(fw[mask].sum()), forest.rounds, 1)

@@ -529,3 +529,51 @@ def test_bridges_partitioning_invariant():
     b = bridges_and_articulation_points(from_arrow(t), num_partitions=3)
     assert a.bridges.equals(b.bridges)
     assert a.articulation_points.equals(b.articulation_points)
+
+
+def test_k_spanning_tree_known_small():
+    from graph_data_science_ray.algos.mst import k_spanning_tree
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # path 1-2-3-4-5 with weights; MST is the path itself
+    t = pa.table(
+        {
+            "src_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "dst_id": pa.array([2, 3, 4, 5], pa.int64()),
+            "weight": pa.array([1.0, 9.0, 1.0, 1.0], pa.float64()),
+        }
+    )
+    res = k_spanning_tree(from_arrow(t), k=3)
+    got = sorted(zip(res.edges.column("u").to_pylist(), res.edges.column("v").to_pylist()))
+    # pruning the heaviest leaf edges: first removes leaf side of w=9
+    # pieces; 3 nodes remain connected by the 2 cheapest edges possible
+    assert len(got) == 2
+    nodes = {x for e in got for x in e}
+    assert len(nodes) == 3
+    # result is connected (a tree on 3 nodes has 2 edges)
+
+
+def test_k_spanning_tree_properties():
+    import numpy as np
+
+    from graph_data_science_ray.algos.mst import k_spanning_tree, minimum_spanning_forest
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    rng = np.random.default_rng(13)
+    t0 = fixtures.er_random(60, 0.1, seed=13)
+    t = t0.append_column("weight", pa.array(np.round(rng.random(t0.num_rows) * 10, 3), pa.float64()))
+    full = minimum_spanning_forest(from_arrow(t))
+    mst_edges = set(zip(full.edges.column("u").to_pylist(), full.edges.column("v").to_pylist()))
+    res = k_spanning_tree(from_arrow(t), k=10)
+    sub = list(zip(res.edges.column("u").to_pylist(), res.edges.column("v").to_pylist()))
+    assert set(sub) <= mst_edges, "k-tree is a subtree of the spanning forest"
+    nodes = {x for e in sub for x in e}
+    assert len(nodes) == 10 and len(sub) == 9, (len(nodes), len(sub))
+    # connectivity of the pruned tree
+    import networkx as nx
+
+    g = nx.Graph(sub)
+    assert nx.is_connected(g)
+    # determinism across partitionings
+    res2 = k_spanning_tree(from_arrow(t).repartition(5), k=10)
+    assert res.edges.equals(res2.edges)

@@ -149,3 +149,47 @@ def test_knn_graph_matches_numpy_oracle():
     b = knn_graph(from_arrow(t), k=3, embedding_dimension=32, num_partitions=3).take_all()
     key = lambda r: (r["node_id"], r["neighbour_id"])
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_filtered_knn_source_target_sets():
+    import numpy as np
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.fastrp import fastrp
+    from graph_data_science_ray.algos.knn import filtered_knn_graph, knn_matrix
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.powerlaw(60, seed=9)
+    ids, emb = fastrp(from_arrow(t), embedding_dimension=16, seed=3)
+    sources = set(ids[:10].tolist())
+    targets = set(ids[20:40].tolist())
+    got = knn_matrix(ids, emb, k=4, num_partitions=2,
+                     source_nodes=sources, target_nodes=targets).take_all()
+    assert got, "non-empty result"
+    assert {r["node_id"] for r in got} <= sources
+    assert {r["neighbour_id"] for r in got} <= targets
+    # numpy oracle on the restricted candidate set
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    m = np.divide(emb, norms, out=np.zeros_like(emb), where=norms > 0)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    tmask = np.isin(ids, np.array(sorted(targets)))
+    by_node = {}
+    for r in got:
+        by_node.setdefault(r["node_id"], []).append((r["neighbour_id"], r["similarity"]))
+    for i, nid in enumerate(ids.tolist()):
+        if nid not in sources:
+            continue
+        exp = sorted(
+            ((ids[j], round(sims[i, j], 9)) for j in range(len(ids))
+             if j != i and tmask[j]),
+            key=lambda x: (-x[1], x[0]),
+        )[:4]
+        assert by_node.get(nid, []) == exp, nid
+
+    # end-to-end wrapper path + self-exclusion when source ∈ targets
+    e2e = filtered_knn_graph(from_arrow(t), k=2, source_nodes=targets,
+                             target_nodes=targets, embedding_dimension=16,
+                             seed=3, num_partitions=2).take_all()
+    assert all(r["node_id"] != r["neighbour_id"] for r in e2e)
+    assert {r["node_id"] for r in e2e} <= targets
