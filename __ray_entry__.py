@@ -719,6 +719,25 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_astar_cost(sf_dir: str):
+    """A* (h=0 here — the harness graph carries no coordinates; the
+    admissible-heuristic path is exercised in tests/test_astar.py) from
+    the min src to the max node; exact at convergence, compared to the
+    20-round relaxation oracle (the sf0.01 graph converges well within
+    20 rounds)."""
+    from graph_data_science_ray.algos.astar import a_star
+    from graph_data_science_ray.algos.paths import bellman_ford
+
+    edges = _edges_ps_weighted(sf_dir)
+    src = int(edges.min("src_id"))
+    bf = bellman_ford(edges, source=src, max_iterations=20)
+    finite = np.isfinite(bf.values)
+    tgt = int(bf.node_ids[finite].max())  # max REACHABLE node
+    res = a_star(edges, src, tgt, heuristic=None)
+    return pa.table({"node_id": pa.array([tgt], pa.int64()),
+                     "cost_i": pa.array([int(round(res.cost))], pa.int64())})
+
+
 def _q_filtered_knn(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.knn import filtered_knn_graph
@@ -877,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "kmeans_embeddings": _q_kmeans,
         "filtered_knn": _q_filtered_knn,
+        "astar_cost": _q_astar_cost,
         "k_spanning_tree_20": _q_k_spanning_tree,
     }
 
@@ -1274,6 +1294,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT nodes.node AS node_id, "
             "LEAST(nodes.node, COALESCE(MIN(m.w), nodes.node)) AS component "
             "FROM nodes LEFT JOIN mutual m ON m.v = nodes.node GROUP BY nodes.node"
+        ),
+        "astar_cost": (
+            # d20 holds exactly the nodes reached from the min src —
+            # its max node id is the engine's "max reachable" target
+            f"SELECT * FROM ({_relax_sql(20, weighted=True)}) "
+            "ORDER BY node_id DESC LIMIT 1"
         ),
         "events_sessions": (
             # gap-based sessions: LAG marks boundaries, running SUM
