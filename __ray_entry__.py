@@ -719,6 +719,12 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_modularity_optimization(sf_dir: str):
+    from graph_data_science_ray.algos.louvain import modularity_optimization
+
+    return modularity_optimization(_edges_ps(sf_dir), max_rounds=5).to_table()
+
+
 def _q_astar_cost(sf_dir: str):
     """A* (h=0 here — the harness graph carries no coordinates; the
     admissible-heuristic path is exercised in tests/test_astar.py) from
@@ -897,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans,
         "filtered_knn": _q_filtered_knn,
         "astar_cost": _q_astar_cost,
+        "modularity_optimization": _q_modularity_optimization,
         "k_spanning_tree_20": _q_k_spanning_tree,
     }
 

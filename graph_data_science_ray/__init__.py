@@ -39,7 +39,13 @@ from graph_data_science_ray.algos.astar import a_star, haversine_heuristic
 from graph_data_science_ray.algos.knn import filtered_knn_graph, knn_graph
 from graph_data_science_ray.algos.mst import k_spanning_tree, minimum_spanning_forest
 from graph_data_science_ray.algos.nodesim import node_similarity
-from graph_data_science_ray.algos.paths import bellman_ford, bfs_hops
+from graph_data_science_ray.algos.louvain import modularity_optimization
+from graph_data_science_ray.algos.paths import (
+    bellman_ford,
+    bfs_hops,
+    dijkstra_single_source,
+    dijkstra_source_target,
+)
 from graph_data_science_ray.algos.randomwalk import random_walks, sample_rwr
 from graph_data_science_ray.algos.scc import strongly_connected_components
 from graph_data_science_ray.algos.sllpa import sllpa
@@ -76,6 +82,9 @@ __all__ = [
     "node_similarity",
     "bellman_ford",
     "bfs_hops",
+    "dijkstra_single_source",
+    "dijkstra_source_target",
+    "modularity_optimization",
     "random_walks",
     "sample_rwr",
     "strongly_connected_components",

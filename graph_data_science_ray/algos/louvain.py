@@ -327,3 +327,25 @@ def louvain(
     # original member of their final supernode
     final = min_member[assign]
     return LouvainResult(orig_ids, final, total_q if total_q is not None else 0.0, level, metrics)
+
+
+def modularity_optimization(
+    edges: Dataset,
+    max_rounds: int = 20,
+    tolerance: float = 1e-9,
+    num_partitions: int | None = None,
+    weighted: bool = False,
+):
+    """Modularity Optimization (``gds.modularityOptimization`` [GDS-pub:
+    algo/.../modularityoptimization/]): one level of parallel
+    modularity-maximizing local moving WITHOUT coarsening — exactly
+    Louvain's first phase. The engine reuses the Louvain kernel with
+    ``max_levels=1``; community ids are the level-0 assignment."""
+    return louvain(
+        edges,
+        max_levels=1,
+        max_rounds_per_level=max_rounds,
+        tolerance=tolerance,
+        num_partitions=num_partitions,
+        weighted=weighted,
+    )

@@ -320,3 +320,47 @@ def reconstruct_path(res: IterativeResult, pred: np.ndarray, target: int) -> lis
         pos = np.searchsorted(node_arr, nxt)
         guard -= 1
     return path[::-1]
+
+
+def dijkstra_single_source(
+    edges: Dataset,
+    source: int | None = None,
+    max_iterations: int = 10_000,
+    undirected: bool = False,
+    num_partitions: int | None = None,
+    reduce: str = "driver",
+) -> IterativeResult:
+    """``gds.allShortestPaths.dijkstra`` semantics [GDS-pub:
+    algo/.../paths/dijkstra/]: exact single-source shortest-path costs
+    for non-negative weights, run to convergence. The priority queue is
+    inherently serial; frontier-limited synchronous relaxation reaches
+    the identical fixpoint (min-plus monotonicity) in hop-diameter
+    rounds, scattering only improved nodes — the engine's Dijkstra
+    equivalent. Negative weights are rejected up front (Dijkstra's
+    contract; use ``bellman_ford`` directly for those)."""
+    edges = edges.materialize()  # reused by the check and the relax loop
+    if float(edges.min("weight")) < 0:
+        raise ValueError("dijkstra requires non-negative weights")
+    return bellman_ford(
+        edges, source=source, max_iterations=max_iterations,
+        undirected=undirected, num_partitions=num_partitions, reduce=reduce,
+    )
+
+
+def dijkstra_source_target(
+    edges: Dataset,
+    source: int,
+    target: int,
+    undirected: bool = False,
+    max_iterations: int = 10_000,
+    num_partitions: int | None = None,
+):
+    """``gds.shortestPath.dijkstra`` [GDS-pub: paths/dijkstra/]: exact
+    source→target path — A* with h ≡ 0 (goal-checked SSSP with the
+    same early-termination certificate)."""
+    from graph_data_science_ray.algos.astar import a_star
+
+    return a_star(
+        edges, source, target, heuristic=None, undirected=undirected,
+        max_iterations=max_iterations, num_partitions=num_partitions,
+    )

@@ -281,3 +281,58 @@ def test_yens_k_shortest_matches_networkx():
             break
         exp_costs.append(round(sum(g[a][b]["weight"] for a, b in zip(p, p[1:])), 6))
     assert got_costs == exp_costs, (got_costs, exp_costs)
+
+
+def test_dijkstra_wrappers():
+    import pyarrow as pa
+    import numpy as np
+    import pytest
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.paths import (
+        bellman_ford,
+        dijkstra_single_source,
+        dijkstra_source_target,
+    )
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    rng = np.random.default_rng(31)
+    t0 = fixtures.er_random(40, 0.12, seed=3)
+    t = t0.append_column(
+        "weight", pa.array(np.round(rng.random(t0.num_rows) * 4 + 0.5, 3), pa.float64())
+    )
+    bf = bellman_ford(from_arrow(t))
+    dj = dijkstra_single_source(from_arrow(t))
+    assert np.array_equal(bf.node_ids, dj.node_ids)
+    assert np.allclose(bf.values, dj.values, equal_nan=True)
+
+    finite = np.isfinite(bf.values) & (bf.values > 0)
+    if finite.any():
+        src = int(bf.node_ids[bf.values == 0][0])
+        tgt = int(bf.node_ids[np.where(finite)[0][0]])
+        st = dijkstra_source_target(from_arrow(t), src, tgt)
+        assert st.cost == pytest.approx(float(bf.values[np.searchsorted(bf.node_ids, tgt)]))
+        assert st.path[0] == src and st.path[-1] == tgt
+
+    neg = pa.table(
+        {
+            "src_id": pa.array([1], pa.int64()),
+            "dst_id": pa.array([2], pa.int64()),
+            "weight": pa.array([-1.0], pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError):
+        dijkstra_single_source(from_arrow(neg))
+
+
+def test_modularity_optimization_is_level1_louvain():
+    import pyarrow as pa  # noqa: F401
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.louvain import louvain, modularity_optimization
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.er_random(60, 0.08, seed=21)
+    a = modularity_optimization(from_arrow(t), max_rounds=5)
+    b = louvain(from_arrow(t), max_levels=1, max_rounds_per_level=5)
+    ta, tb = a.to_table(), b.to_table()
+    assert ta.equals(tb)
