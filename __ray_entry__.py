@@ -719,6 +719,15 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_hdbscan(sf_dir: str):
+    import ray.data
+
+    from graph_data_science_ray.algos.hdbscan import hdbscan
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return hdbscan(ds, min_cluster_size=8).to_table()
+
+
 def _q_modularity_optimization(sf_dir: str):
     from graph_data_science_ray.algos.louvain import modularity_optimization
 
@@ -904,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_knn": _q_filtered_knn,
         "astar_cost": _q_astar_cost,
         "modularity_optimization": _q_modularity_optimization,
+        "hdbscan_embeddings": _q_hdbscan,
         "k_spanning_tree_20": _q_k_spanning_tree,
     }
 

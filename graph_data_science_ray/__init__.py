@@ -36,6 +36,7 @@ from graph_data_science_ray.algos.leiden import leiden
 from graph_data_science_ray.algos.louvain import louvain
 from graph_data_science_ray.algos.msbfs import closeness_centrality, harmonic_centrality
 from graph_data_science_ray.algos.astar import a_star, haversine_heuristic
+from graph_data_science_ray.algos.hdbscan import hdbscan
 from graph_data_science_ray.algos.knn import filtered_knn_graph, knn_graph
 from graph_data_science_ray.algos.mst import k_spanning_tree, minimum_spanning_forest
 from graph_data_science_ray.algos.nodesim import node_similarity
@@ -76,6 +77,7 @@ __all__ = [
     "a_star",
     "haversine_heuristic",
     "filtered_knn_graph",
+    "hdbscan",
     "knn_graph",
     "k_spanning_tree",
     "minimum_spanning_forest",
