@@ -817,6 +817,25 @@ def _q_fastrp(sf_dir: str):
     return fastrp_table(_edges_ps(sf_dir), embedding_dimension=16)
 
 
+def _q_node2vec(sf_dir: str):
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.node2vec import node2vec
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    return node2vec(edges, ids[:64], dimension=16, walk_length=10,
+                    walks_per_node=2, window=3, epochs=1, seed=42)
+
+
+def _q_dfs(sf_dir: str):
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.traversal import dfs
+
+    edges = _edges_ps(sf_dir)
+    src = int(unique_node_ids(edges)[0])
+    return dfs(edges, source=src, max_depth=6)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo over a deterministic synthetic media table
     (the testdata has no binary media; payload handling is the point)."""
@@ -908,6 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "fastrp_embeddings": _q_fastrp,
         "hashgnn_embeddings": _q_hashgnn,
+        "node2vec_embeddings": _q_node2vec,
+        "dfs_order": _q_dfs,
         "media_features": _q_media_features,
         "kmeans_embeddings": _q_kmeans,
         "filtered_knn": _q_filtered_knn,
