@@ -827,6 +827,13 @@ def _q_node2vec(sf_dir: str):
                     walks_per_node=2, window=3, epochs=1, seed=42)
 
 
+def _q_linkpred(sf_dir: str):
+    from graph_data_science_ray.algos.linkpred import link_prediction
+
+    t = link_prediction(_edges_ps(sf_dir), top_k=20)
+    return _round6(_round6(t, "adamic_adar"), "resource_allocation")
+
+
 def _q_dfs(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.traversal import dfs
@@ -929,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashgnn_embeddings": _q_hashgnn,
         "node2vec_embeddings": _q_node2vec,
         "dfs_order": _q_dfs,
+        "linkpred_top20": _q_linkpred,
         "media_features": _q_media_features,
         "kmeans_embeddings": _q_kmeans,
         "filtered_knn": _q_filtered_knn,
@@ -1239,6 +1247,24 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT node1, node2, sim, "
             "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
             "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
+        ),
+        "linkpred_top20": (
+            f"WITH base AS MATERIALIZED (SELECT src_id AS s, dst_id AS d FROM ({_E_PS}) "
+            "WHERE src_id <> dst_id), "
+            "und AS MATERIALIZED (SELECT s, d FROM base UNION SELECT d, s FROM base), "
+            "deg AS MATERIALIZED (SELECT s AS node, COUNT(*) AS dg FROM und GROUP BY s), "
+            "wedge AS (SELECT e1.d AS node1, e2.d AS node2, e1.s AS mid "
+            "FROM und e1 JOIN und e2 ON e1.s = e2.s WHERE e1.d < e2.d), "
+            "sc AS (SELECT node1, node2, COUNT(*) AS cnt, "
+            "SUM(1.0/LN(dg)) AS aa, SUM(1.0/dg) AS ra "
+            "FROM wedge JOIN deg ON mid = node GROUP BY node1, node2), "
+            "fin AS (SELECT node1, node2, cnt, aa, ra, d1.dg AS dg1, d2.dg AS dg2 "
+            "FROM sc JOIN deg d1 ON node1 = d1.node JOIN deg d2 ON node2 = d2.node) "
+            "SELECT node1, node2, CAST(cnt AS BIGINT) AS common_neighbors, "
+            "ROUND(aa, 6) AS adamic_adar, ROUND(ra, 6) AS resource_allocation, "
+            "CAST(dg1 * dg2 AS BIGINT) AS preferential_attachment, "
+            "CAST(dg1 + dg2 - cnt AS BIGINT) AS total_neighbors "
+            "FROM fin ORDER BY cnt DESC, node1, node2 LIMIT 20"
         ),
         "hits_k5": _hits_sql(),
         "bfs_hops8": _relax_sql(8, weighted=False),
