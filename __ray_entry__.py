@@ -817,6 +817,14 @@ def _q_fastrp(sf_dir: str):
     return fastrp_table(_edges_ps(sf_dir), embedding_dimension=16)
 
 
+def _q_graphsage(sf_dir: str):
+    from graph_data_science_ray.algos.graphsage import graphsage_table
+
+    return graphsage_table(
+        _edges_ps(sf_dir), features=None, embedding_dimension=8,
+        epochs=10, max_train_nodes=256, seed=42)
+
+
 def _q_node2vec(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.node2vec import node2vec
@@ -832,6 +840,109 @@ def _q_linkpred(sf_dir: str):
 
     t = link_prediction(_edges_ps(sf_dir), top_k=20)
     return _round6(_round6(t, "adamic_adar"), "resource_allocation")
+
+
+def _q_nodeclass(sf_dir: str):
+    """Node-classification pipeline demo: learn part-vs-supplier on the
+    ps graph from FastRP embeddings (labels = appears-as-src)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.algos.fastrp import fastrp_table
+    from graph_data_science_ray.pipelines.ml import node_classification
+
+    edges = _edges_ps(sf_dir)
+    emb_t = fastrp_table(edges, embedding_dimension=16)
+    srcs = set(
+        edges.select_columns(["src_id"]).unique("src_id")
+    )
+    nid = emb_t.column("node_id").to_numpy(zero_copy_only=False)
+    labels = pa.table(
+        {"node_id": pa.array(nid, pa.int64()),
+         "label": pa.array(np.isin(nid, np.array(sorted(srcs), dtype=np.int64)).astype(np.int64), pa.int64())}
+    )
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    _, preds = node_classification(
+        ray.data.from_arrow(emb_t), labels, seed=42)
+    t = collect_arrow(preds)
+    o = np.argsort(t.column("node_id").to_numpy(zero_copy_only=False), kind="stable")
+    return _round6(t.take(pa.array(o, pa.int64())), "probability")
+
+
+def _q_linkpred_pipeline(sf_dir: str):
+    """Link-prediction pipeline demo: train on the ps edges + FastRP
+    embeddings, score the top-20 common-neighbor candidate pairs."""
+    import ray.data
+
+    from graph_data_science_ray.algos.fastrp import fastrp_table
+    from graph_data_science_ray.pipelines.ml import link_prediction_pipeline
+
+    edges = _edges_ps(sf_dir)
+    emb = ray.data.from_arrow(fastrp_table(edges, embedding_dimension=16))
+    _, model = link_prediction_pipeline(edges, emb, seed=42, max_train_pairs=5000)
+    # candidates: the 20 lexicographically-smallest held edges (cheap,
+    # deterministic; the exhaustive candidate scorer is linkpred_top20)
+    from graph_data_science_ray.algos.common import collect_arrow as _ca
+
+    cand = _ca(
+        edges.map_batches(
+            lambda t: t.select(["src_id", "dst_id"]).rename_columns(["node1", "node2"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .sort(["node1", "node2"]).limit(20)
+    )
+    scored = model.predict_pairs(ray.data.from_arrow(cand), emb)
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    t = collect_arrow(scored)
+
+    o = np.lexsort((t.column("node2").to_numpy(zero_copy_only=False),
+                    t.column("node1").to_numpy(zero_copy_only=False)))
+    return _round6(t.take(pa.array(o, pa.int64())), "probability")
+
+
+def _q_nodereg(sf_dir: str):
+    """Node-regression pipeline: predict p_retailprice from p_size with
+    closed-form OLS (holdout 0, penalty 0) — exactly DuckDB's
+    regr_slope/regr_intercept line, so the oracle is SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.pipelines.ml import node_regression
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def featurize(t: pa.Table) -> pa.Table:
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"node_id": t.column("p_partkey").cast(pa.int64()),
+             "embedding": pa.array([[s] for s in size], pa.list_(pa.float64()))}
+        )
+
+    feats = part.map_batches(featurize, batch_format="pyarrow", zero_copy_batch=True)
+    targ_t = collect_arrow(
+        part.map_batches(
+            lambda t: pa.table(
+                {"node_id": t.column("p_partkey").cast(pa.int64()),
+                 "target": t.column("p_retailprice")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    )
+    _, preds = node_regression(feats, targ_t, holdout_fraction=0.0, penalty=0.0)
+    t = collect_arrow(preds)
+    p = t.column("prediction").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"node_id": t.column("node_id"),
+         "prediction_c": pa.array(np.rint(p * 100).astype(np.int64), pa.int64())}
+    )
 
 
 def _q_dfs(sf_dir: str):
@@ -933,10 +1044,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "fastrp_embeddings": _q_fastrp,
+        "graphsage_embeddings": _q_graphsage,
         "hashgnn_embeddings": _q_hashgnn,
         "node2vec_embeddings": _q_node2vec,
         "dfs_order": _q_dfs,
         "linkpred_top20": _q_linkpred,
+        "nodeclass_pipeline": _q_nodeclass,
+        "linkpred_pipeline": _q_linkpred_pipeline,
+        "nodereg_pipeline": _q_nodereg,
         "media_features": _q_media_features,
         "kmeans_embeddings": _q_kmeans,
         "filtered_knn": _q_filtered_knn,
@@ -1207,6 +1322,13 @@ def oracle_sql() -> dict[str, str]:
         "degree_topk": (
             f"SELECT src_id AS node_id, COUNT(*) AS out_degree FROM ({_E_OP}) "
             "GROUP BY src_id ORDER BY out_degree DESC, node_id LIMIT 20"
+        ),
+        "nodereg_pipeline": (
+            "WITH m AS (SELECT regr_slope(p_retailprice, p_size) AS s, "
+            "regr_intercept(p_retailprice, p_size) AS i FROM part) "
+            "SELECT p.p_partkey AS node_id, "
+            "CAST(ROUND((m.s * p.p_size + m.i) * 100) AS BIGINT) AS prediction_c "
+            "FROM part p, m"
         ),
         "pagerank_k5": _pagerank_sql(),
         "pagerank_csr_k5": _pagerank_sql(),

@@ -28,6 +28,7 @@ from graph_data_science_ray.algos.degree import degree
 from graph_data_science_ray.algos.betweenness import betweenness_centrality
 from graph_data_science_ray.algos.community import conductance, modularity
 from graph_data_science_ray.algos.fastrp import fastrp
+from graph_data_science_ray.algos.graphsage import graphsage_embeddings, graphsage_train
 from graph_data_science_ray.algos.hashgnn import hashgnn
 from graph_data_science_ray.algos.kcore import core_decomposition
 from graph_data_science_ray.algos.kmeans import kmeans
@@ -66,6 +67,8 @@ __all__ = [
     "modularity",
     "conductance",
     "fastrp",
+    "graphsage_embeddings",
+    "graphsage_train",
     "hashgnn",
     "core_decomposition",
     "kmeans",

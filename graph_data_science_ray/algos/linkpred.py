@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, merge_sum
+from graph_data_science_ray.algos.common import collect_arrow, merge_sum, merge_sums2
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -117,64 +117,85 @@ def link_prediction(
             }
         )
 
-    wp = collect_arrow(
-        und.groupby("src_id", num_partitions=num_partitions).map_groups(
-            wedge, batch_format="pyarrow"
-        )
+    wedges = und.groupby("src_id", num_partitions=num_partitions).map_groups(
+        wedge, batch_format="pyarrow"
     )
-    if wp.num_rows == 0:
-        return _EMPTY
-    # driver merge of pair partials (see nodesim.py for the measured
-    # rationale: ~all-unique single-row groups make Ray's hash aggregate
-    # 15x slower than one vectorized merge); one unique, three bincounts
-    k = np.stack(
-        [wp.column("node1").to_numpy(zero_copy_only=False),
-         wp.column("node2").to_numpy(zero_copy_only=False)],
-        axis=1,
-    )
-    u, inv = np.unique(k, axis=0, return_inverse=True)
-    n1, n2 = u[:, 0], u[:, 1]
-    cn = np.bincount(
-        inv, weights=wp.column("cn").to_numpy(zero_copy_only=False),
-        minlength=u.shape[0]).astype(np.int64)
-    aa = np.bincount(
-        inv, weights=wp.column("aa").to_numpy(zero_copy_only=False),
-        minlength=u.shape[0])
-    ra = np.bincount(
-        inv, weights=wp.column("ra").to_numpy(zero_copy_only=False),
-        minlength=u.shape[0])
 
-    d1 = deg_c[np.searchsorted(deg_ids, n1)]
-    d2 = deg_c[np.searchsorted(deg_ids, n2)]
-    pref = d1 * d2
-    tot = d1 + d2 - cn
-
+    # optional pair filter, pre-sorted as unordered (lo, hi)
+    want_lo = want_hi = None
     if pairs is not None:
         qa = pairs.column("node1").to_numpy(zero_copy_only=False)
         qb = pairs.column("node2").to_numpy(zero_copy_only=False)
-        lo = np.minimum(qa, qb).astype(np.int64)
-        hi = np.maximum(qa, qb).astype(np.int64)
-        want = np.unique(lo.astype(np.float64) * 2**32 + hi)  # ids < 2^31
-        key = n1.astype(np.float64) * 2**32 + n2
-        keep = np.isin(key, want)
-        n1, n2, cn, aa, ra, pref, tot = (
-            x[keep] for x in (n1, n2, cn, aa, ra, pref, tot)
+        want_lo = np.minimum(qa, qb).astype(np.int64)
+        want_hi = np.maximum(qa, qb).astype(np.int64)
+
+    import ray
+
+    from graph_data_science_ray.functions.joins import _mix64
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    state_ref = ray.put((deg_ids, deg_c, want_lo, want_hi))
+
+    # per-bucket: merge partials (pairs never split across buckets),
+    # attach degrees, apply the pair filter, keep the local top-k —
+    # the driver only ever sees merged (or k-truncated) rows
+    def score_bucket(g: pa.Table) -> pa.Table:
+        di, dc, wlo, whi = ray.get(state_ref)
+        n1, n2, (cn, aa, ra) = merge_sums2(g, ("node1", "node2"), ["cn", "aa", "ra"])
+        cn = cn.astype(np.int64)
+        if wlo is not None and n1.shape[0]:
+            # 64-bit hash prefilter + exact check on the few candidates
+            h = _mix64(_mix64(n1.astype(np.uint64)) ^ n2.astype(np.uint64))
+            hw = _mix64(_mix64(wlo.astype(np.uint64)) ^ whi.astype(np.uint64))
+            cand = np.flatnonzero(np.isin(h, hw))
+            wset = set(zip(wlo.tolist(), whi.tolist()))
+            ok = np.fromiter(
+                ((int(n1[i]), int(n2[i])) in wset for i in cand), bool, cand.shape[0]
+            )
+            keep = cand[ok]
+            n1, n2, cn, aa, ra = n1[keep], n2[keep], cn[keep], aa[keep], ra[keep]
+        d1 = dc[np.searchsorted(di, n1)] if n1.shape[0] else np.empty(0, np.int64)
+        d2 = dc[np.searchsorted(di, n2)] if n1.shape[0] else np.empty(0, np.int64)
+        order = np.lexsort((n2, n1, -cn))
+        if top_k is not None:
+            order = order[:top_k]
+        return pa.table(
+            {
+                "node1": pa.array(n1[order], pa.int64()),
+                "node2": pa.array(n2[order], pa.int64()),
+                "common_neighbors": pa.array(cn[order], pa.int64()),
+                "adamic_adar": pa.array(aa[order], pa.float64()),
+                "resource_allocation": pa.array(ra[order], pa.float64()),
+                "preferential_attachment": pa.array((d1 * d2)[order], pa.int64()),
+                "total_neighbors": pa.array((d1 + d2 - cn)[order], pa.int64()),
+            }
         )
 
+    def combine(t: pa.Table) -> pa.Table:
+        n1, n2, (cn, aa, ra) = merge_sums2(t, ("node1", "node2"), ["cn", "aa", "ra"])
+        return pa.table(
+            {"node1": pa.array(n1, pa.int64()), "node2": pa.array(n2, pa.int64()),
+             "cn": pa.array(cn.astype(np.int64)), "aa": pa.array(aa, pa.float64()),
+             "ra": pa.array(ra, pa.float64())}
+        )
+
+    scored = collect_arrow(
+        bucketed_merge(
+            wedges, ["node1", "node2"], score_bucket,
+            {"node1": -1, "node2": -1, "cn": 0, "aa": 0.0, "ra": 0.0},
+            num_partitions=num_partitions,
+            combine_fn=combine,
+        )
+    )
+    if scored.num_rows == 0:
+        return _EMPTY
+    n1 = scored.column("node1").to_numpy(zero_copy_only=False)
+    n2 = scored.column("node2").to_numpy(zero_copy_only=False)
+    cn = scored.column("common_neighbors").to_numpy(zero_copy_only=False)
     order = np.lexsort((n2, n1, -cn))
     if top_k is not None:
         order = order[:top_k]
-    return pa.table(
-        {
-            "node1": pa.array(n1[order], pa.int64()),
-            "node2": pa.array(n2[order], pa.int64()),
-            "common_neighbors": pa.array(cn[order], pa.int64()),
-            "adamic_adar": pa.array(aa[order], pa.float64()),
-            "resource_allocation": pa.array(ra[order], pa.float64()),
-            "preferential_attachment": pa.array(pref[order], pa.int64()),
-            "total_neighbors": pa.array(tot[order], pa.int64()),
-        }
-    )
+    return scored.take(pa.array(order, pa.int64()))
 
 
 def same_community(pairs: pa.Table, communities: pa.Table,

@@ -247,3 +247,61 @@ def k_spanning_tree(
                     "v": pa.array(fv[mask], pa.int64()),
                     "weight": pa.array(fw[mask], pa.float64())})
     return ForestResult(out, float(fw[mask].sum()), forest.rounds, 1)
+
+
+def spanning_tree(
+    edges: Dataset,
+    source_node: int,
+    objective: str = "minimum",
+    num_partitions: int | None = None,
+) -> ForestResult:
+    """``gds.spanningTree`` semantics [GDS-pub: algo/.../spanningtree/ +
+    public docs]: the min- (or max-) weight spanning tree of the
+    component CONTAINING ``source_node``. The reference runs Prim from
+    the source; the Borůvka forest restricted to the source's component
+    is the same tree (unique under this engine's deterministic
+    tie-break), so this is a driver-side filter over the forest edges.
+
+    ``objective='maximum'`` negates weights into the Borůvka pass
+    (classic reduction) and restores them in the result."""
+    if objective not in ("minimum", "maximum"):
+        raise ValueError("objective must be 'minimum' or 'maximum'")
+    if objective == "maximum":
+        def neg(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            i = t.schema.get_field_index("weight")
+            return t.set_column(i, "weight", pc.negate(t.column("weight")))
+
+        edges = edges.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+    forest = minimum_spanning_forest(edges, num_partitions=num_partitions)
+
+    fu = forest.edges.column("u").to_numpy(zero_copy_only=False)
+    fv = forest.edges.column("v").to_numpy(zero_copy_only=False)
+    fw = forest.edges.column("weight").to_numpy(zero_copy_only=False)
+    if objective == "maximum":
+        fw = -fw
+
+    # union-find over the ≤ n−1 forest edges → component of the source
+    ids = np.unique(np.concatenate([fu, fv, np.array([source_node], np.int64)]))
+    parent = np.arange(ids.shape[0], dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pu = np.searchsorted(ids, fu)
+    pv = np.searchsorted(ids, fv)
+    for i in range(fu.shape[0]):
+        ru, rv = find(pu[i]), find(pv[i])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    root = find(int(np.searchsorted(ids, source_node)))
+    mask = np.fromiter((find(int(a)) == root for a in pu), bool, pu.shape[0])
+
+    out = pa.table({"u": pa.array(fu[mask], pa.int64()),
+                    "v": pa.array(fv[mask], pa.int64()),
+                    "weight": pa.array(fw[mask], pa.float64())})
+    return ForestResult(out, float(fw[mask].sum()), forest.rounds, 1)

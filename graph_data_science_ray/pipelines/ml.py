@@ -1,0 +1,365 @@
+"""ML pipelines: node classification + link prediction.
+
+Reference surface (``gds.beta.pipeline.nodeClassification`` /
+``gds.beta.pipeline.linkPrediction`` [GDS-pub: ml/ + proc/ml/; public
+docs]): configure feature steps over node properties/embeddings, split
+train/test, train a logistic-regression model, evaluate, then predict
+in bulk. Semantics reproduced here with the engine's determinism rules:
+
+- splits and negative sampling are HASH-deterministic (mix64 of ids and
+  seed) — a pure function of (data, seed), partitioning-invariant;
+- training is driver-side numpy on the label-table-sized training set
+  (ml/logreg.py — the reference likewise trains in one JVM);
+- bulk PREDICTION is distributed: model params broadcast via
+  ``ray.put`` once, scored inside ``map_batches`` (Arrow in/out);
+- link features follow the reference's linkFeature steps: HADAMARD,
+  L2, COSINE over node embedding pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from graph_data_science_ray.algos.common import collect_arrow
+from graph_data_science_ray.context import configure_ray_data
+from graph_data_science_ray.functions.joins import _mix64, hash_join
+from graph_data_science_ray.ml.linreg import LinearRegression, mae, r2, rmse
+from graph_data_science_ray.ml.logreg import (
+    LogisticRegression,
+    accuracy,
+    auc_roc,
+    macro_f1,
+)
+
+
+def _hash_uniform(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic uniform(0,1) per id."""
+    salt = np.uint64((0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF)
+    h = _mix64(ids.astype(np.uint64) ^ salt)
+    return (h.astype(np.float64) + 1.0) / float(2**64)
+
+
+def _collect_features(features: Dataset, ids: np.ndarray,
+                      feature_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Gather feature vectors for a (small) id set: broadcast the sorted
+    ids, filter per batch, collect. Returns (found_ids_sorted, X)."""
+    ids_ref = ray.put(np.sort(ids))
+
+    def pick(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, nid)
+        hit = (pos < want.shape[0]) & (want[np.minimum(pos, want.shape[0] - 1)] == nid)
+        return t.filter(pa.array(hit))
+
+    got = collect_arrow(features.map_batches(pick, batch_format="pyarrow",
+                                             zero_copy_batch=True))
+    nid = got.column("node_id").to_numpy(zero_copy_only=False)
+    X = np.array(got.column(feature_col).to_pylist(), dtype=np.float64)
+    order = np.argsort(nid, kind="stable")
+    return nid[order], X[order] if X.shape[0] else X
+
+
+def node_classification(
+    features: Dataset,
+    labels: pa.Table,
+    feature_col: str = "embedding",
+    label_col: str = "label",
+    holdout_fraction: float = 0.3,
+    penalty: float = 0.0,
+    max_iter: int = 200,
+    seed: int = 42,
+) -> tuple[dict, Dataset]:
+    """Train on the labeled nodes, return (metrics, predictions).
+
+    ``features``: Dataset (node_id, <feature_col>: list<double>).
+    ``labels``: in-memory table (node_id, <label_col>: int) — the
+    labeled set is assumed driver-sized (reference trains in-heap too).
+    Returns metrics {test_accuracy, test_f1_macro, train_accuracy,
+    n_train, n_test, n_iter} and a lazy Dataset (node_id,
+    predicted_label, probability) over ALL feature rows."""
+    configure_ray_data()
+    lab_ids = labels.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lab_y = labels.column(label_col).to_numpy(zero_copy_only=False)
+
+    fid, X = _collect_features(features, lab_ids, feature_col)
+    pos = np.searchsorted(fid, lab_ids)
+    ok = (pos < fid.shape[0]) & (fid[np.minimum(pos, fid.shape[0] - 1)] == lab_ids)
+    lab_ids, lab_y, pos = lab_ids[ok], lab_y[ok], pos[ok]
+    Xl = X[pos]
+
+    test = _hash_uniform(lab_ids, seed) < holdout_fraction
+    model = LogisticRegression(penalty=penalty, max_iter=max_iter)
+    model.fit(Xl[~test], lab_y[~test])
+    pred_tr = model.predict(Xl[~test])
+    pred_te = model.predict(Xl[test]) if test.any() else np.empty(0, lab_y.dtype)
+    metrics = {
+        "n_train": int((~test).sum()),
+        "n_test": int(test.sum()),
+        "n_iter": model.n_iter_,
+        "train_accuracy": accuracy(lab_y[~test], pred_tr),
+        "test_accuracy": accuracy(lab_y[test], pred_te),
+        "test_f1_macro": macro_f1(lab_y[test], pred_te),
+    }
+
+    params_ref = ray.put(model.params())
+
+    def score(t: pa.Table) -> pa.Table:
+        p = ray.get(params_ref)
+        Xb = np.array(t.column(feature_col).to_pylist(), dtype=np.float64)
+        if Xb.shape[0] == 0:
+            return pa.table(
+                {"node_id": pa.array([], pa.int64()),
+                 "predicted_label": pa.array([], pa.int64()),
+                 "probability": pa.array([], pa.float64())}
+            )
+        proba = LogisticRegression.proba_from_params(p, Xb)
+        am = np.argmax(proba, axis=1)
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "predicted_label": pa.array(p["classes"][am].astype(np.int64), pa.int64()),
+                "probability": pa.array(proba[np.arange(am.shape[0]), am], pa.float64()),
+            }
+        )
+
+    return metrics, features.map_batches(score, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+
+def node_regression(
+    features: Dataset,
+    targets: pa.Table,
+    feature_col: str = "embedding",
+    target_col: str = "target",
+    holdout_fraction: float = 0.3,
+    penalty: float = 0.0,
+    seed: int = 42,
+) -> tuple[dict, Dataset]:
+    """Train a linear-regression model on the target-labeled nodes,
+    return (metrics, predictions) — the ``gds.alpha.pipeline.
+    nodeRegression`` surface [GDS-pub: proc/ml + public docs].
+
+    Same split as node_classification (hash-deterministic holdout);
+    closed-form ridge/OLS fit driver-side (ml/linreg.py); distributed
+    bulk prediction over ALL feature rows → (node_id, prediction)."""
+    configure_ray_data()
+    lab_ids = targets.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lab_y = targets.column(target_col).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    fid, X = _collect_features(features, lab_ids, feature_col)
+    pos = np.searchsorted(fid, lab_ids)
+    ok = (pos < fid.shape[0]) & (fid[np.minimum(pos, fid.shape[0] - 1)] == lab_ids)
+    lab_ids, lab_y, pos = lab_ids[ok], lab_y[ok], pos[ok]
+    Xl = X[pos]
+
+    test = _hash_uniform(lab_ids, seed) < holdout_fraction
+    model = LinearRegression(penalty=penalty)
+    model.fit(Xl[~test], lab_y[~test])
+    pred_tr = model.predict(Xl[~test])
+    pred_te = model.predict(Xl[test]) if test.any() else np.empty(0)
+    metrics = {
+        "n_train": int((~test).sum()),
+        "n_test": int(test.sum()),
+        "train_rmse": rmse(lab_y[~test], pred_tr),
+        "test_rmse": rmse(lab_y[test], pred_te),
+        "test_mae": mae(lab_y[test], pred_te),
+        "test_r2": r2(lab_y[test], pred_te),
+    }
+
+    params_ref = ray.put(model.params())
+
+    def score(t: pa.Table) -> pa.Table:
+        p = ray.get(params_ref)
+        Xb = np.array(t.column(feature_col).to_pylist(), dtype=np.float64)
+        if Xb.shape[0] == 0:
+            return pa.table(
+                {"node_id": pa.array([], pa.int64()),
+                 "prediction": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"node_id": t.column("node_id"),
+             "prediction": pa.array(
+                 LinearRegression.predict_from_params(p, Xb), pa.float64())}
+        )
+
+    return metrics, features.map_batches(score, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+
+_COMBINERS = ("hadamard", "l2", "cosine")
+
+
+def _pair_features(E1: np.ndarray, E2: np.ndarray, combiner: str) -> np.ndarray:
+    if combiner == "hadamard":
+        return E1 * E2
+    if combiner == "l2":
+        return (E1 - E2) ** 2
+    if combiner == "cosine":
+        n1 = np.maximum(np.linalg.norm(E1, axis=1), 1e-12)
+        n2 = np.maximum(np.linalg.norm(E2, axis=1), 1e-12)
+        return ((E1 * E2).sum(axis=1) / (n1 * n2))[:, None]
+    raise ValueError(f"combiner must be one of {_COMBINERS}")
+
+
+def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lo = np.minimum(a, b).astype(np.uint64)
+    hi = np.maximum(a, b).astype(np.uint64)
+    return _mix64(_mix64(lo) ^ hi)
+
+
+def link_prediction_pipeline(
+    edges: Dataset,
+    embeddings: Dataset,
+    feature_col: str = "embedding",
+    combiner: str = "hadamard",
+    holdout_fraction: float = 0.3,
+    negative_ratio: float = 1.0,
+    max_train_pairs: int = 20000,
+    penalty: float = 1e-4,
+    max_iter: int = 200,
+    seed: int = 42,
+) -> tuple[dict, "LinkPredictionModel"]:
+    """Train a link classifier from positive edges + hash-sampled
+    non-edges; returns (metrics, model). Metrics: test AUC + accuracy.
+
+    The positive sample (≤ max_train_pairs, hash-chosen), the negative
+    sample and the split are all deterministic in ``seed``. The edge
+    membership test for negatives uses the collected 64-bit pair-hash
+    set (8 bytes/edge on the driver; swap for a Bloom filter beyond
+    ~1e9 edges)."""
+    configure_ray_data()
+
+    def pairs_only(t: pa.Table) -> pa.Table:
+        return t.select(["src_id", "dst_id"])
+
+    et = collect_arrow(edges.map_batches(pairs_only, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    src = et.column("src_id").to_numpy(zero_copy_only=False)
+    dst = et.column("dst_id").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edge_hash = np.unique(_pair_hash(src, dst))
+    # unordered unique positives via the hash (dedup + both-orientation)
+    _, first = np.unique(_pair_hash(src, dst), return_index=True)
+    psrc, pdst = src[first], dst[first]
+
+    if psrc.shape[0] > max_train_pairs:
+        pick = np.argsort(_hash_uniform(_pair_hash(psrc, pdst).astype(np.int64), seed + 7),
+                          kind="stable")[:max_train_pairs]
+        psrc, pdst = psrc[pick], pdst[pick]
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    n_neg = int(psrc.shape[0] * negative_ratio)
+    # deterministic rejection sampling of non-edges
+    neg_a = np.empty(0, np.int64)
+    neg_b = np.empty(0, np.int64)
+    draw = 0
+    while neg_a.shape[0] < n_neg and draw < 50:
+        need = (n_neg - neg_a.shape[0]) * 2 + 16
+        idx = np.arange(draw * need, (draw + 1) * need, dtype=np.int64)
+        ca = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 1))
+                    % np.uint64(nodes.shape[0])).astype(np.int64)]
+        cb = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 2))
+                    % np.uint64(nodes.shape[0])).astype(np.int64)]
+        ok = (ca != cb) & ~np.isin(_pair_hash(ca, cb), edge_hash)
+        ca, cb = ca[ok], cb[ok]
+        # drop duplicate candidate pairs
+        _, fi = np.unique(_pair_hash(ca, cb), return_index=True)
+        ca, cb = ca[fi], cb[fi]
+        known = np.isin(_pair_hash(ca, cb), _pair_hash(neg_a, neg_b)) if neg_a.shape[0] else np.zeros(ca.shape[0], bool)
+        neg_a = np.concatenate([neg_a, ca[~known]])
+        neg_b = np.concatenate([neg_b, cb[~known]])
+        draw += 1
+    neg_a, neg_b = neg_a[:n_neg], neg_b[:n_neg]
+
+    pa_all = np.concatenate([psrc, neg_a])
+    pb_all = np.concatenate([pdst, neg_b])
+    y = np.concatenate([np.ones(psrc.shape[0], np.int64),
+                        np.zeros(neg_a.shape[0], np.int64)])
+
+    need_ids = np.unique(np.concatenate([pa_all, pb_all]))
+    fid, X = _collect_features(embeddings, need_ids, feature_col)
+    ia = np.searchsorted(fid, pa_all)
+    ib = np.searchsorted(fid, pb_all)
+    ok = ((ia < fid.shape[0]) & (fid[np.minimum(ia, fid.shape[0] - 1)] == pa_all)
+          & (ib < fid.shape[0]) & (fid[np.minimum(ib, fid.shape[0] - 1)] == pb_all))
+    pa_all, pb_all, y, ia, ib = pa_all[ok], pb_all[ok], y[ok], ia[ok], ib[ok]
+    F = _pair_features(X[ia], X[ib], combiner)
+
+    test = _hash_uniform(_pair_hash(pa_all, pb_all).astype(np.int64), seed + 13) < holdout_fraction
+    model = LogisticRegression(penalty=penalty, max_iter=max_iter)
+    model.fit(F[~test], y[~test])
+    proba_te = (model.predict_proba(F[test])[:, list(model.classes_).index(1)]
+                if test.any() else np.empty(0))
+    pred_te = model.predict(F[test]) if test.any() else np.empty(0, np.int64)
+    metrics = {
+        "n_train": int((~test).sum()),
+        "n_test": int(test.sum()),
+        "n_positive": int(y.sum()),
+        "n_iter": model.n_iter_,
+        "test_accuracy": accuracy(y[test], pred_te),
+        "test_auc": auc_roc(y[test], proba_te),
+    }
+    return metrics, LinkPredictionModel(model, combiner, feature_col)
+
+
+class LinkPredictionModel:
+    """Broadcastable trained pair classifier with distributed scoring."""
+
+    def __init__(self, model: LogisticRegression, combiner: str, feature_col: str):
+        self.model = model
+        self.combiner = combiner
+        self.feature_col = feature_col
+
+    def predict_pairs(self, pairs: Dataset, embeddings: Dataset,
+                      num_partitions: int | None = None) -> Dataset:
+        """Score (node1, node2) rows → (node1, node2, probability).
+        Embedding attachment is two partitioned hash joins; the model
+        rides along broadcast."""
+        configure_ray_data()
+        # Acero rejects list<> payload columns in joins — ship the vector
+        # as a float64 binary blob and decode after the join
+        def pack(key: str, out: str):
+            def fn(t: pa.Table, fc=self.feature_col) -> pa.Table:
+                vecs = [np.asarray(v, dtype=np.float64).tobytes()
+                        for v in t.column(fc).to_pylist()]
+                return pa.table({key: t.column("node_id"),
+                                 out: pa.array(vecs, pa.binary())})
+            return fn
+
+        e1 = embeddings.map_batches(pack("node1", "emb1"),
+                                    batch_format="pyarrow", zero_copy_batch=True)
+        e2 = embeddings.map_batches(pack("node2", "emb2"),
+                                    batch_format="pyarrow", zero_copy_batch=True)
+        joined = hash_join(
+            hash_join(pairs, e1, on=("node1",), num_partitions=num_partitions),
+            e2, on=("node2",), num_partitions=num_partitions)
+        params_ref = ray.put(self.model.params())
+        combiner = self.combiner
+
+        def score(t: pa.Table) -> pa.Table:
+            p = ray.get(params_ref)
+            if t.num_rows == 0:
+                return pa.table(
+                    {"node1": pa.array([], pa.int64()),
+                     "node2": pa.array([], pa.int64()),
+                     "probability": pa.array([], pa.float64())}
+                )
+            E1 = np.vstack([np.frombuffer(b, dtype=np.float64)
+                            for b in t.column("emb1").to_pylist()])
+            E2 = np.vstack([np.frombuffer(b, dtype=np.float64)
+                            for b in t.column("emb2").to_pylist()])
+            F = _pair_features(E1, E2, combiner)
+            proba = LogisticRegression.proba_from_params(p, F)
+            pos_col = int(np.flatnonzero(p["classes"] == 1)[0])
+            return pa.table(
+                {"node1": t.column("node1"), "node2": t.column("node2"),
+                 "probability": pa.array(proba[:, pos_col], pa.float64())}
+            )
+
+        return joined.map_batches(score, batch_format="pyarrow")

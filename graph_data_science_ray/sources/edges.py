@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count
 
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 
@@ -48,21 +48,48 @@ def dedup_edges(
     Implemented as a hash-partitioned groupby on (src_id, dst_id).
     """
     num_partitions = num_partitions or shuffle_partitions_for()
-    gb = edges.groupby(["src_id", "dst_id"], num_partitions=num_partitions)
     agg = aggregation.lower()
-    if agg == "single":
-        out = gb.aggregate(Count(alias_name="_n"))
-        return out.drop_columns(["_n"])
-    if agg == "count":
-        out = gb.aggregate(Count(alias_name="weight"))
-        return out.map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("weight"), "weight", t.column("weight").cast(pa.float64())
-            ),
-            batch_format="pyarrow",
-        )
-    fn = {"sum": Sum, "min": Min, "max": Max}[agg]
-    return gb.aggregate(fn("weight", alias_name="weight"))
+    if agg not in ("single", "count", "sum", "min", "max"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
+    # Ray's hash aggregate costs ~15x a vectorized merge when groups are
+    # ~all-unique (the typical edge table — measured, see nodesim.py):
+    # one hash shuffle on the PAIR key, then a lexsort-based merge of
+    # each bucket in one vectorized task (functions/shuffle.py).
+    import numpy as np
+
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    sentinel: dict = {"src_id": 0, "dst_id": 0}
+    if agg in ("sum", "min", "max"):
+        sentinel["weight"] = 0.0
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        from graph_data_science_ray.algos.common import group_pairs
+
+        src = g.column("src_id").to_numpy(zero_copy_only=False)
+        dst = g.column("dst_id").to_numpy(zero_copy_only=False)
+        order, u1, u2, gid = group_pairs(src, dst)
+        cols = {"src_id": pa.array(u1, pa.int64()), "dst_id": pa.array(u2, pa.int64())}
+        if agg == "count":
+            w = np.bincount(gid, minlength=u1.shape[0]).astype(np.float64)
+            cols["weight"] = pa.array(w, pa.float64())
+        elif agg != "single":
+            wv = g.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)[order]
+            if agg == "sum":
+                w = np.bincount(gid, weights=wv, minlength=u1.shape[0])
+            elif wv.shape[0]:
+                starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+                red = np.minimum if agg == "min" else np.maximum
+                w = red.reduceat(wv, starts)
+            else:
+                w = wv
+            cols["weight"] = pa.array(w, pa.float64())
+        return pa.table(cols)
+
+    return bucketed_merge(
+        edges, ["src_id", "dst_id"], merge_bucket, sentinel,
+        num_partitions=num_partitions,
+    )
 
 
 def reverse(edges: Dataset) -> Dataset:
@@ -176,3 +203,34 @@ def lineitem_projection(sf_dir: str) -> Dataset:
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     ).rename_columns({"l_orderkey": "src_id", "l_partkey": "dst_id"})
     return dedup_edges(ds, "single")
+
+
+def split_relationships(
+    edges: Dataset, holdout_fraction: float = 0.2, seed: int = 42
+) -> tuple[Dataset, Dataset]:
+    """``gds.alpha.ml.splitRelationships`` equivalent [GDS-pub: proc/ml +
+    public docs]: deterministically split the edge set into (remaining,
+    holdout) by a splitmix64 hash of the UNORDERED pair and the seed —
+    a pure per-row predicate (two lazy filters, no shuffle), stable
+    across runs, workers and partitionings; both orientations of the
+    same undirected pair land on the same side."""
+    import numpy as np
+
+    from graph_data_science_ray.functions.joins import _mix64
+
+    salt = np.uint64((0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF)
+
+    def side(t: pa.Table, keep_holdout: bool) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst).astype(np.uint64)
+        hi = np.maximum(src, dst).astype(np.uint64)
+        u = (_mix64(_mix64(lo ^ salt) ^ hi).astype(np.float64) + 1.0) / float(2**64)
+        mask = u < holdout_fraction
+        return t.filter(pa.array(mask if keep_holdout else ~mask))
+
+    remaining = edges.map_batches(
+        lambda t: side(t, False), batch_format="pyarrow", zero_copy_batch=True)
+    holdout = edges.map_batches(
+        lambda t: side(t, True), batch_format="pyarrow", zero_copy_batch=True)
+    return remaining, holdout

@@ -577,3 +577,64 @@ def test_k_spanning_tree_properties():
     # determinism across partitionings
     res2 = k_spanning_tree(from_arrow(t).repartition(5), k=10)
     assert res.edges.equals(res2.edges)
+
+
+def test_spanning_tree_from_source():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.mst import spanning_tree
+
+    # two components; source in the 4-node one
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (10, 11), (11, 12)]
+    t = fixtures.edges_table(pairs, weights=[1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    res = spanning_tree(from_arrow(t), source_node=0)
+    got = set(zip(res.edges["u"].to_pylist(), res.edges["v"].to_pylist()))
+    assert got == {(0, 1), (1, 2), (2, 3)}
+    assert res.total_weight == pytest.approx(7.0)
+    # other component untouched
+    res2 = spanning_tree(from_arrow(t), source_node=12)
+    got2 = set(zip(res2.edges["u"].to_pylist(), res2.edges["v"].to_pylist()))
+    assert got2 == {(10, 11), (11, 12)}
+
+    # maximum objective == nx maximum_spanning_edges on a random graph
+    rng = np.random.default_rng(23)
+    t0 = fixtures.er_random(40, 0.15, seed=4)
+    w = np.round(rng.random(t0.num_rows) * 9 + 1, 3)
+    tw = t0.append_column("weight", pa.array(w, pa.float64()))
+    g = nx.Graph()
+    for s, d, ww in zip(tw["src_id"].to_pylist(), tw["dst_id"].to_pylist(), w):
+        if s == d:
+            continue
+        if g.has_edge(s, d):
+            g[s][d]["weight"] = max(g[s][d]["weight"], ww)
+        else:
+            g.add_edge(s, d, weight=ww)
+    # restrict expectation to the component containing node with min id
+    src = min(g.nodes)
+    comp = nx.node_connected_component(g, src)
+    sub = g.subgraph(comp)
+    expected = sum(d["weight"] for _, _, d in nx.maximum_spanning_edges(sub, data=True))
+    res3 = spanning_tree(from_arrow(tw), source_node=src, objective="maximum")
+    assert res3.total_weight == pytest.approx(expected, abs=1e-9)
+    assert res3.edges.num_rows == len(comp) - 1
+
+
+def test_split_relationships():
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.sources.edges import split_relationships
+
+    t = fixtures.er_random(80, 0.1, seed=6)
+    rem, hold = split_relationships(from_arrow(t), holdout_fraction=0.3, seed=9)
+    rt, ht = collect_arrow(rem), collect_arrow(hold)
+    assert rt.num_rows + ht.num_rows == t.num_rows
+    assert 0.1 < ht.num_rows / t.num_rows < 0.5
+    # deterministic
+    rem2, hold2 = split_relationships(from_arrow(t), holdout_fraction=0.3, seed=9)
+    assert collect_arrow(hold2).equals(ht)
+    # unordered-pair consistency: reversed edges land on the same side
+    rev = pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")})
+    _, hold_rev = split_relationships(from_arrow(rev), holdout_fraction=0.3, seed=9)
+    hrt = collect_arrow(hold_rev)
+    key = set(zip(ht["src_id"].to_pylist(), ht["dst_id"].to_pylist()))
+    key_rev = set(zip(hrt["dst_id"].to_pylist(), hrt["src_id"].to_pylist()))
+    assert key == key_rev
