@@ -954,6 +954,26 @@ def _q_dfs(sf_dir: str):
     return dfs(edges, source=src, max_depth=6)
 
 
+def _q_graph_filter(sf_dir: str):
+    """``gds.graph.filter`` subgraph projection: keep nodes with
+    out_degree >= 3 and forward (src < dst) relationships whose BOTH
+    endpoints survive; top-50 surviving edges."""
+    import pyarrow.compute as pc
+
+    from graph_data_science_ray.algos.degree import degree
+    from graph_data_science_ray.sources.edges import filter_graph
+
+    edges = _edges_op(sf_dir)
+    nodes = degree(edges, "natural", alias="out_degree")
+    sub = filter_graph(
+        edges,
+        node_filter=lambda t: pc.greater_equal(t.column("out_degree"), 3),
+        nodes=nodes,
+        relationship_filter=lambda t: pc.less(t.column("src_id"), t.column("dst_id")),
+    )
+    return sub.sort(["src_id", "dst_id"]).limit(50)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo over a deterministic synthetic media table
     (the testdata has no binary media; payload handling is the point)."""
@@ -984,6 +1004,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "edge_projection": _q_edge_projection,
+        "graph_filter": _q_graph_filter,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
         "degree_topk": _q_degree_topk,
@@ -1317,6 +1338,15 @@ WITH e0 AS ({_E_PS}),
 def oracle_sql() -> dict[str, str]:
     return {
         "edge_projection": _E_OP,
+        "graph_filter": (
+            f"WITH e AS ({_E_OP}), "
+            "keep AS (SELECT src_id AS node_id FROM e GROUP BY src_id HAVING COUNT(*) >= 3) "
+            "SELECT e.src_id, e.dst_id FROM e "
+            "WHERE e.src_id < e.dst_id "
+            "AND e.src_id IN (SELECT node_id FROM keep) "
+            "AND e.dst_id IN (SELECT node_id FROM keep) "
+            "ORDER BY e.src_id, e.dst_id LIMIT 50"
+        ),
         "out_degree": f"SELECT src_id AS node_id, COUNT(*) AS out_degree FROM ({_E_OP}) GROUP BY src_id",
         "in_degree": f"SELECT dst_id AS node_id, COUNT(*) AS in_degree FROM ({_E_OP}) GROUP BY dst_id",
         "degree_topk": (

@@ -71,6 +71,33 @@ class GraphCatalog:
         self._graphs[name] = entry
         return entry
 
+    def filter(
+        self,
+        name: str,
+        from_name: str,
+        node_filter=None,
+        nodes=None,
+        relationship_filter=None,
+        strategy: str = "auto",
+        materialize: bool = True,
+    ) -> GraphEntry:
+        """``gds.graph.filter`` — project a filtered subgraph of an
+        existing entry under a new name (sources/edges.filter_graph for
+        the predicate semantics and the broadcast/semijoin strategy)."""
+        if name in self._graphs:
+            raise ValueError(f"graph '{name}' already exists")
+        src = self.get(from_name)
+        from graph_data_science_ray.sources.edges import filter_graph
+
+        ds = filter_graph(
+            src.edges, node_filter=node_filter, nodes=nodes,
+            relationship_filter=relationship_filter, strategy=strategy)
+        if materialize:
+            ds = ds.materialize()
+        entry = GraphEntry(name, ds, src.orientation, src.aggregation, src.weighted)
+        self._graphs[name] = entry
+        return entry
+
     def get(self, name: str) -> GraphEntry:
         try:
             return self._graphs[name]

@@ -234,3 +234,110 @@ def split_relationships(
     holdout = edges.map_batches(
         lambda t: side(t, True), batch_format="pyarrow", zero_copy_batch=True)
     return remaining, holdout
+
+
+def filter_graph(
+    edges: Dataset,
+    node_filter=None,
+    nodes: "Dataset | pa.Table | None" = None,
+    relationship_filter=None,
+    strategy: str = "auto",
+    num_partitions: int | None = None,
+    broadcast_threshold: int = 4_000_000,
+) -> Dataset:
+    """Subgraph projection (``gds.graph.filter`` [GDS-pub: proc/catalog
+    GraphFilterProc + public docs]): keep the relationships that pass
+    ``relationship_filter`` AND whose BOTH endpoints pass ``node_filter``.
+
+    The reference takes string expressions over properties ("n.prop >
+    42"); here the filters are vectorized batch predicates — callables
+    taking a ``pyarrow.Table`` and returning a boolean mask (pyarrow
+    BooleanArray or numpy bool array). ``node_filter`` is evaluated over
+    ``nodes`` (a node-property table carrying ``node_id``; nodes absent
+    from it fail the filter, matching the reference's missing-property
+    semantics); ``relationship_filter`` over edge batches.
+
+    Scale strategy for the endpoint membership test:
+
+    - ``"broadcast"`` — collect the passing node-id set once, ``ray.put``
+      it, and mask each edge batch with a sorted-array membership probe
+      (no shuffle; right whenever the surviving node set fits in memory —
+      a node-vector-sized object, the engine's standing assumption).
+    - ``"semijoin"`` — two partitioned ``left_semi`` hash joins (src then
+      dst); no driver materialization, right when the filter keeps
+      billions of nodes.
+    - ``"auto"`` — broadcast iff the passing set ≤ ``broadcast_threshold``.
+    """
+    import numpy as np
+
+    configure_ray_data()
+    out = edges
+    if relationship_filter is not None:
+        def rel_mask(t: pa.Table) -> pa.Table:
+            m = relationship_filter(t)
+            if isinstance(m, np.ndarray):
+                m = pa.array(m)
+            return t.filter(m)
+
+        out = out.map_batches(rel_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+    if node_filter is None:
+        return out
+    if nodes is None:
+        raise ValueError("node_filter requires a `nodes` property table")
+
+    def keep_ids(t: pa.Table) -> pa.Table:
+        m = node_filter(t)
+        if isinstance(m, np.ndarray):
+            m = pa.array(m)
+        return t.filter(m).select(["node_id"])
+
+    if isinstance(nodes, pa.Table):
+        keep_tbl = keep_ids(nodes)
+        keep_ds = None
+        n_keep = keep_tbl.num_rows
+    else:
+        keep_ds = nodes.map_batches(keep_ids, batch_format="pyarrow", zero_copy_batch=True)
+        keep_tbl = None
+        n_keep = keep_ds.count() if strategy == "auto" else None
+
+    use_broadcast = (
+        strategy == "broadcast"
+        or keep_tbl is not None
+        or (strategy == "auto" and n_keep is not None and n_keep <= broadcast_threshold)
+    )
+    if use_broadcast:
+        if keep_tbl is None:
+            from graph_data_science_ray.algos.common import collect_arrow
+
+            keep_tbl = collect_arrow(keep_ds)
+        if keep_tbl.num_rows == 0 or "node_id" not in keep_tbl.column_names:
+            ids = np.array([], dtype=np.int64)
+        else:
+            ids = np.sort(keep_tbl.column("node_id").to_numpy(zero_copy_only=False))
+        ids_ref = ray.put(ids)
+
+        def endpoint_mask(t: pa.Table) -> pa.Table:
+            s = ray.get(ids_ref)
+            if s.shape[0] == 0:
+                return t.slice(0, 0)
+
+            def member(v: np.ndarray) -> np.ndarray:
+                i = np.searchsorted(s, v)
+                i_c = np.minimum(i, s.shape[0] - 1)
+                return (i < s.shape[0]) & (s[i_c] == v)
+
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(member(src) & member(dst)))
+
+        return out.map_batches(endpoint_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+    from graph_data_science_ray.functions.joins import hash_join
+
+    out = hash_join(
+        out, keep_ds.rename_columns({"node_id": "src_id"}),
+        on=("src_id",), join_type="left_semi", num_partitions=num_partitions)
+    return hash_join(
+        out, keep_ds.rename_columns({"node_id": "dst_id"}),
+        on=("dst_id",), join_type="left_semi", num_partitions=num_partitions)

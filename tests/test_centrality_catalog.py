@@ -130,3 +130,60 @@ def test_hits_vs_numpy_reference():
     np.testing.assert_allclose(hub.values, h, atol=1e-6)
     np.testing.assert_allclose(auth.values, a, atol=1e-6)
     assert _pt.approx(np.linalg.norm(auth.values), abs=1e-9) == 1.0
+
+
+def test_filter_graph_both_strategies_match_reference():
+    """gds.graph.filter parity: broadcast vs semijoin endpoint filtering
+    both equal a pure-python reference (keep out_degree>=2 nodes and
+    src<dst edges)."""
+    import pyarrow.compute as pc
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.algos.degree import degree
+    from graph_data_science_ray.sources.edges import filter_graph
+
+    t = fixtures.er_random(60, 0.08, seed=21)
+    pairs = _pairs(t)
+    outdeg = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    keep = {u for u, d in outdeg.items() if d >= 2}
+    want = sorted((s, d) for s, d in pairs if s < d and s in keep and d in keep)
+
+    edges = from_arrow(t)
+    nodes = degree(edges, "natural", alias="out_degree")
+    node_f = lambda tb: pc.greater_equal(tb.column("out_degree"), 2)  # noqa: E731
+    rel_f = lambda tb: pc.less(tb.column("src_id"), tb.column("dst_id"))  # noqa: E731
+    for strategy in ("broadcast", "semijoin"):
+        got = collect_arrow(
+            filter_graph(edges, node_filter=node_f, nodes=nodes,
+                         relationship_filter=rel_f, strategy=strategy))
+        assert sorted(_pairs(got)) == want, strategy
+
+
+def test_filter_graph_empty_keep_and_catalog():
+    import pyarrow.compute as pc
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.algos.degree import degree
+    from graph_data_science_ray.catalog import GraphCatalog
+    from graph_data_science_ray.sources.edges import filter_graph
+
+    t = fixtures.er_random(30, 0.1, seed=5)
+    edges = from_arrow(t)
+    nodes = degree(edges, "natural", alias="out_degree")
+    # impossible predicate -> empty subgraph, schema preserved
+    got = collect_arrow(
+        filter_graph(edges, node_filter=lambda tb: pc.greater(tb.column("out_degree"), 10**9),
+                     nodes=nodes))
+    assert got.num_rows == 0
+
+    cat = GraphCatalog()
+    cat.project("g", edges)
+    sub = cat.filter("g_fwd", "g",
+                     relationship_filter=lambda tb: pc.less(tb.column("src_id"),
+                                                            tb.column("dst_id")))
+    pairs = _pairs(t)
+    want = sorted({(s, d) for s, d in pairs if s < d})
+    assert sorted(_pairs(collect_arrow(sub.edges))) == want
+    assert {e["name"] for e in cat.list()} == {"g", "g_fwd"}
