@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -105,7 +105,7 @@ def betweenness_centrality(
                     continue
                 tgt = dp[m]
                 vals = sg[si, sp[m]]
-                u, inv = np.unique(tgt, return_inverse=True)
+                u, inv = unique_inverse(tgt)
                 sums = np.bincount(inv, weights=vals, minlength=u.shape[0])
                 out.append((si, u, sums))
             return _sparse_rows(out, ids)
@@ -140,7 +140,7 @@ def betweenness_centrality(
                     continue
                 u_pos = sp[m]
                 contrib = sg[si, u_pos] / sg[si, dp[m]] * (1.0 + de[si, dp[m]])
-                u, inv = np.unique(u_pos, return_inverse=True)
+                u, inv = unique_inverse(u_pos)
                 sums = np.bincount(inv, weights=contrib, minlength=u.shape[0])
                 out.append((si, u, sums))
             return _sparse_rows(out, ids)

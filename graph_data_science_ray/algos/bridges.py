@@ -37,7 +37,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.mst import minimum_spanning_forest
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
@@ -326,7 +326,7 @@ def bridges_and_articulation_points(
         esc = sub_low[child] < depth[ch_parents]
         # aggregate per (parent, component): does any member escape?
         key = ch_parents * np.int64(n) + roots_of
-        u_key, inv = np.unique(key, return_inverse=True)
+        u_key, inv = unique_inverse(key)
         comp_esc = np.zeros(u_key.shape[0], dtype=bool)
         np.logical_or.at(comp_esc, inv, esc)
         comp_parent = (u_key // n).astype(np.int64)

@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import unique_node_ids
+from graph_data_science_ray.algos.common import unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.wcc import wcc
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
@@ -110,7 +110,7 @@ def celf(
             pos = np.searchsorted(node_ids, res.node_ids)
             comp_r[pos] = res.values
         comp[r] = comp_r
-        u, inv = np.unique(comp_r, return_inverse=True)
+        u, inv = unique_inverse(comp_r)
         sizes = np.bincount(inv)
         # store as dense lookup aligned with comp_r via searchsorted
         size.append((u, sizes))

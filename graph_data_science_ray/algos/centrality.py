@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, merge_sum, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, merge_sum, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.pagerank import IterativeResult, _out_weight
 from graph_data_science_ray.context import configure_ray_data
 
@@ -51,7 +51,7 @@ def _iterate_scaled(
             src = batch.column("src_id").to_numpy(zero_copy_only=False)
             dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
             contrib = sc[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
-            u, inv = np.unique(dst, return_inverse=True)
+            u, inv = unique_inverse(dst)
             s = np.bincount(inv, weights=contrib, minlength=u.shape[0])
             return pa.table(
                 {"dst_id": pa.array(u, pa.int64()), "contrib": pa.array(s, pa.float64())}
@@ -180,7 +180,7 @@ def hits(
             src = batch.column(key_in).to_numpy(zero_copy_only=False)
             dst = batch.column(key_out).to_numpy(zero_copy_only=False)
             contrib = v[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
-            u, inv = np.unique(dst, return_inverse=True)
+            u, inv = unique_inverse(dst)
             s = np.bincount(inv, weights=contrib, minlength=u.shape[0])
             return pa.table(
                 {"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())}

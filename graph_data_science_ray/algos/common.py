@@ -136,17 +136,38 @@ def unique_node_ids(edges_table_or_ds) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def unique_inverse(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop-in replacement for 1-D ``np`` ``unique(..., return_inverse=True)``.
+
+    One stable argsort (radix for int dtypes) + mask + inverse scatter.
+    numpy 1.26's ``return_inverse`` path argsorts with quicksort, which
+    is ~13x slower than radix on large random int64 (measured interleaved
+    on this host; BENCH/BASELINE.md) — and this pattern sits in nearly
+    every per-batch combiner, so it IS the hot path."""
+    if a.shape[0] == 0:
+        return a[:0].copy(), np.empty(0, np.int64)
+    o = np.argsort(a, kind="stable")
+    s = a[o]
+    newu = np.empty(s.shape[0], dtype=bool)
+    newu[0] = True
+    np.not_equal(s[1:], s[:-1], out=newu[1:])
+    gid = np.cumsum(newu) - 1
+    inv = np.empty(a.shape[0], dtype=np.int64)
+    inv[o] = gid
+    return s[newu], inv
+
+
 def merge_sum(t: pa.Table, key: str, val: str) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column(key).to_numpy(zero_copy_only=False)
     vals = t.column(val).to_numpy(zero_copy_only=False)
-    u, inv = np.unique(ids, return_inverse=True)
+    u, inv = unique_inverse(ids)
     return u, np.bincount(inv, weights=vals, minlength=u.shape[0])
 
 
 def merge_min(t: pa.Table, key: str, val: str) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column(key).to_numpy(zero_copy_only=False)
     vals = t.column(val).to_numpy(zero_copy_only=False)
-    u, inv = np.unique(ids, return_inverse=True)
+    u, inv = unique_inverse(ids)
     out = np.full(u.shape[0], np.iinfo(np.int64).max, dtype=vals.dtype)
     np.minimum.at(out, inv, vals)
     return u, out

@@ -34,7 +34,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graph_data_science_ray.algos.common import NodeVector, collect_arrow
+from graph_data_science_ray.algos.common import NodeVector, collect_arrow, unique_inverse
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -81,7 +81,7 @@ def community_stats(
         src_c = com[np.minimum(np.searchsorted(ids, src), n - 1)]
         dst_c = com[np.minimum(np.searchsorted(ids, dst), n - 1)]
         internal = (src_c == dst_c).astype(np.int64)
-        u, inv = np.unique(src_c, return_inverse=True)
+        u, inv = unique_inverse(src_c)
         deg = np.bincount(inv, minlength=u.shape[0]).astype(np.int64)
         int_sym = np.zeros(u.shape[0], dtype=np.int64)
         np.add.at(int_sym, inv, internal)

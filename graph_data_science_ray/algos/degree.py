@@ -11,6 +11,7 @@ from ray.data.aggregate import Sum
 
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 from graph_data_science_ray.sources.edges import symmetrize
+from graph_data_science_ray.algos.common import unique_inverse
 
 
 def degree(
@@ -35,7 +36,7 @@ def degree(
             if weighted
             else np.ones(ids.shape[0])
         )
-        u, inv = np.unique(ids, return_inverse=True)
+        u, inv = unique_inverse(ids)
         s = np.bincount(inv, weights=w, minlength=u.shape[0])
         col = pa.array(s, pa.float64()) if weighted else pa.array(s.astype(np.int64), pa.int64())
         return pa.table({"node_id": pa.array(u, pa.int64()), "_d": col})

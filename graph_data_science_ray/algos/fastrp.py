@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.pagerank import _out_weight
 from graph_data_science_ray.context import configure_ray_data
 
@@ -91,7 +91,7 @@ def fastrp(
             src = batch.column("src_id").to_numpy(zero_copy_only=False)
             dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
             rows = sc[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
-            u, inv = np.unique(dst, return_inverse=True)
+            u, inv = unique_inverse(dst)
             agg = np.zeros((u.shape[0], rows.shape[1]))
             for j in range(rows.shape[1]):
                 agg[:, j] = np.bincount(inv, weights=rows[:, j], minlength=u.shape[0])
@@ -108,7 +108,7 @@ def fastrp(
                 [t.column(f"v{j}").to_numpy(zero_copy_only=False) for j in range(d)], axis=1
             )
             # merge partials (same dst across batches)
-            u, inv = np.unique(ids, return_inverse=True)
+            u, inv = unique_inverse(ids)
             merged = np.zeros((u.shape[0], d))
             np.add.at(merged, inv, mat)
             new_h[np.searchsorted(node_arr, u)] = merged

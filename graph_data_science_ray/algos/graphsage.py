@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -102,7 +102,7 @@ def _degree_features(edges_sym: Dataset, node_arr: np.ndarray) -> np.ndarray:
     if t.num_rows:
         ids = t.column("node_id").to_numpy(zero_copy_only=False)
         c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
-        u, inv = np.unique(ids, return_inverse=True)
+        u, inv = unique_inverse(ids)
         merged = np.bincount(inv, weights=c, minlength=u.shape[0])
         # node_arr may be a subgraph of the scanned edges (training path)
         pos = np.searchsorted(node_arr, u)
@@ -139,7 +139,7 @@ def _neighbor_mean_distributed(edges_sym: Dataset, node_arr: np.ndarray,
         src = batch.column("src_id").to_numpy(zero_copy_only=False)
         dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
         rows = hh[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
-        u, inv = np.unique(dst, return_inverse=True)
+        u, inv = unique_inverse(dst)
         agg = np.zeros((u.shape[0], rows.shape[1] + 1))
         for j in range(rows.shape[1]):
             agg[:, j] = np.bincount(inv, weights=rows[:, j], minlength=u.shape[0])
@@ -156,7 +156,7 @@ def _neighbor_mean_distributed(edges_sym: Dataset, node_arr: np.ndarray,
         ids = t.column("dst_id").to_numpy(zero_copy_only=False)
         mat = np.stack([t.column(f"v{j}").to_numpy(zero_copy_only=False)
                         for j in range(d + 1)], axis=1)
-        u, inv = np.unique(ids, return_inverse=True)
+        u, inv = unique_inverse(ids)
         merged = np.zeros((u.shape[0], d + 1))
         np.add.at(merged, inv, mat)
         cnt = np.maximum(merged[:, -1], 1.0)

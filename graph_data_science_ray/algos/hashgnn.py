@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import symmetrize
 
@@ -120,7 +120,7 @@ def hashgnn(
             src = t.column("src_id").to_numpy(zero_copy_only=False)
             dst = t.column("dst_id").to_numpy(zero_copy_only=False)
             sp = np.searchsorted(ids, src)
-            u, inv = np.unique(dst, return_inverse=True)
+            u, inv = unique_inverse(dst)
             acc = np.full((u.shape[0], msg.shape[1]), _INF, dtype=np.uint64)
             np.minimum.at(acc, inv, msg[sp])
             cols = {"node_id": pa.array(u, pa.int64())}

@@ -35,7 +35,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graph_data_science_ray.algos.common import unique_node_ids
+from graph_data_science_ray.algos.common import unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.iterate import run_iterative
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
@@ -52,7 +52,7 @@ def _make_stage(state_ref):
         dst_cap = core[np.minimum(np.searchsorted(ids, dst), n - 1)]
         val = np.minimum(src_val, dst_cap)  # clip: provably result-preserving
         # per-batch histogram partial: (dst, val) → count
-        u_dst, inv = np.unique(dst, return_inverse=True)
+        u_dst, inv = unique_inverse(dst)
         width = int(val.max()) + 1 if val.shape[0] else 1
         packed = inv.astype(np.int64) * width + val
         u_pack, counts = np.unique(packed, return_counts=True)
@@ -143,7 +143,7 @@ def _driver_merge(t: pa.Table) -> pa.Table:
         return t
     node, val, cnt = _merge_histogram(t)
     width = int(val.max()) + 1
-    u_node, inv = np.unique(node, return_inverse=True)
+    u_node, inv = unique_inverse(node)
     packed = inv.astype(np.int64) * width + val
     u_pack = np.unique(packed)
     sums = np.zeros(u_pack.shape[0], dtype=np.int64)

@@ -28,7 +28,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graph_data_science_ray.algos.common import unique_node_ids
+from graph_data_science_ray.algos.common import group_pairs, unique_node_ids
 from graph_data_science_ray.algos.iterate import run_iterative
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
@@ -47,14 +47,15 @@ def _make_stage(weighted: bool):
                 else np.ones(src.shape[0], dtype=np.float64)
             )
             src_label = labels[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
-            # within-batch combiner: sum weight per (dst, label)
-            key = np.stack([dst, src_label], axis=1)
-            u_key, inv = np.unique(key, axis=0, return_inverse=True)
-            votes = np.bincount(inv, weights=w, minlength=u_key.shape[0])
+            # within-batch combiner: sum weight per (dst, label) —
+            # lexsort grouping (group_pairs), same lexicographic output
+            # order as np.unique(axis=0) but radix-sorted
+            order, u_dst, u_lab, gid = group_pairs(dst, src_label)
+            votes = np.bincount(gid, weights=w[order], minlength=u_dst.shape[0])
             return pa.table(
                 {
-                    "node_id": pa.array(u_key[:, 0], pa.int64()),
-                    "label": pa.array(u_key[:, 1], pa.int64()),
+                    "node_id": pa.array(u_dst, pa.int64()),
+                    "label": pa.array(u_lab, pa.int64()),
                     "w": pa.array(votes, pa.float64()),
                 }
             )

@@ -31,7 +31,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.louvain import (
     LouvainResult,
     _merge_partials,
@@ -45,7 +45,7 @@ def _strengths(sym: Dataset, level_ids: np.ndarray, internal: np.ndarray) -> np.
     def fn(t: pa.Table) -> pa.Table:
         src = t.column("src_id").to_numpy(zero_copy_only=False)
         w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
-        u, inv = np.unique(src, return_inverse=True)
+        u, inv = unique_inverse(src)
         s = np.zeros(u.shape[0])
         np.add.at(s, inv, w)
         return pa.table({"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())})
@@ -241,7 +241,7 @@ def leiden(
         ref_rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(ref_rep, ref, min_member)
         new_labels = ref_rep[ref]
-        u_new, comp_pos = np.unique(new_labels, return_inverse=True)
+        u_new, comp_pos = unique_inverse(new_labels)
         if u_new.shape[0] == n:
             break  # refinement kept everything singleton → done
 
@@ -285,7 +285,7 @@ def leiden(
         next_seed[comp_pos] = comm  # last-writer; all writers in a
         # refined group share the same comm by the restrict cage
         # normalize seeds to 0..n_new-1 group ids
-        _, next_seed = np.unique(next_seed, return_inverse=True)
+        _, next_seed = unique_inverse(next_seed)
 
         assign = comp_pos[assign]
         new_min = np.full(u_new.shape[0], np.iinfo(np.int64).max, dtype=np.int64)

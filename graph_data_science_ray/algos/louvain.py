@@ -40,7 +40,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -80,7 +80,7 @@ def _neighbor_community_weights(sym: Dataset, ids_ref) -> pa.Table:
         # pack (src position, dst community) — both < n ≤ 2^31 typical;
         # use int64 pair packing via lexsort-free unique on 2 keys
         key = sp.astype(np.int64) * (comm.max() + 1) + dc
-        u_key, inv = np.unique(key, return_inverse=True)
+        u_key, inv = unique_inverse(key)
         sums = np.zeros(u_key.shape[0], dtype=np.float64)
         np.add.at(sums, inv, w)
         width = comm.max() + 1
@@ -100,7 +100,7 @@ def _merge_partials(t: pa.Table, n_comm: int):
     com = t.column("comm").to_numpy(zero_copy_only=False)
     w = t.column("w").to_numpy(zero_copy_only=False)
     key = pos * np.int64(n_comm) + com
-    u_key, inv = np.unique(key, return_inverse=True)
+    u_key, inv = unique_inverse(key)
     sums = np.zeros(u_key.shape[0], dtype=np.float64)
     np.add.at(sums, inv, w)
     return u_key // n_comm, u_key % n_comm, sums
@@ -170,7 +170,7 @@ def louvain(
         def strength_fn(t: pa.Table) -> pa.Table:
             src = t.column("src_id").to_numpy(zero_copy_only=False)
             w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
-            u, inv = np.unique(src, return_inverse=True)
+            u, inv = unique_inverse(src)
             s = np.zeros(u.shape[0])
             np.add.at(s, inv, w)
             return pa.table({"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())})
@@ -274,7 +274,7 @@ def louvain(
         rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(rep, comm, min_member)
         new_labels = rep[comm]                     # per supernode: new id
-        u_new, comp_pos = np.unique(new_labels, return_inverse=True)
+        u_new, comp_pos = unique_inverse(new_labels)
         if u_new.shape[0] == n:
             break  # nothing merged
 

@@ -32,7 +32,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graph_data_science_ray.algos.common import NodeVector, collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import NodeVector, collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.checkpoint import CheckpointManager
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 
@@ -79,7 +79,7 @@ def _contrib_stage(state_ref, weighted: bool):
         contrib = scaled[np.minimum(pos, ids.shape[0] - 1)]
         if weighted:
             contrib = contrib * batch.column("weight").to_numpy(zero_copy_only=False)
-        u_dst, inv = np.unique(dst, return_inverse=True)
+        u_dst, inv = unique_inverse(dst)
         partial = np.bincount(inv, weights=contrib, minlength=u_dst.shape[0])
         return pa.table(
             {"dst_id": pa.array(u_dst, pa.int64()), "contrib": pa.array(partial, pa.float64())}
@@ -99,7 +99,7 @@ def _out_weight(edges: Dataset, node_vec_ids: np.ndarray, weighted: bool) -> np.
             if weighted
             else np.ones(src.shape[0])
         )
-        u, inv = np.unique(src, return_inverse=True)
+        u, inv = unique_inverse(src)
         s = np.bincount(inv, weights=w, minlength=u.shape[0])
         return pa.table({"src_id": pa.array(u, pa.int64()), "w": pa.array(s, pa.float64())})
 

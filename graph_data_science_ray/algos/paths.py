@@ -30,7 +30,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.iterate import run_iterative
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
@@ -82,7 +82,7 @@ def _make_relax_stage(weighted: bool):
                 )
                 return sch.empty_table()
             dst, cand = dst[finite], cand[finite]
-            u, inv = np.unique(dst, return_inverse=True)
+            u, inv = unique_inverse(dst)
             best = np.full(u.shape[0], np.inf if weighted else _INF_I64, dtype=cand.dtype)
             np.minimum.at(best, inv, cand)
             return pa.table({"node_id": pa.array(u, pa.int64()), "cand": pa.array(best)})
@@ -97,7 +97,7 @@ def _merge_min_any(t: pa.Table) -> pa.Table:
         return pa.schema([("node_id", pa.int64()), ("cand", pa.float64())]).empty_table()
     ids = t.column("node_id").to_numpy(zero_copy_only=False)
     vals = t.column("cand").to_numpy(zero_copy_only=False)
-    u, inv = np.unique(ids, return_inverse=True)
+    u, inv = unique_inverse(ids)
     out = np.full(u.shape[0], np.inf if vals.dtype.kind == "f" else _INF_I64, dtype=vals.dtype)
     np.minimum.at(out, inv, vals)
     return pa.table({"node_id": pa.array(u, pa.int64()), "cand": pa.array(out)})

@@ -42,7 +42,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops
 
@@ -164,7 +164,7 @@ def strongly_connected_components(
                 src = t.column("src_id").to_numpy(zero_copy_only=False)
                 dst = t.column("dst_id").to_numpy(zero_copy_only=False)
                 sc = col[np.searchsorted(ids, src)]
-                u, inv = np.unique(dst, return_inverse=True)
+                u, inv = unique_inverse(dst)
                 best = np.full(u.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
                 np.minimum.at(best, inv, sc)
                 return pa.table(

@@ -25,7 +25,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
-from graph_data_science_ray.algos.common import unique_node_ids
+from graph_data_science_ray.algos.common import unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.iterate import run_iterative
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
@@ -46,7 +46,7 @@ def _make_stage(state_ref):
             return pa.schema([("node_id", pa.int64()), ("nbr_min", pa.int64())]).empty_table()
         src_label = labels[sp]
         # within-batch combiner: min src-label per dst before the shuffle
-        u_dst, inv = np.unique(dst, return_inverse=True)
+        u_dst, inv = unique_inverse(dst)
         best = np.full(u_dst.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(best, inv, src_label)
         return pa.table(

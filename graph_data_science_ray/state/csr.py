@@ -40,6 +40,7 @@ import pyarrow.parquet as pq
 import ray
 
 from graph_data_science_ray.stages.ids import bucket_of
+from graph_data_science_ray.algos.common import group_pairs, unique_inverse
 
 INT64_MAX = np.iinfo(np.int64).max
 
@@ -126,7 +127,7 @@ class CsrShard:
         if w is not None:
             w = w[order]
         # unique srcs + per-edge src position
-        self.src_u, self.edge_srcpos = np.unique(src, return_inverse=True)
+        self.src_u, self.edge_srcpos = unique_inverse(src)
         self.src_is_hub = np.isin(self.src_u, hub_ids, assume_unique=False)
         self.edge_w = w
         # dst groups: consecutive equal (dst_shard, dst)
@@ -411,10 +412,8 @@ class CsrShard:
             labels = self._scaled_per_src(hub_ids, hub_vals, "label")
             per_edge = labels[self.edge_srcpos]
             wts = self.edge_w if self.edge_w is not None else np.ones(per_edge.shape[0])
-            key = np.stack([self.dst_group, per_edge], axis=1)
-            ukey, inv = np.unique(key, axis=0, return_inverse=True)
-            votes = np.bincount(inv, weights=wts, minlength=ukey.shape[0])
-            grp = ukey[:, 0]
+            order, grp, u_lab, gid = group_pairs(self.dst_group, per_edge)
+            votes = np.bincount(gid, weights=wts[order], minlength=grp.shape[0])
             out = []
             for s, (lo, hi) in enumerate(self.group_shard_slices):
                 m = (grp >= lo) & (grp < hi)
@@ -422,7 +421,7 @@ class CsrShard:
                     pa.table(
                         {
                             "node_id": pa.array(self.group_dst[grp[m]], pa.int64()),
-                            "label": pa.array(ukey[m, 1], pa.int64()),
+                            "label": pa.array(u_lab[m], pa.int64()),
                             "val": pa.array(votes[m], pa.float64()),
                         }
                     )
@@ -470,14 +469,13 @@ class CsrShard:
                 labels = t.column("label").to_numpy(zero_copy_only=False)
                 vals = t.column("val").to_numpy(zero_copy_only=False)
                 # merge partials: same (node,label) may arrive from shards
-                key = np.stack([ids, labels], axis=1)
-                ukey, inv = np.unique(key, axis=0, return_inverse=True)
-                votes = np.bincount(inv, weights=vals, minlength=ukey.shape[0])
-                order = np.lexsort((ukey[:, 1], -votes, ukey[:, 0]))
-                k_s = ukey[order]
-                _, first = np.unique(k_s[:, 0], return_index=True)
-                pos = np.searchsorted(self.owned_ids, k_s[first, 0])
-                new[pos] = k_s[first, 1]
+                o0, u_ids, u_lab, gid = group_pairs(ids, labels)
+                votes = np.bincount(gid, weights=vals[o0], minlength=u_ids.shape[0])
+                order = np.lexsort((u_lab, -votes, u_ids))
+                k0, k1 = u_ids[order], u_lab[order]
+                _, first = np.unique(k0, return_index=True)
+                pos = np.searchsorted(self.owned_ids, k0[first])
+                new[pos] = k1[first]
             changed = float((new != self.state).sum())
             self.state = new
             return changed

@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
 from graph_data_science_ray.context import configure_ray_data
@@ -39,7 +39,7 @@ def _src_out_weight_partials(edges: Dataset, weighted: bool) -> pa.Table:
             if weighted
             else np.ones(src.shape[0])
         )
-        u, inv = np.unique(src, return_inverse=True)
+        u, inv = unique_inverse(src)
         s = np.bincount(inv, weights=w, minlength=u.shape[0])
         return pa.table({"src_id": pa.array(u, pa.int64()), "w": pa.array(s, pa.float64())})
 

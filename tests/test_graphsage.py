@@ -44,8 +44,13 @@ def test_graphsage_deterministic_and_unit_norm():
                          epochs=10, seed=5)
     t2 = graphsage_table(edges, features=feats, embedding_dimension=8,
                          epochs=10, seed=5)
-    assert t1.equals(t2)
+    # node set identical; values allclose rather than bitwise — the
+    # distributed neighbor-mean sums float partials per batch, and Ray
+    # may split blocks differently under load, reordering the additions
+    assert t1.column("node_id").equals(t2.column("node_id"))
+    E2 = np.array(t2.column("embedding").to_pylist())
     E = np.array(t1.column("embedding").to_pylist())
+    assert np.allclose(E, E2, atol=1e-9)
     assert E.shape == (16, 8)
     norms = np.linalg.norm(E, axis=1)
     assert np.allclose(norms[norms > 1e-9], 1.0, atol=1e-9)

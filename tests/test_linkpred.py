@@ -54,12 +54,31 @@ def test_scores_match_networkx():
     assert len(rows) == n_checked
 
 
+def _tables_match(a: pa.Table, b: pa.Table) -> bool:
+    # int columns exact; float columns allclose — adamic_adar /
+    # resource_allocation are partial SUMS whose addition order depends
+    # on Ray's block arrival order, so bitwise equality across two
+    # separate runs is flaky at the last ulp
+    if a.column_names != b.column_names or a.num_rows != b.num_rows:
+        return False
+    for col in a.column_names:
+        x, y = a.column(col), b.column(col)
+        if pa.types.is_floating(x.type):
+            if not np.allclose(x.to_numpy(zero_copy_only=False),
+                               y.to_numpy(zero_copy_only=False),
+                               rtol=1e-12, atol=1e-15):
+                return False
+        elif not x.equals(y):
+            return False
+    return True
+
+
 def test_pairs_filter_and_topk():
     t = fixtures.er_random(40, 0.15, seed=2)
     full = link_prediction(from_arrow(t))
     k5 = link_prediction(from_arrow(t), top_k=5)
     assert k5.num_rows == 5
-    assert k5.equals(full.slice(0, 5))
+    assert _tables_match(k5, full.slice(0, 5))
     # ordering: cn descending, then ids
     cn = full.column("common_neighbors").to_pylist()
     assert cn == sorted(cn, reverse=True) or all(
@@ -71,7 +90,7 @@ def test_pairs_filter_and_topk():
     )
     sub = link_prediction(from_arrow(t), pairs=want)
     assert sub.num_rows == 3
-    assert sub.equals(full.slice(0, 3))
+    assert _tables_match(sub, full.slice(0, 3))
 
 
 def test_degree_cutoff_drops_hub_middles():
