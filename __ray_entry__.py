@@ -360,6 +360,18 @@ def _q_harmonic64(sf_dir: str):
     return _round6(t, "harmonic")
 
 
+def _q_allsp64(sf_dir: str):
+    """All-pairs hop distances (gds.allShortestPaths.stream) from the 64
+    smallest node ids, hop-capped at 16 — same bounded MSBFS wave as
+    harmonic_64src, streamed as (source, target, distance) pairs."""
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.msbfs import all_shortest_paths
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    return all_shortest_paths(edges, sources=ids[:64], max_depth=16)
+
+
 def _q_hashgnn(sf_dir: str):
     from graph_data_science_ray.algos.hashgnn import hashgnn
 
@@ -1027,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_mod7": _q_modularity,
         "conductance_mod7": _q_conductance,
         "harmonic_64src": _q_harmonic64,
+        "all_shortest_paths_64src": _q_allsp64,
         "docs_dedup_first": _q_docs_dedup_first,
         "docs_token_stats": _q_docs_token_stats,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -1449,6 +1462,23 @@ def oracle_sql() -> dict[str, str]:
             "h AS (SELECT node, SUM(1.0 / d) AS hsum FROM md WHERE d > 0 GROUP BY node) "
             "SELECT nodes.node AS node_id, ROUND(COALESCE(h.hsum, 0), 6) AS harmonic "
             "FROM nodes LEFT JOIN h ON nodes.node = h.node"
+        ),
+        "all_shortest_paths_64src": (
+            # same recursive walk as harmonic_64src, streamed as pairs
+            f"WITH RECURSIVE e AS ({_E_PS}), "
+            "und AS (SELECT DISTINCT a, b FROM "
+            "(SELECT src_id a, dst_id b FROM e UNION ALL SELECT dst_id, src_id FROM e)), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT a AS node FROM und UNION ALL SELECT b FROM und)), "
+            "srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 64), "
+            "walk(src, node, d) AS ("
+            "SELECT node, node, 0 FROM srcs "
+            "UNION "
+            "SELECT walk.src, und.b, walk.d + 1 FROM walk JOIN und ON walk.node = und.a "
+            "WHERE walk.d < 16) "
+            "SELECT src AS source_id, node AS target_id, "
+            "CAST(MIN(d) AS BIGINT) AS distance "
+            "FROM walk GROUP BY src, node"
         ),
         "conductance_mod7": _COMM_SQL_CORE + (
             "SELECT community, CASE WHEN LEAST(volume, tot.two_m - volume) > 0 "

@@ -35,7 +35,11 @@ from graph_data_science_ray.algos.kmeans import kmeans
 from graph_data_science_ray.algos.kcoloring import k1coloring
 from graph_data_science_ray.algos.leiden import leiden
 from graph_data_science_ray.algos.louvain import louvain
-from graph_data_science_ray.algos.msbfs import closeness_centrality, harmonic_centrality
+from graph_data_science_ray.algos.msbfs import (
+    all_shortest_paths,
+    closeness_centrality,
+    harmonic_centrality,
+)
 from graph_data_science_ray.algos.astar import a_star, haversine_heuristic
 from graph_data_science_ray.algos.hdbscan import hdbscan
 from graph_data_science_ray.algos.knn import filtered_knn_graph, knn_graph
@@ -76,6 +80,7 @@ __all__ = [
     "leiden",
     "louvain",
     "closeness_centrality",
+    "all_shortest_paths",
     "harmonic_centrality",
     "a_star",
     "haversine_heuristic",

@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import symmetrize
 
@@ -49,8 +49,14 @@ def _msbfs_sums(
     node_ids: np.ndarray,
     sources: np.ndarray,
     max_depth: int,
+    pair_sink=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(harmonic_sum, total_dist, reached) accumulated over all waves."""
+    """(harmonic_sum, total_dist, reached) accumulated over all waves.
+
+    ``pair_sink(depth, tgt_positions, new_bits, wave_src_ids)``: optional
+    per-level callback receiving the nodes that gained bits this level —
+    lets allShortestPaths stream (src, tgt, d) pairs off the same waves
+    without a second traversal."""
     n = node_ids.shape[0]
     harmonic = np.zeros(n)
     total_dist = np.zeros(n, dtype=np.int64)
@@ -58,6 +64,7 @@ def _msbfs_sums(
 
     src_pos = np.searchsorted(node_ids, sources)
     for w0 in range(0, sources.shape[0], 64):
+        wave_src_ids = sources[w0 : w0 + 64]
         wave = src_pos[w0 : w0 + 64]
         mask = np.zeros(n, dtype=np.uint64)
         mask[wave] |= np.uint64(1) << np.arange(wave.shape[0], dtype=np.uint64)
@@ -78,7 +85,7 @@ def _msbfs_sums(
                         {"node_id": pa.array([], pa.int64()), "m": pa.array([], pa.uint64())}
                     )
                 sm = mk[sp[keep]]
-                u, inv = np.unique(dst[keep], return_inverse=True)
+                u, inv = unique_inverse(dst[keep])
                 acc = np.zeros(u.shape[0], dtype=np.uint64)
                 np.bitwise_or.at(acc, inv, sm)
                 return pa.table(
@@ -100,6 +107,8 @@ def _msbfs_sums(
             harmonic[nz] += cnt / depth
             total_dist[nz] += cnt * depth
             reached[nz] += cnt
+            if pair_sink is not None:
+                pair_sink(depth, np.flatnonzero(nz), new_bits[nz], wave_src_ids)
             mask |= new_bits
             changed = nz
 
@@ -146,4 +155,60 @@ def closeness_centrality(
         raw *= reach / (n - 1)
     return pa.table(
         {"node_id": pa.array(node_ids, pa.int64()), "closeness": pa.array(raw, pa.float64())}
+    )
+
+
+def all_shortest_paths(
+    edges: Dataset,
+    sources: np.ndarray | list | None = None,
+    max_depth: int = 10_000,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """``gds.allShortestPaths.stream`` (unweighted): every reachable
+    (source_id, target_id, distance) hop-distance pair over the
+    undirected view, including the (s, s, 0) self rows, sorted by
+    (source_id, distance, target_id).
+
+    Rides the same bit-parallel MSBFS waves as closeness/harmonic
+    ([GDS-pub: algo/.../allshortestpaths/ — MSBFSASPAlgorithm]): per
+    64-source wave, the per-level newly-set bits ARE the pairs at that
+    distance, so streaming them costs nothing beyond the traversal the
+    centralities already do. Output is O(|sources| × reachable) rows —
+    pass ``sources=`` (the reference's concurrency-batched source set)
+    to bound it on big graphs; the weighted variant composes as
+    ``dijkstra_single_source`` per source instead.
+    """
+    configure_ray_data()
+    sym = symmetrize(edges, dedup=True, num_partitions=num_partitions).materialize()
+    node_ids = unique_node_ids(edges)
+    srcs = node_ids if sources is None else np.sort(np.asarray(sources, dtype=np.int64))
+
+    out_src: list[np.ndarray] = []
+    out_tgt: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+
+    def sink(depth: int, tgt_pos: np.ndarray, bits: np.ndarray, wave_src_ids: np.ndarray):
+        # decode set bits: little-endian uint8 view ⇒ bit j of word = source j
+        m = np.unpackbits(bits.view(np.uint8), bitorder="little").reshape(
+            bits.shape[0], 64
+        )[:, : wave_src_ids.shape[0]]
+        rows, cols = np.nonzero(m)
+        out_src.append(wave_src_ids[cols])
+        out_tgt.append(node_ids[tgt_pos[rows]])
+        out_d.append(np.full(rows.shape[0], depth, dtype=np.int64))
+
+    _msbfs_sums(sym, node_ids, srcs, max_depth, pair_sink=sink)
+    out_src.append(srcs)  # (s, s, 0)
+    out_tgt.append(srcs)
+    out_d.append(np.zeros(srcs.shape[0], dtype=np.int64))
+    s = np.concatenate(out_src)
+    t = np.concatenate(out_tgt)
+    d = np.concatenate(out_d)
+    order = np.lexsort((t, d, s))
+    return pa.table(
+        {
+            "source_id": pa.array(s[order], pa.int64()),
+            "target_id": pa.array(t[order], pa.int64()),
+            "distance": pa.array(d[order], pa.int64()),
+        }
     )

@@ -309,6 +309,48 @@ def test_harmonic_sources_subset():
     assert got == {0: 0.0, 1: 1.0, 2: 0.5, 3: pytest.approx(1 / 3)}
 
 
+def test_all_shortest_paths_match_networkx():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.msbfs import all_shortest_paths
+
+    t = fixtures.er_random(80, 0.04, seed=19)  # sparse → disconnected bits
+    g = _nx_graph(t)
+    got = all_shortest_paths(from_arrow(t), num_partitions=2)
+    pairs = {
+        (s, u): d
+        for s, u, d in zip(
+            got["source_id"].to_pylist(),
+            got["target_id"].to_pylist(),
+            got["distance"].to_pylist(),
+        )
+    }
+    exp = {
+        (s, u): d
+        for s, lengths in nx.all_pairs_shortest_path_length(g)
+        for u, d in lengths.items()
+    }
+    assert pairs == exp
+    # sorted by (source, distance, target) and only-requested-sources subset
+    src3 = sorted(g.nodes)[:3]
+    sub = all_shortest_paths(from_arrow(t), sources=src3, num_partitions=2)
+    assert set(sub["source_id"].to_pylist()) <= set(src3)
+    cols = list(
+        zip(
+            sub["source_id"].to_pylist(),
+            sub["distance"].to_pylist(),
+            sub["target_id"].to_pylist(),
+        )
+    )
+    assert cols == sorted(cols)
+    for s, u, d in zip(
+        sub["source_id"].to_pylist(),
+        sub["target_id"].to_pylist(),
+        sub["distance"].to_pylist(),
+    ):
+        assert exp[(s, u)] == d
+
+
 def test_betweenness_matches_networkx_exact():
     import networkx as nx
 
