@@ -190,6 +190,14 @@ def _q_triangles_global(sf_dir: str):
     return pa.table({"n_triangles": pa.array([res.metrics[0]["global"]], pa.int64())})
 
 
+def _q_triangle_list(sf_dir: str):
+    """Distinct triangles streamed as (node_a < node_b < node_c) triples
+    (gds.alpha.triangles parity) — join path, oracle = 3-way self-join."""
+    from graph_data_science_ray.algos.triangles import triangle_stream
+
+    return triangle_stream(_edges_ps_raw(sf_dir))
+
+
 def _q_triangles_per_node(sf_dir: str):
     from graph_data_science_ray.algos.triangles import triangle_count
 
@@ -1028,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_sizes": _q_wcc_sizes,
         "triangles_global": _q_triangles_global,
         "triangles_per_node": _q_triangles_per_node,
+        "triangle_list": _q_triangle_list,
         "label_propagation": _q_label_propagation,
         "article_rank_k5": _q_article_rank_k,
         "eigenvector_k10": _q_eigenvector,
@@ -1394,6 +1403,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT node, MIN(label) AS component FROM reach GROUP BY node) GROUP BY component"
         ),
         "triangles_global": _TRI_SQL_CORE + "SELECT COUNT(*) AS n_triangles FROM tri",
+        "triangle_list": _TRI_SQL_CORE
+        + "SELECT a AS node_a, b AS node_b, c AS node_c FROM tri",
         "triangles_per_node": _TRI_SQL_CORE + (
             "SELECT node_id, COUNT(*) AS triangles FROM ("
             "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri"

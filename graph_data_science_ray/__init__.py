@@ -23,7 +23,7 @@ from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.algos.pagerank import pagerank
 from graph_data_science_ray.algos.wcc import wcc
 from graph_data_science_ray.algos.labelprop import label_propagation
-from graph_data_science_ray.algos.triangles import triangle_count
+from graph_data_science_ray.algos.triangles import triangle_count, triangle_stream
 from graph_data_science_ray.algos.degree import degree
 from graph_data_science_ray.algos.betweenness import betweenness_centrality
 from graph_data_science_ray.algos.community import conductance, modularity
@@ -49,6 +49,7 @@ from graph_data_science_ray.algos.louvain import modularity_optimization
 from graph_data_science_ray.algos.paths import (
     bellman_ford,
     bfs_hops,
+    delta_stepping,
     dijkstra_single_source,
     dijkstra_source_target,
 )
@@ -66,6 +67,7 @@ __all__ = [
     "wcc",
     "label_propagation",
     "triangle_count",
+    "triangle_stream",
     "degree",
     "betweenness_centrality",
     "modularity",
@@ -92,6 +94,7 @@ __all__ = [
     "node_similarity",
     "bellman_ford",
     "bfs_hops",
+    "delta_stepping",
     "dijkstra_single_source",
     "dijkstra_source_target",
     "modularity_optimization",

@@ -347,6 +347,32 @@ def dijkstra_single_source(
     )
 
 
+def delta_stepping(
+    edges: Dataset,
+    source: int | None = None,
+    delta: float | None = None,
+    max_iterations: int = 10_000,
+    undirected: bool = False,
+    num_partitions: int | None = None,
+    reduce: str = "driver",
+) -> IterativeResult:
+    """``gds.allShortestPaths.delta`` semantics [GDS-pub:
+    algo/.../paths/delta/ — Meyer & Sanders Δ-stepping]: parallel
+    single-source shortest paths, non-negative weights. Δ-stepping's
+    buckets exist to bound how much work a shared-memory step re-relaxes;
+    in this engine's bulk-synchronous dataflow every round already
+    relaxes the WHOLE improved frontier in one edge-table scan, so the
+    bucket width adds nothing — the frontier-limited synchronous
+    relaxation reaches the identical min-plus fixpoint. ``delta`` is
+    accepted for signature parity and ignored (documented semantic:
+    results are Δ-independent in GDS too)."""
+    del delta
+    return dijkstra_single_source(
+        edges, source=source, max_iterations=max_iterations,
+        undirected=undirected, num_partitions=num_partitions, reduce=reduce,
+    )
+
+
 def dijkstra_source_target(
     edges: Dataset,
     source: int,

@@ -153,24 +153,11 @@ def _triangles_broadcast(
     return counts
 
 
-def triangle_count(
-    edges: Dataset,
-    max_degree: int | None = None,
-    num_partitions: int | None = None,
-    pre_canonical: bool = False,
-    implementation: str = "auto",  # auto | broadcast | join
-    broadcast_threshold: int = 20_000_000,
-) -> IterativeResult:
-    """Per-node triangle counts (column ``triangles``; -1 for nodes
-    excluded by ``max_degree``). ``.metrics[0]['global']`` = Σ/3."""
-    configure_ray_data()
-    canon = edges if pre_canonical else _canonical_undirected(edges, num_partitions)
-    canon = canon.materialize()
-    node_arr = unique_node_ids(canon)
-    n = node_arr.shape[0]
-    num_partitions = num_partitions or shuffle_partitions_for(n)
+def _degrees(canon: Dataset, node_arr: np.ndarray) -> np.ndarray:
+    """Undirected degrees on the canonical edge set — per-batch partial
+    counts + driver merge, no shuffle (node-sized result)."""
+    from graph_data_science_ray.algos.common import merge_sum
 
-    # degrees on the canonical set (per-batch partial counts → small groupby)
     def deg_partials(t: pa.Table) -> pa.Table:
         ids = np.concatenate(
             [
@@ -181,36 +168,27 @@ def triangle_count(
         u, c = np.unique(ids, return_counts=True)
         return pa.table({"node_id": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
 
-    # per-batch partial counts + driver merge — no shuffle (node-sized)
-    from graph_data_science_ray.algos.common import merge_sum
-
     deg_t = collect_arrow(
         canon.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True)
     )
-    deg = np.zeros(n, dtype=np.int64)
+    deg = np.zeros(node_arr.shape[0], dtype=np.int64)
     if deg_t.num_rows:
         ids_, c_ = merge_sum(deg_t, "node_id", "c")
         deg[np.searchsorted(node_arr, ids_)] = c_.astype(np.int64)
+    return deg
 
-    excluded = np.zeros(n, dtype=bool)
-    if max_degree is not None:
-        excluded = deg > max_degree
 
-    if implementation == "auto":
-        n_canon_edges = canon.count()
-        implementation = "broadcast" if n_canon_edges <= broadcast_threshold else "join"
-    if implementation == "broadcast":
-        counts = _triangles_broadcast(canon, node_arr, deg, excluded)
-        counts[excluded] = -1
-        return IterativeResult(
-            node_ids=node_arr,
-            values=counts,
-            value_name="triangles",
-            iterations=1,
-            converged=True,
-            metrics=[{"global": int(counts[~excluded].sum() // 3)}],
-        )
-
+def _join_triangles(
+    canon: Dataset,
+    node_arr: np.ndarray,
+    deg: np.ndarray,
+    excluded: np.ndarray,
+    num_partitions: int,
+) -> Dataset | None:
+    """Join-path triangle enumeration: Dataset of (u, v, w) — one row per
+    distinct triangle, corners ordered by degree rank. None if the
+    oriented edge set is empty."""
+    n = node_arr.shape[0]
     # rank position: total order by (degree, node_id); rank[i] for node_arr[i]
     order = np.lexsort((node_arr, deg))
     rank = np.empty(n, dtype=np.int64)
@@ -243,16 +221,7 @@ def triangle_count(
     oriented = canon.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     if oriented.count() == 0:
-        counts = np.zeros(n, dtype=np.int64)
-        counts[excluded] = -1
-        return IterativeResult(
-            node_ids=node_arr,
-            values=counts,
-            value_name="triangles",
-            iterations=1,
-            converged=True,
-            metrics=[{"global": 0}],
-        )
+        return None
 
     # wedges: self-join on u; keep rank(v) < rank(w) so each unordered
     # pair appears once (engine hash_join — see functions/joins.py for
@@ -278,7 +247,112 @@ def triangle_count(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    tris = hash_join(wedges, closing, on=["v", "w"], num_partitions=num_partitions)
+    return hash_join(wedges, closing, on=["v", "w"], num_partitions=num_partitions)
+
+
+def triangle_stream(
+    edges: Dataset,
+    max_degree: int | None = None,
+    num_partitions: int | None = None,
+    pre_canonical: bool = False,
+) -> Dataset:
+    """``gds.alpha.triangles`` parity (public docs: streams nodeA/nodeB/
+    nodeC per triangle): Dataset of (node_a, node_b, node_c) with
+    node_a < node_b < node_c by id, one row per distinct triangle.
+    Always the join path — the output is edge-sized, so there is no
+    small-result shortcut to exploit."""
+    configure_ray_data()
+    canon = edges if pre_canonical else _canonical_undirected(edges, num_partitions)
+    canon = canon.materialize()
+    node_arr = unique_node_ids(canon)
+    num_partitions = num_partitions or shuffle_partitions_for(node_arr.shape[0])
+    deg = _degrees(canon, node_arr)
+    excluded = deg > max_degree if max_degree is not None else np.zeros(node_arr.shape[0], bool)
+    tris = _join_triangles(canon, node_arr, deg, excluded, num_partitions)
+    empty = pa.table(
+        {
+            "node_a": pa.array([], pa.int64()),
+            "node_b": pa.array([], pa.int64()),
+            "node_c": pa.array([], pa.int64()),
+        }
+    )
+    if tris is None:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    def ids_sorted(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = np.stack(
+            [
+                t.column("u").to_numpy(zero_copy_only=False),
+                t.column("v").to_numpy(zero_copy_only=False),
+                t.column("w").to_numpy(zero_copy_only=False),
+            ]
+        )
+        m.sort(axis=0)  # rank order → id order per triangle
+        return pa.table(
+            {
+                "node_a": pa.array(m[0], pa.int64()),
+                "node_b": pa.array(m[1], pa.int64()),
+                "node_c": pa.array(m[2], pa.int64()),
+            }
+        )
+
+    return tris.map_batches(ids_sorted, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def triangle_count(
+    edges: Dataset,
+    max_degree: int | None = None,
+    num_partitions: int | None = None,
+    pre_canonical: bool = False,
+    implementation: str = "auto",  # auto | broadcast | join
+    broadcast_threshold: int = 20_000_000,
+) -> IterativeResult:
+    """Per-node triangle counts (column ``triangles``; -1 for nodes
+    excluded by ``max_degree``). ``.metrics[0]['global']`` = Σ/3."""
+    configure_ray_data()
+    canon = edges if pre_canonical else _canonical_undirected(edges, num_partitions)
+    canon = canon.materialize()
+    node_arr = unique_node_ids(canon)
+    n = node_arr.shape[0]
+    num_partitions = num_partitions or shuffle_partitions_for(n)
+
+    deg = _degrees(canon, node_arr)
+
+    excluded = np.zeros(n, dtype=bool)
+    if max_degree is not None:
+        excluded = deg > max_degree
+
+    if implementation == "auto":
+        n_canon_edges = canon.count()
+        implementation = "broadcast" if n_canon_edges <= broadcast_threshold else "join"
+    if implementation == "broadcast":
+        counts = _triangles_broadcast(canon, node_arr, deg, excluded)
+        counts[excluded] = -1
+        return IterativeResult(
+            node_ids=node_arr,
+            values=counts,
+            value_name="triangles",
+            iterations=1,
+            converged=True,
+            metrics=[{"global": int(counts[~excluded].sum() // 3)}],
+        )
+
+    tris = _join_triangles(canon, node_arr, deg, excluded, num_partitions)
+    if tris is None:
+        counts = np.zeros(n, dtype=np.int64)
+        counts[excluded] = -1
+        return IterativeResult(
+            node_ids=node_arr,
+            values=counts,
+            value_name="triangles",
+            iterations=1,
+            converged=True,
+            metrics=[{"global": 0}],
+        )
 
     # per-node counts: each triangle contributes to u, v and w
     def corners(t: pa.Table) -> pa.Table:

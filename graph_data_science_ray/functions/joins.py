@@ -121,8 +121,21 @@ def hash_join(
 
         return fn
 
-    combined = left.map_batches(_project(0), batch_format="pyarrow").union(
-        right.map_batches(_project(1), batch_format="pyarrow")
+    # keep-alive sentinel (same guard as functions/shuffle.bucketed_merge):
+    # one all-null row with __side=2 in out-of-range bucket P so the
+    # groupby shuffle never finalizes a fully-empty, schema-less input;
+    # join_bucket's side-0/side-1 filters drop it for free
+    sent_cols: dict = {
+        name: pa.nulls(1, typ) for name, typ in union_fields
+    }
+    sent_cols["__side"] = pa.array([2], pa.int8())
+    sent_cols["__bucket"] = pa.array([num_partitions], pa.int64())
+    import ray.data as _rd
+
+    combined = (
+        left.map_batches(_project(0), batch_format="pyarrow")
+        .union(right.map_batches(_project(1), batch_format="pyarrow"))
+        .union(_rd.from_arrow(pa.table(sent_cols)))
     )
 
     pa_join = _PA_JOIN_TYPE[join_type]

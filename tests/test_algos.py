@@ -116,6 +116,30 @@ def test_triangles_random_graph():
     assert res.as_dict() == want
 
 
+def test_triangle_stream_matches_networkx_enumeration():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.triangles import triangle_stream
+
+    t = fixtures.er_random(70, 0.1, seed=41)
+    g = nx.Graph()
+    g.add_edges_from(_pairs(t))
+    g.remove_edges_from(nx.selfloop_edges(g))
+    # canonical: every triangle exactly once, ordered corners
+    want = {
+        tuple(sorted((a, b, c)))
+        for a in g
+        for b in g[a]
+        for c in g[a]
+        if b < c and g.has_edge(b, c)
+    }
+    got = triangle_stream(from_arrow(t), num_partitions=NP).take_all()
+    got_set = {(r["node_a"], r["node_b"], r["node_c"]) for r in got}
+    assert len(got) == len(got_set)  # no duplicate rows
+    assert got_set == want
+    assert all(a < b < c for a, b, c in got_set)
+
+
 def test_triangles_max_degree_cutoff():
     # star: hub 0 has degree 9 → excluded at max_degree=5, reports -1
     t = fixtures.star_hub()

@@ -306,6 +306,12 @@ def test_dijkstra_wrappers():
     assert np.array_equal(bf.node_ids, dj.node_ids)
     assert np.allclose(bf.values, dj.values, equal_nan=True)
 
+    from graph_data_science_ray.algos.paths import delta_stepping
+
+    ds_res = delta_stepping(from_arrow(t), delta=2.0)  # Δ-independent
+    assert np.array_equal(bf.node_ids, ds_res.node_ids)
+    assert np.allclose(bf.values, ds_res.values, equal_nan=True)
+
     finite = np.isfinite(bf.values) & (bf.values > 0)
     if finite.any():
         src = int(bf.node_ids[bf.values == 0][0])
