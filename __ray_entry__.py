@@ -680,6 +680,86 @@ def _q_events_sessions(sf_dir: str):
     return session_windows(ds, "user_id", "ts", gap_s=1800, num_partitions=4)
 
 
+def _q_events_hopping(sf_dir: str):
+    """2h windows hopping every 1h (each event in exactly 2 windows)."""
+    import ray.data
+
+    from graph_data_science_ray.stages.windows import hopping_window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    win = hopping_window(ds, "user_id", "ts", "value", window_s=7200, hop_s=3600)
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100.0)), pa.int64())
+        return t.set_column(t.schema.get_field_index("sum_value"), "sum_cents", c)
+
+    return win.map_batches(cents, batch_format="pyarrow")
+
+
+def _q_events_asof(sf_dir: str):
+    """Each purchase joined to the user's most recent error at-or-before
+    it (as-of backward join); errors pre-bucketed to whole seconds with
+    MAX(value) so equal-ts ties are deterministic on both sides."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from graph_data_science_ray.functions.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def to_secs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sec = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        return t.set_column(t.schema.get_field_index("ts"), "sec", pc.cast(sec, pa.int64()))
+
+    ev = ev.map_batches(to_secs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep(etype: str, cols: list):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t.column("event_type"), etype)).select(cols)
+
+        return fn
+
+    left = ev.map_batches(
+        keep("purchase", ["event_id", "user_id", "sec"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    right = (
+        ev.map_batches(
+            keep("error", ["user_id", "sec", "value"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["user_id", "sec"], num_partitions=4)
+        .aggregate(Max("value", alias_name="value"))
+    )
+    joined = asof_join(left, right, key_col="user_id", ts_col="sec", join_type="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "err_sec": t.column("sec_r"),
+                "err_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1057,6 +1137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_value": _q_events_topk_value,
         "events_daily_counts": _q_events_daily_counts,
         "events_hourly_value": _q_events_hourly_value,
+        "events_hopping_value": _q_events_hopping,
+        "events_asof_error": _q_events_asof,
         "events_scaled": _q_scale_events,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
@@ -1524,6 +1606,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
             "COUNT(*) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY user_id, window_start"
+        ),
+        "events_hopping_value": (
+            "WITH base AS (SELECT user_id, value, "
+            "CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_last FROM events), "
+            "ex AS (SELECT user_id, value, "
+            "UNNEST(generate_series(w_last - 3600, w_last, 3600)) AS window_start FROM base) "
+            "SELECT user_id, window_start, COUNT(*) AS n, "
+            "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_cents "
+            "FROM ex GROUP BY user_id, window_start"
+        ),
+        "events_asof_error": (
+            "WITH p AS (SELECT event_id, user_id, "
+            "CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events "
+            "WHERE event_type = 'purchase'), "
+            "e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, "
+            "MAX(value) AS value FROM events WHERE event_type = 'error' "
+            "GROUP BY user_id, sec) "
+            "SELECT p.event_id, p.user_id, e.sec AS err_sec, "
+            "CAST(ROUND(e.value * 100) AS BIGINT) AS err_cents "
+            "FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.sec >= e.sec"
         ),
         "events_scaled": (
             "WITH st AS (SELECT MIN(value) mn, MAX(value) mx, AVG(value) mu, "

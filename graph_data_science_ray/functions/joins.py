@@ -155,6 +155,158 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key_col: str,
+    ts_col: str,
+    join_type: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """As-of join (backward): for each left row, attach the right row
+    with the greatest ``ts_col`` ≤ the left row's, within the same
+    ``key_col`` — DuckDB's ``ASOF JOIN`` / pandas ``merge_asof``
+    semantics. ``join_type``: ``inner`` drops unmatched left rows,
+    ``left`` keeps them with nulls.
+
+    Right columns (except the key) come back suffixed. Ties on right
+    ``ts_col`` resolve deterministically to the row that sorts last by
+    the remaining right columns.
+
+    Dataflow: ONE hash shuffle co-locating both sides by key (the same
+    ``__bucket`` pattern hash_join uses), then a vectorized
+    searchsorted per key group — per-KEY history must fit a worker
+    (same partitioning assumption as session_windows)."""
+    configure_ray_data()
+    if join_type not in ("inner", "left"):
+        raise ValueError("join_type must be 'inner' or 'left'")
+    num_partitions = num_partitions or shuffle_partitions_for()
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_names = [n for n in r_schema.names if n != key_col]
+    r_out = {n: (n + suffix if n in l_names or n == ts_col else n) for n in r_names}
+    overlap = set(r_out.values()) & set(l_names)
+    if overlap:
+        raise ValueError(f"column name overlap after suffixing: {overlap}")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    union_fields = [(n, l_types[n]) for n in l_names] + [
+        (r_out[n], r_types[n]) for n in r_names
+    ]
+
+    def _project(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in union_fields:
+                src = None
+                if side == 0 and name in t.column_names and name in l_names:
+                    src = name
+                elif side == 1:
+                    orig = next((o for o, nn in r_out.items() if nn == name), None)
+                    if orig is not None and orig in t.column_names:
+                        src = orig
+                    elif name == key_col and key_col in t.column_names:
+                        src = key_col
+                cols[name] = t.column(src).cast(typ) if src else pa.nulls(n, typ)
+            if side == 1:
+                cols[key_col] = t.column(key_col).cast(l_types[key_col])
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+            cols["__bucket"] = pa.array(
+                (_key_hash(t, [key_col]) % np.uint64(num_partitions)).astype(np.int64),
+                pa.int64(),
+            )
+            return pa.table(cols)
+
+        return fn
+
+    sent_cols: dict = {name: pa.nulls(1, typ) for name, typ in union_fields}
+    sent_cols["__side"] = pa.array([2], pa.int8())
+    sent_cols["__bucket"] = pa.array([num_partitions], pa.int64())
+    import ray.data as _rd
+
+    combined = (
+        left.map_batches(_project(0), batch_format="pyarrow")
+        .union(right.map_batches(_project(1), batch_format="pyarrow"))
+        .union(_rd.from_arrow(pa.table(sent_cols)))
+    )
+
+    r_ts_out = r_out[ts_col]
+    r_val_names = [r_out[n] for n in r_names]
+
+    def match_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select(l_names)
+        rt = group.filter(pa.array(side == 1)).select([key_col] + r_val_names)
+        if lt.num_rows == 0 or (rt.num_rows == 0 and join_type == "inner"):
+            empty_out = {n: lt.column(n).slice(0, 0) for n in l_names}
+            empty_out.update(
+                {n: pa.nulls(0, dict(union_fields)[n]) for n in r_val_names}
+            )
+            return pa.table(empty_out)
+        lk = lt.column(key_col).to_numpy(zero_copy_only=False)
+        lts = lt.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_l = lk.shape[0]
+        if rt.num_rows == 0:
+            idx_orig = np.full(n_l, -1, dtype=np.int64)
+            matched = np.zeros(n_l, dtype=bool)
+        else:
+            rk = rt.column(key_col).to_numpy(zero_copy_only=False)
+            rts = rt.column(r_ts_out).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # sort right by (key, ts, remaining numeric cols) — ties on
+            # equal (key, ts) resolve to the lexicographically-LAST row
+            # (string tie columns skipped; then stable order decides)
+            tie_keys = []
+            for n in r_val_names:
+                if n == r_ts_out:
+                    continue
+                try:
+                    tie_keys.append(rt.column(n).to_numpy(zero_copy_only=False))
+                except Exception:
+                    pass
+            r_order = np.lexsort(tuple(tie_keys) + (rts, rk))
+            rk_s, rts_s = rk[r_order], rts[r_order]
+            # vectorized (key, ts) tuple-searchsorted: dense key ranks ×
+            # span-normalized timestamps packed into one int64 composite
+            uk = np.unique(np.concatenate([rk_s, lk]))
+            t_lo = min(rts_s.min(), lts.min())
+            t_hi = max(rts_s.max(), lts.max())
+            span = np.int64(t_hi - t_lo + 2)
+            if uk.shape[0] < np.iinfo(np.int64).max // max(span, 1):
+                comp_r = np.searchsorted(uk, rk_s) * span + (rts_s - t_lo)
+                comp_l = np.searchsorted(uk, lk) * span + (lts - t_lo)
+                idx = np.searchsorted(comp_r, comp_l, side="right") - 1
+                # candidate must be the same key to count as a match
+                valid = (idx >= 0) & (rk_s[np.maximum(idx, 0)] == lk)
+                idx = np.where(valid, idx, -1)
+            else:  # composite would overflow — per-row fallback
+                starts = np.searchsorted(rk_s, lk, side="left")
+                ends = np.searchsorted(rk_s, lk, side="right")
+                idx = np.empty(n_l, dtype=np.int64)
+                for i in range(n_l):
+                    j = np.searchsorted(rts_s[starts[i] : ends[i]], lts[i], side="right")
+                    idx[i] = starts[i] + j - 1 if j > 0 else -1
+            matched = idx >= 0
+            idx_orig = np.where(matched, r_order[np.maximum(idx, 0)], -1)
+        if join_type == "inner":
+            lt = lt.filter(pa.array(matched))
+            idx_orig = idx_orig[matched]
+            matched = np.ones(idx_orig.shape[0], dtype=bool)
+        out = {n: lt.column(n) for n in l_names}
+        take = pa.array(np.maximum(idx_orig, 0), pa.int64(), mask=~matched)
+        for n in r_val_names:
+            out[n] = rt.column(n).take(take) if rt.num_rows else pa.nulls(
+                idx_orig.shape[0], dict(union_fields)[n]
+            )
+        return pa.table(out)
+
+    return combined.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        match_bucket, batch_format="pyarrow"
+    )
+
+
 def broadcast_join(
     big: Dataset,
     small: pa.Table,

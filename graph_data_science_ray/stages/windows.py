@@ -64,6 +64,56 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 7200,
+    hop_s: int = 3600,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Hopping (sliding) windows: each event contributes to every window
+    [w, w+window_s) with w ≡ 0 (mod hop_s) that covers its timestamp —
+    exactly ``window_s // hop_s`` windows per event. Per (key,
+    window_start): n, sum_value. ``window_s`` must be a multiple of
+    ``hop_s``. The explode is a vectorized per-batch np.repeat (k× rows
+    into the same groupby-aggregate shuffle tumbling_window uses), so
+    cost scales with the overlap factor k, not with window length."""
+    configure_ray_data()
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+    num_partitions = num_partitions or shuffle_partitions_for()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            secs = pc.divide(pc.cast(ts, pa.int64()), 1_000_000).to_numpy(zero_copy_only=False)
+        else:
+            secs = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        last = (secs // hop_s) * hop_s  # latest covering window start
+        starts = (last[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_s).ravel()
+        keys = np.repeat(t.column(key_col).to_numpy(zero_copy_only=False), k)
+        vals = np.repeat(t.column(value_col).to_numpy(zero_copy_only=False), k)
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "window_start": pa.array(starts, pa.int64()),
+                value_col: pa.array(vals),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "window_start"], num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )
+
+
 def session_windows(
     ds: Dataset,
     key_col: str,

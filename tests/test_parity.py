@@ -123,6 +123,115 @@ def test_tumbling_window_matches_pandas():
     assert np.allclose(got["sum_value"], want["s"])
 
 
+def test_hopping_window_matches_pandas():
+    from graph_data_science_ray.stages.windows import hopping_window
+
+    rng = np.random.default_rng(6)
+    n = 400
+    ts = rng.integers(0, 10 * 3600, n) * 1_000_000  # us
+    key = rng.integers(0, 4, n)
+    val = rng.random(n)
+    t = pa.table(
+        {
+            "k": pa.array(key, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": pa.array(val, pa.float64()),
+        }
+    )
+    out = hopping_window(
+        ray.data.from_arrow(t), "k", "ts", "v", window_s=7200, hop_s=3600, num_partitions=2
+    ).to_pandas()
+    import pandas as pd
+
+    secs = ts // 1_000_000
+    last = secs // 3600 * 3600
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(key, 2),
+            "w": np.stack([last, last - 3600], axis=1).ravel(),
+            "v": np.repeat(val, 2),
+        }
+    )
+    want = df.groupby(["k", "w"]).agg(n=("v", "size"), s=("v", "sum")).reset_index()
+    got = out.sort_values(["k", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["k", "w"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], want["s"])
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    from graph_data_science_ray.functions.joins import asof_join
+
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    nl, nr = 300, 200
+    lk = rng.integers(0, 6, nl)
+    lts = rng.integers(0, 100_000, nl)
+    rk = rng.integers(0, 6, nr)
+    rts = rng.integers(0, 100_000, nr)
+    rv = np.round(rng.random(nr), 6)
+    left = pa.table(
+        {
+            "uid": pa.array(lk, pa.int64()),
+            "sec": pa.array(lts, pa.int64()),
+            "lval": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    # dedup right (uid, sec) so the match is unique → exact comparison
+    rdf = (
+        pd.DataFrame({"uid": rk, "sec": rts, "rv": rv})
+        .groupby(["uid", "sec"], as_index=False)
+        .agg(rv=("rv", "max"))
+    )
+    right = pa.table(
+        {
+            "uid": pa.array(rdf["uid"].to_numpy(), pa.int64()),
+            "sec": pa.array(rdf["sec"].to_numpy(), pa.int64()),
+            "rv": pa.array(rdf["rv"].to_numpy(), pa.float64()),
+        }
+    )
+    got = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            key_col="uid",
+            ts_col="sec",
+            join_type="inner",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("lval")
+        .reset_index(drop=True)
+    )
+    ldf = pd.DataFrame({"uid": lk, "sec": lts, "lval": np.arange(nl)})
+    want = pd.merge_asof(
+        ldf.sort_values("sec"),
+        rdf.rename(columns={"sec": "sec_r"}).sort_values("sec_r"),
+        left_on="sec",
+        right_on="sec_r",
+        by="uid",
+        direction="backward",
+    ).dropna(subset=["rv"]).sort_values("lval").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["lval"].to_numpy() == want["lval"].to_numpy()).all()
+    assert (got["sec_r"].to_numpy() == want["sec_r"].to_numpy().astype(np.int64)).all()
+    assert np.allclose(got["rv"], want["rv"])
+
+    # left join keeps unmatched rows with nulls
+    got_left = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        key_col="uid",
+        ts_col="sec",
+        join_type="left",
+        num_partitions=3,
+    ).to_pandas()
+    assert len(got_left) == nl
+    assert got_left["rv"].isna().sum() == nl - len(want)
+
+
 def test_session_windows():
     from graph_data_science_ray.stages.windows import session_windows
 
