@@ -760,6 +760,56 @@ def _q_events_asof(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_session_assign(sf_dir: str):
+    """Each purchase range-joined to its containing gap-session (sessions
+    are non-overlapping per user by construction)."""
+    import ray.data
+
+    from graph_data_science_ray.functions.joins import range_join
+    from graph_data_science_ray.stages.windows import session_windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def to_secs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sec = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        return t.set_column(t.schema.get_field_index("ts"), "sec", pc.cast(sec, pa.int64()))
+
+    ev = ev.map_batches(to_secs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def purchases(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "sec"]
+        )
+
+    pts = ev.map_batches(purchases, batch_format="pyarrow", zero_copy_batch=True)
+    sessions = session_windows(
+        ev.select_columns(["user_id", "sec"]), "user_id", "sec", gap_s=1800, num_partitions=4
+    )
+    joined = range_join(
+        pts, sessions, key_col="user_id", ts_col="sec",
+        start_col="session_start", end_col="session_end", join_type="inner",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "session_start": t.column("sec_r"),
+                "session_end": t.column("session_end"),
+                "n_events": t.column("n_events"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1139,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_value": _q_events_hourly_value,
         "events_hopping_value": _q_events_hopping,
         "events_asof_error": _q_events_asof,
+        "events_session_assign": _q_events_session_assign,
         "events_scaled": _q_scale_events,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
@@ -1626,6 +1677,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.event_id, p.user_id, e.sec AS err_sec, "
             "CAST(ROUND(e.value * 100) AS BIGINT) AS err_cents "
             "FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.sec >= e.sec"
+        ),
+        "events_session_assign": (
+            "WITH s AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events), "
+            "m AS (SELECT user_id, sec, CASE WHEN sec - LAG(sec) OVER "
+            "(PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 ELSE 0 END AS new_s FROM s), "
+            "g AS (SELECT user_id, sec, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+            "sess AS (SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_end, "
+            "COUNT(*) AS n_events FROM g GROUP BY user_id, sid), "
+            "p AS (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT p.event_id, p.user_id, sess.session_start, sess.session_end, sess.n_events "
+            "FROM p JOIN sess ON p.user_id = sess.user_id "
+            "AND p.sec BETWEEN sess.session_start AND sess.session_end"
         ),
         "events_scaled": (
             "WITH st AS (SELECT MIN(value) mn, MAX(value) mx, AVG(value) mu, "

@@ -307,6 +307,76 @@ def asof_join(
     )
 
 
+def range_join(
+    points: Dataset,
+    intervals: Dataset,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    join_type: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Point-in-interval join: each point row matched to the per-key
+    interval with ``start ≤ ts ≤ end`` (closed). Intervals of one key
+    must be NON-OVERLAPPING (e.g. session windows) — the match is then
+    unique and the join is exactly as-of(backward on start) + a
+    containment filter, one hash shuffle total. Overlapping intervals
+    resolve deterministically to the latest start, never fan out.
+
+    ``join_type``: ``inner`` drops uncontained points, ``left`` keeps
+    them with nulls. Interval columns come back suffixed like
+    ``asof_join`` (the start column returns as ``ts_col + suffix``)."""
+    configure_ray_data()
+    if join_type not in ("inner", "left"):
+        raise ValueError("join_type must be 'inner' or 'left'")
+    p_names = list(points.schema().names)
+    i_names = list(intervals.schema().names)
+    if ts_col in i_names:
+        raise ValueError(f"intervals side already has a column named {ts_col!r}")
+
+    # rename start→ts_col via full-schema projection (Ray's
+    # rename_columns duplicates columns on partial overlap — CLAUDE.md)
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {(ts_col if n == start_col else n): t.column(n) for n in t.column_names}
+        )
+
+    right = intervals.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(
+        points, right, key_col, ts_col,
+        join_type=join_type, suffix=suffix, num_partitions=num_partitions,
+    )
+    renamed = [ts_col if n == start_col else n for n in i_names if n != key_col]
+    r_out = [n + suffix if n in p_names or n == ts_col else n for n in renamed]
+    end_out = end_col + suffix if end_col in p_names else end_col
+
+    def contain(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        inb = pc.and_kleene(
+            pc.is_valid(t.column(end_out)),
+            pc.greater_equal(
+                pc.cast(t.column(end_out), pa.int64()),
+                pc.cast(t.column(ts_col), pa.int64()),
+            ),
+        )
+        if join_type == "inner":
+            return t.filter(inb)
+        out = {}
+        for n in t.column_names:
+            col = t.column(n)
+            out[n] = (
+                pc.if_else(inb, col, pa.nulls(t.num_rows, t.schema.field(n).type))
+                if n in r_out
+                else col
+            )
+        return pa.table(out)
+
+    return joined.map_batches(contain, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def broadcast_join(
     big: Dataset,
     small: pa.Table,

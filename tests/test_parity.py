@@ -232,6 +232,63 @@ def test_asof_join_matches_pandas_merge_asof():
     assert got_left["rv"].isna().sum() == nl - len(want)
 
 
+def test_range_join_matches_bruteforce():
+    from graph_data_science_ray.functions.joins import range_join
+
+    rng = np.random.default_rng(8)
+    # non-overlapping intervals per key from sorted breakpoints
+    ik, istart, iend = [], [], []
+    for k in range(5):
+        bp = np.sort(rng.choice(10_000, size=20, replace=False))
+        for a, b in zip(bp[::2], bp[1::2]):
+            ik.append(k); istart.append(int(a)); iend.append(int(b))
+    intervals = pa.table(
+        {
+            "uid": pa.array(ik, pa.int64()),
+            "s": pa.array(istart, pa.int64()),
+            "e": pa.array(iend, pa.int64()),
+            "ival": pa.array(np.arange(len(ik)), pa.int64()),
+        }
+    )
+    npts = 500
+    pk = rng.integers(0, 5, npts)
+    pt = rng.integers(0, 10_000, npts)
+    points = pa.table(
+        {
+            "uid": pa.array(pk, pa.int64()),
+            "sec": pa.array(pt, pa.int64()),
+            "pid": pa.array(np.arange(npts), pa.int64()),
+        }
+    )
+    got = (
+        range_join(
+            ray.data.from_arrow(points), ray.data.from_arrow(intervals),
+            key_col="uid", ts_col="sec", start_col="s", end_col="e",
+            join_type="inner", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    want = {}
+    for kk, ss, ee, vv in zip(ik, istart, iend, range(len(ik))):
+        for i in range(npts):
+            if pk[i] == kk and ss <= pt[i] <= ee:
+                want[i] = (ss, ee, vv)
+    assert got["pid"].tolist() == sorted(want)
+    for _, row in got.iterrows():
+        ss, ee, vv = want[row["pid"]]
+        assert (row["sec_r"], row["e"], row["ival"]) == (ss, ee, vv)
+
+    got_left = range_join(
+        ray.data.from_arrow(points), ray.data.from_arrow(intervals),
+        key_col="uid", ts_col="sec", start_col="s", end_col="e",
+        join_type="left", num_partitions=3,
+    ).to_pandas()
+    assert len(got_left) == npts
+    assert got_left["ival"].notna().sum() == len(want)
+
+
 def test_session_windows():
     from graph_data_science_ray.stages.windows import session_windows
 
