@@ -60,6 +60,104 @@ def _edges_ps(sf_dir: str):
     return dedup_edges(ds, "single")
 
 
+def _edges_chain(sf_dir: str, cap: int = 200, shift: float = 0.0):
+    """Deterministic weighted DAG from lineitem: consecutive lineitems of
+    each order (by l_linenumber) become a part→part edge directed low→high
+    id (acyclic by construction), weight = the later line's quantity,
+    deduped to MAX per pair, then shifted by ``-shift`` (negative weights
+    when shift > 0 — still no negative CYCLE, the graph is a DAG). Both
+    endpoints capped at partkey ≤ ``cap`` to bound the oracle's closure.
+
+    Two bucketed shuffles: per-order pairing, then per-pair max-dedup —
+    both via functions/shuffle.bucketed_merge (vectorized, bucket-exact).
+    """
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
+    )
+
+    def cast64(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int64()),
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "l_quantity": pc.cast(t.column("l_quantity"), pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(cast64, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = g.column("l_linenumber").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = g.column("l_quantity").to_numpy(zero_copy_only=False)
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        # tiebreak on (partkey, quantity) for a deterministic pairing
+        order = np.lexsort((q, pk, ln, ok))
+        ok, pk, q = ok[order], pk[order], q[order]
+        same = ok[1:] == ok[:-1]
+        a, b, w = pk[:-1][same], pk[1:][same], q[1:][same]
+        keep = (a != b) & (a <= cap) & (b <= cap)
+        a, b, w = a[keep], b[keep], w[keep]
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(a, b), pa.int64()),
+                "dst_id": pa.array(np.maximum(a, b), pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+
+    cand = bucketed_merge(
+        ds, ["l_orderkey"], pairs,
+        sentinel_row={"l_orderkey": -1, "l_linenumber": 0, "l_partkey": 0, "l_quantity": 0.0},
+        num_partitions=4,
+    )
+
+    def max_dedup(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "dst_id": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        s = g.column("src_id").to_numpy(zero_copy_only=False)
+        d = g.column("dst_id").to_numpy(zero_copy_only=False)
+        w = g.column("weight").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, d, s))
+        s, d, w = s[order], d[order], w[order]
+        last = np.ones(s.shape[0], dtype=bool)
+        last[:-1] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        return pa.table(
+            {
+                "src_id": pa.array(s[last], pa.int64()),
+                "dst_id": pa.array(d[last], pa.int64()),
+                "weight": pa.array(w[last] - shift, pa.float64()),
+            }
+        )
+
+    return bucketed_merge(
+        cand, ["src_id", "dst_id"], max_dedup,
+        sentinel_row={"src_id": -1, "dst_id": -1, "weight": 0.0},
+        num_partitions=4,
+    )
+
+
 def _round6(t: pa.Table, col: str) -> pa.Table:
     import pyarrow.compute as pc
 
@@ -416,6 +514,91 @@ def _q_toposort_k6(sf_dir: str):
     from graph_data_science_ray.algos.toposort import topological_sort
 
     return topological_sort(_edges_op(sf_dir), max_rounds=6).to_table()
+
+
+def _q_dag_longest_path(sf_dir: str):
+    """gds.dag.longestPath: per-node max total cost from any source over
+    the consecutive-part chain DAG (quantity weights, integral)."""
+    from graph_data_science_ray.algos.toposort import longest_path
+
+    res = longest_path(_edges_chain(sf_dir), weighted=True)
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "cost": pa.array(res.costs.astype("int64"), pa.int64()),
+        }
+    )
+
+
+def _q_bellman_ford_negative(sf_dir: str):
+    """gds.bellmanFord with negative weights (quantity − 25) over the
+    chain DAG from the smallest src node; DAG ⇒ no negative cycle, but
+    the relaxation must handle negative edges (Dijkstra can't)."""
+    import numpy as np
+
+    from graph_data_science_ray.algos.paths import bellman_ford_negative_cycles
+
+    res, has_cycle = bellman_ford_negative_cycles(_edges_chain(sf_dir, shift=25.0))
+    assert not has_cycle  # acyclic by construction
+    finite = np.isfinite(res.values)
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids[finite], pa.int64()),
+            "cost": pa.array(res.values[finite].astype("int64"), pa.int64()),
+        }
+    )
+
+
+# Shared SQL prelude for the consecutive-part chain DAG (matches
+# _edges_chain): LAG pairing per order, low→high orientation, MAX(q)
+# dedup, endpoint cap. ``wexpr`` lets the BF variant shift weights.
+def _chain_edges_sql(cap: int = 200, wshift: int = 0) -> str:
+    return (
+        "c AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+        "CAST(l_quantity AS BIGINT) AS q FROM lineitem), "
+        "e0 AS (SELECT LAG(l_partkey) OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, l_partkey, q) AS a, l_partkey AS b, q FROM c), "
+        "e AS MATERIALIZED (SELECT LEAST(a, b) AS s, GREATEST(a, b) AS d, "
+        f"MAX(q) - {wshift} AS w FROM e0 WHERE a IS NOT NULL AND a <> b "
+        f"AND a <= {cap} AND b <= {cap} GROUP BY 1, 2)"
+    )
+
+
+def _closure_doubling_sql(op: str, rounds: int = 8) -> str:
+    """Max-plus / min-plus path-closure by repeated squaring: r_k holds
+    the best (MAX or MIN) total cost over paths of ≤ 2^k edges per
+    (s, d) pair — exact for any DAG on ≤ 2^rounds nodes."""
+    parts = ["r0 AS MATERIALIZED (SELECT s, d, w FROM e)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT s, d, {op}(w) AS w FROM ("
+            f"SELECT s, d, w FROM r{i-1} UNION ALL "
+            f"SELECT x.s, y.d, x.w + y.w AS w FROM r{i-1} x JOIN r{i-1} y "
+            f"ON x.d = y.s) GROUP BY 1, 2)"
+        )
+    return ", ".join(parts)
+
+
+def _dag_longest_path_sql() -> str:
+    return (
+        f"WITH {_chain_edges_sql()}, {_closure_doubling_sql('MAX')}, "
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e), "
+        "best AS (SELECT r.d AS node, MAX(r.w) AS cost FROM r8 r "
+        "WHERE r.s NOT IN (SELECT d FROM e) GROUP BY r.d) "
+        "SELECT n.node AS node_id, CAST(COALESCE(b.cost, 0) AS BIGINT) AS cost "
+        "FROM nodes n LEFT JOIN best b ON b.node = n.node"
+    )
+
+
+def _bellman_ford_negative_sql() -> str:
+    return (
+        f"WITH {_chain_edges_sql(wshift=25)}, {_closure_doubling_sql('MIN')}, "
+        "src0 AS (SELECT MIN(s) AS v FROM e) "
+        "SELECT v AS node_id, CAST(0 AS BIGINT) AS cost FROM src0 "
+        "UNION ALL "
+        "SELECT r.d AS node_id, CAST(MIN(r.w) AS BIGINT) AS cost "
+        "FROM r8 r, src0 WHERE r.s = src0.v GROUP BY r.d"
+    )
 
 
 def _toposort_sql(k: int = 6) -> str:
@@ -1213,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "topological_sort": _q_toposort,
         "toposort_k6": _q_toposort_k6,
+        "dag_longest_path": _q_dag_longest_path,
+        "bellman_ford_negative": _q_bellman_ford_negative,
         "betweenness_32src": _q_betweenness32,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
@@ -1582,6 +1767,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lpa_sql(10),
         "kcore_h8": _kcore_sql(8),
         "toposort_k6": _toposort_sql(6),
+        "dag_longest_path": _dag_longest_path_sql(),
+        "bellman_ford_negative": _bellman_ford_negative_sql(),
         "modularity_mod7": _COMM_SQL_CORE + (
             "SELECT community, internal_edges, cut_edges, volume, "
             "ROUND(internal_edges / (tot.two_m / 2.0) "

@@ -162,6 +162,42 @@ def minimum_spanning_forest(
     return ForestResult(forest, float(fw.sum()), rounds, n_components)
 
 
+def spanning_forest(
+    edges: Dataset,
+    objective: str = "minimum",
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+) -> ForestResult:
+    """``gds.spanningTree`` with the ``objective`` config key
+    [GDS-pub: algo/.../spanningtree/ — Prim with min/max priority]:
+    ``minimum`` is Borůvka as-is; ``maximum`` runs the same rounds on
+    negated weights (arg-max = arg-min of −w, tie-breaks stay
+    deterministic) and reports the original weights back."""
+    if objective == "minimum":
+        return minimum_spanning_forest(edges, max_rounds, num_partitions)
+    if objective != "maximum":
+        raise ValueError("objective must be 'minimum' or 'maximum'")
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = t.schema.get_field_index("weight")
+        return t.set_column(
+            i, "weight", pc.negate(pc.cast(t.column("weight"), pa.float64()))
+        )
+
+    res = minimum_spanning_forest(
+        edges.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True),
+        max_rounds, num_partitions,
+    )
+    f = res.edges
+    i = f.schema.get_field_index("weight")
+    import pyarrow.compute as pc
+
+    flipped = f.set_column(i, "weight", pc.negate(f.column("weight")))
+    return ForestResult(flipped, -res.total_weight, res.rounds, res.n_components)
+
+
 def k_spanning_tree(
     edges: Dataset,
     k: int,

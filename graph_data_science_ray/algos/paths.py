@@ -212,6 +212,81 @@ def bellman_ford(
     )
 
 
+def bellman_ford_negative_cycles(
+    edges: Dataset,
+    source: int | None = None,
+    max_iterations: int | None = None,
+    undirected: bool = False,
+    num_partitions: int | None = None,
+    reduce: str = "driver",
+) -> tuple[IterativeResult, bool]:
+    """``gds.bellmanFord`` parity [GDS-pub: algo/.../paths/bellman-ford/]:
+    single-source shortest paths with NEGATIVE weights allowed, plus
+    negative-cycle detection. Returns ``(result, contains_negative_cycle)``;
+    nodes whose shortest path can be undercut by a source-reachable
+    negative cycle report ``-inf`` (the reference streams the cycle
+    routes instead of costs — the -inf node set is that same set).
+
+    Protocol: relax for |V| rounds (paths of ≤|V| edges); one extra
+    edge scan finds still-improvable nodes — non-empty iff a reachable
+    negative cycle exists (standard BF theorem); their forward
+    reachability closure (boolean-frontier scans) is then poisoned to
+    -inf. Every step is a streamed edge scan with per-batch combiners;
+    state is the node-sized vector broadcast once per round.
+    """
+    configure_ray_data()
+    g = symmetrize(edges, dedup=False, num_partitions=num_partitions) if undirected else edges
+    g = g.materialize()
+    node_arr = unique_node_ids(g)
+    n = node_arr.shape[0]
+    res = _relax_loop(
+        g, source, True, max_iterations if max_iterations is not None else n,
+        "cost", False, None, False, num_partitions, reduce,
+    )
+    dist = res.values
+
+    # extra scan: dsts still improvable → on/behind a negative cycle
+    state_ref = ray.put((node_arr, dist))
+
+    def improvable(t: pa.Table) -> pa.Table:
+        ids, d = ray.get(state_ref)
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        sp = np.searchsorted(ids, src)
+        dp = np.searchsorted(ids, dst)
+        d_src = d[sp]
+        hit = np.isfinite(d_src) & (d_src + w < d[dp])
+        return pa.table({"node_id": pa.array(np.unique(dst[hit]), pa.int64())})
+
+    t = collect_arrow(g.map_batches(improvable, batch_format="pyarrow", zero_copy_batch=True))
+    if t.num_rows == 0:
+        return res, False
+
+    poisoned = np.zeros(n, dtype=bool)
+    poisoned[np.searchsorted(node_arr, t.column("node_id").to_numpy(zero_copy_only=False))] = True
+    frontier = poisoned.copy()
+    while frontier.any():
+        fref = ray.put((node_arr, frontier, poisoned))
+
+        def expand(t: pa.Table) -> pa.Table:
+            ids, fr, done = ray.get(fref)
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+            dp = np.searchsorted(ids, dst)
+            hit = fr[np.searchsorted(ids, src)] & ~done[dp]
+            return pa.table({"node_id": pa.array(np.unique(dst[hit]), pa.int64())})
+
+        t = collect_arrow(g.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True))
+        frontier = np.zeros(n, dtype=bool)
+        if t.num_rows:
+            pos = np.searchsorted(node_arr, t.column("node_id").to_numpy(zero_copy_only=False))
+            frontier[pos] = ~poisoned[pos]
+            poisoned[pos] = True
+    res.values = np.where(poisoned, -np.inf, dist)
+    return res, True
+
+
 def shortest_path_tree(
     edges: Dataset,
     source: int | None = None,

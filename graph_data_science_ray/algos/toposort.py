@@ -51,6 +51,97 @@ class TopoResult:
         )
 
 
+class LongestPathResult:
+    def __init__(self, node_ids, costs, has_cycle_nodes, rounds):
+        self.node_ids = node_ids          # acyclic nodes only, sorted
+        self.costs = costs                # float64 longest distance from any source
+        self.values = costs               # modes.py duck-type contract
+        self.value_name = "cost"
+        self.has_cycle_nodes = has_cycle_nodes
+        self.rounds = rounds
+
+    def as_dict(self) -> dict:
+        return dict(zip(self.node_ids.tolist(), self.costs.tolist()))
+
+    def to_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.array(self.node_ids, pa.int64()),
+                "cost": pa.array(self.costs, pa.float64()),
+            }
+        )
+
+
+def longest_path(
+    edges: Dataset,
+    weighted: bool = False,
+    max_rounds: int = 100_000,
+    num_partitions: int | None = None,
+) -> LongestPathResult:
+    """``gds.dag.longestPath`` semantics [GDS-pub: algo/.../dag/]: for
+    every node of the DAG, the maximum total cost over all paths from
+    any source (in-degree-0) node; ``weighted`` reads the ``weight``
+    column, else every hop costs 1 (then cost == Kahn peel level).
+    Nodes on cycles are excluded, like ``topological_sort``.
+
+    Dataflow: Kahn levels first (one peel loop), then one max-relax
+    round per level — a level-r node's predecessors are all finalized
+    at levels < r, so each round finalizes exactly that level. Each
+    round is one streamed edge scan with a per-batch max combiner
+    (shuffle volume bounded by the level's in-neighborhood, not E);
+    rounds = DAG depth, the same bound as the peel itself.
+    """
+    configure_ray_data()
+    edges = edges.materialize()
+    topo = topological_sort(edges, max_rounds=max_rounds, num_partitions=num_partitions)
+    node_ids = topo.node_ids
+    levels = topo.levels
+    n = node_ids.shape[0]
+    dist = np.where(levels == 0, 0.0, -np.inf)
+    depth = int(levels.max()) if n else 0
+
+    for r in range(1, depth + 1):
+        state_ref = ray.put((node_ids, dist, levels, r))
+
+        def relax(t: pa.Table) -> pa.Table:
+            ids, d, lev, rr = ray.get(state_ref)
+            src = t.column("src_id").to_numpy(zero_copy_only=False)
+            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+            sp = np.minimum(np.searchsorted(ids, src), max(ids.shape[0] - 1, 0))
+            dp = np.minimum(np.searchsorted(ids, dst), max(ids.shape[0] - 1, 0))
+            keep = (
+                (ids[sp] == src) & (ids[dp] == dst)  # both acyclic
+                & (lev[dp] == rr) & np.isfinite(d[sp])
+            )
+            if not keep.any():
+                return pa.schema(
+                    [("node_id", pa.int64()), ("cand", pa.float64())]
+                ).empty_table()
+            if weighted:
+                w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+            else:
+                w = 1.0
+            cand = d[sp[keep]] + w
+            dk = dst[keep]
+            order = np.argsort(dk, kind="stable")
+            dk, cand = dk[order], cand[order]
+            first = np.ones(dk.shape[0], dtype=bool)
+            first[1:] = dk[1:] != dk[:-1]
+            best = np.maximum.reduceat(cand, np.flatnonzero(first))
+            return pa.table(
+                {"node_id": pa.array(dk[first], pa.int64()), "cand": pa.array(best, pa.float64())}
+            )
+
+        t = collect_arrow(edges.map_batches(relax, batch_format="pyarrow", zero_copy_batch=True))
+        if t.num_rows:
+            ids = t.column("node_id").to_numpy(zero_copy_only=False)
+            cand = t.column("cand").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(node_ids, ids)
+            np.maximum.at(dist, pos, cand)
+
+    return LongestPathResult(node_ids, dist, topo.has_cycle_nodes, depth)
+
+
 def topological_sort(
     edges: Dataset,
     max_rounds: int = 100_000,

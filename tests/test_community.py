@@ -680,3 +680,32 @@ def test_split_relationships():
     key = set(zip(ht["src_id"].to_pylist(), ht["dst_id"].to_pylist()))
     key_rev = set(zip(hrt["dst_id"].to_pylist(), hrt["src_id"].to_pylist()))
     assert key == key_rev
+
+
+def test_maximum_spanning_forest_matches_networkx():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.mst import spanning_forest
+
+    rng = np.random.default_rng(23)
+    t0 = fixtures.er_random(60, 0.08, seed=9)
+    w = np.round(rng.random(t0.num_rows) * 10, 3)
+    t = t0.append_column("weight", pa.array(w, pa.float64()))
+    res = spanning_forest(from_arrow(t), objective="maximum", num_partitions=2)
+    g = nx.Graph()
+    for s, d, ww in zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist(), w):
+        if s == d:
+            continue
+        if g.has_edge(s, d):
+            g[s][d]["weight"] = max(g[s][d]["weight"], ww)
+        else:
+            g.add_edge(s, d, weight=ww)
+    expected = sum(
+        d["weight"] for _, _, d in nx.maximum_spanning_edges(g, data=True)
+    )
+    assert res.total_weight == pytest.approx(expected, abs=1e-9)
+    n_comp = nx.number_connected_components(g)
+    assert res.n_components == n_comp
+    assert res.edges.num_rows == g.number_of_nodes() - n_comp
+    # every reported weight is the original (positive) weight
+    assert all(ww > 0 for ww in res.edges["weight"].to_pylist())

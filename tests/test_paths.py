@@ -342,3 +342,103 @@ def test_modularity_optimization_is_level1_louvain():
     b = louvain(from_arrow(t), max_levels=1, max_rounds_per_level=5)
     ta, tb = a.to_table(), b.to_table()
     assert ta.equals(tb)
+
+
+def test_longest_path_unweighted_equals_levels_and_dp():
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.toposort import longest_path, topological_sort
+
+    t0 = fixtures.er_random(60, 0.08, seed=21)
+    s = np.array(t0["src_id"].to_pylist())
+    d = np.array(t0["dst_id"].to_pylist())
+    keep = s < d
+    s, d = s[keep], d[keep]
+    rng = np.random.default_rng(5)
+    w = rng.integers(1, 9, s.shape[0]).astype(np.float64)
+    t = pa.table(
+        {
+            "src_id": pa.array(s, pa.int64()),
+            "dst_id": pa.array(d, pa.int64()),
+            "weight": pa.array(w, pa.float64()),
+        }
+    )
+    # unweighted longest distance from any source == Kahn level
+    topo = topological_sort(from_arrow(t), num_partitions=NP)
+    res_u = longest_path(from_arrow(t), weighted=False, num_partitions=NP)
+    assert res_u.node_ids.tolist() == topo.node_ids.tolist()
+    assert res_u.costs.astype(np.int64).tolist() == topo.levels.tolist()
+
+    # weighted: numpy DP reference in ascending id order (edges go low→high)
+    res_w = longest_path(from_arrow(t), weighted=True, num_partitions=NP)
+    nodes = np.union1d(s, d)
+    dp = np.zeros(nodes.shape[0])
+    si, di = np.searchsorted(nodes, s), np.searchsorted(nodes, d)
+    # parallel (s,d) edges may repeat with different w: relax per edge
+    for k in np.argsort(d, kind="stable"):
+        dp[di[k]] = max(dp[di[k]], dp[si[k]] + w[k])
+    assert res_w.node_ids.tolist() == nodes.tolist()
+    np.testing.assert_allclose(res_w.costs, dp)
+
+
+def test_longest_path_excludes_cycle_nodes():
+    from graph_data_science_ray.algos.toposort import longest_path
+
+    pairs = [(0, 1), (1, 2), (2, 5), (5, 6), (6, 5), (6, 9)]
+    res = longest_path(from_arrow(fixtures.edges_table(pairs)), num_partitions=NP)
+    assert res.has_cycle_nodes
+    assert res.as_dict() == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_bellman_ford_negative_weights_no_cycle():
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.paths import bellman_ford_negative_cycles
+
+    # DAG (low→high ids) with negative weights: no cycle possible
+    t0 = fixtures.er_random(40, 0.12, seed=31)
+    s = np.array(t0["src_id"].to_pylist())
+    d = np.array(t0["dst_id"].to_pylist())
+    keep = s < d
+    s, d = s[keep], d[keep]
+    rng = np.random.default_rng(7)
+    w = rng.integers(-4, 10, s.shape[0]).astype(np.float64)
+    t = pa.table(
+        {
+            "src_id": pa.array(s, pa.int64()),
+            "dst_id": pa.array(d, pa.int64()),
+            "weight": pa.array(w, pa.float64()),
+        }
+    )
+    res, has_cycle = bellman_ford_negative_cycles(from_arrow(t), num_partitions=NP)
+    assert not has_cycle
+    g = nx.DiGraph()
+    for a, b, ww in zip(s.tolist(), d.tolist(), w.tolist()):
+        if g.has_edge(a, b):
+            g[a][b]["weight"] = min(g[a][b]["weight"], ww)
+        else:
+            g.add_edge(a, b, weight=ww)
+    source = int(s.min())
+    want = nx.single_source_bellman_ford_path_length(g, source, weight="weight")
+    got = dict(zip(res.node_ids.tolist(), res.values.tolist()))
+    for node, cost in want.items():
+        assert got[node] == pytest.approx(cost), node
+    for node, cost in got.items():
+        if np.isfinite(cost):
+            assert node in want or node == source
+
+
+def test_bellman_ford_negative_cycle_detection():
+    from graph_data_science_ray.algos.paths import bellman_ford_negative_cycles
+
+    # 0→1→2 (costs 1,1); cycle 2→3→2 at total -1; 3→4; separate 0→5 leg
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 2), (3, 4), (0, 5)]
+    weights = [1.0, 1.0, 2.0, -3.0, 1.0, 7.0]
+    t = fixtures.edges_table(pairs, weights)
+    res, has_cycle = bellman_ford_negative_cycles(from_arrow(t), source=0, num_partitions=NP)
+    assert has_cycle
+    got = dict(zip(res.node_ids.tolist(), res.values.tolist()))
+    # nodes on / downstream of the negative cycle are -inf
+    assert got[2] == -np.inf and got[3] == -np.inf and got[4] == -np.inf
+    # nodes not touched by the cycle keep exact costs
+    assert got[0] == 0.0 and got[1] == 1.0 and got[5] == 7.0
