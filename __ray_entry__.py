@@ -502,6 +502,17 @@ def _q_random_walks(sf_dir: str):
     return random_walks(edges, ids[:8], walk_length=10, walks_per_node=2, seed=42)
 
 
+def _q_cnarw_sample(sf_dir: str):
+    """gds.graph.sample.cnarw: induced subgraph over common-neighbour-
+    aware walks (deterministic hash-race draws — rows-only check)."""
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.randomwalk import cnarw_walks
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    return cnarw_walks(edges, ids[:8], walk_length=8, walks_per_node=2, seed=42)
+
+
 def _q_toposort(sf_dir: str):
     from graph_data_science_ray.algos.toposort import topological_sort
 
@@ -1394,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yens_k2": _q_yens,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
+        "cnarw_sample": _q_cnarw_sample,
         "topological_sort": _q_toposort,
         "toposort_k6": _q_toposort_k6,
         "dag_longest_path": _q_dag_longest_path,

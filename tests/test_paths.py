@@ -442,3 +442,84 @@ def test_bellman_ford_negative_cycle_detection():
     assert got[2] == -np.inf and got[3] == -np.inf and got[4] == -np.inf
     # nodes not touched by the cycle keep exact costs
     assert got[0] == 0.0 and got[1] == 1.0 and got[5] == 7.0
+
+
+def test_cnarw_walks_edge_valid_and_partition_invariant():
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.randomwalk import cnarw_walks
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.powerlaw(300, seed=11)
+    starts = sorted({t["src_id"][i].as_py() for i in range(6)})
+    w1 = cnarw_walks(from_arrow(t), starts, walk_length=10, walks_per_node=2, seed=3, num_partitions=2)
+    w2 = cnarw_walks(from_arrow(t), starts, walk_length=10, walks_per_node=2, seed=3, num_partitions=3)
+    assert w1.equals(w2), "walks must be partitioning-invariant"
+    # undirected adjacency for validity
+    adj = {}
+    for s, d in zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist()):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    seq = {}
+    for wid, st, node in zip(
+        w1["walk_id"].to_pylist(), w1["step"].to_pylist(), w1["node_id"].to_pylist()
+    ):
+        seq.setdefault(wid, []).append((st, node))
+    for wid, steps in seq.items():
+        steps.sort()
+        for (s0, a), (s1, b) in zip(steps, steps[1:]):
+            assert s1 == s0 + 1
+            assert b in adj[a], (wid, a, b)
+    w3 = cnarw_walks(from_arrow(t), starts, walk_length=10, walks_per_node=2, seed=4, num_partitions=2)
+    assert not w1.equals(w3)
+
+
+def test_cnarw_weights_match_bruteforce_reference():
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.randomwalk import _walk_key, cnarw_walks
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # u=0 with neighbors 1,2,3; 1-2 edge (common nbrs); 3 hangs free
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    t = fixtures.edges_table(pairs)
+    n_walks = 64
+    got = cnarw_walks(from_arrow(t), [0], walk_length=2, walks_per_node=n_walks, seed=9, num_partitions=2)
+    first_step = {
+        wid: node
+        for wid, st, node in zip(
+            got["walk_id"].to_pylist(), got["step"].to_pylist(), got["node_id"].to_pylist()
+        )
+        if st == 1
+    }
+    # brute-force reference: deg/common over the undirected graph
+    adj = {0: {1, 2, 3}, 1: {0, 2}, 2: {0, 1}, 3: {0}}
+    deg = {k: len(v) for k, v in adj.items()}
+    for wid in range(n_walks):
+        cands = np.array(sorted(adj[0]), dtype=np.int64)
+        weight = np.array(
+            [1.0 - len(adj[0] & adj[v] - {0, v}) / min(deg[0], deg[v]) for v in cands]
+        )
+        u01 = (_walk_key(9, np.full(len(cands), wid), 1, cands).astype(np.float64) + 1.0) / float(2**64)
+        with np.errstate(divide="ignore"):
+            race = np.where(weight > 0, -np.log(u01) / np.maximum(weight, 1e-300), np.inf)
+        want = cands[np.lexsort((cands, race))[0]]
+        assert first_step[wid] == want, wid
+    # and the aggregate bias: the overlap-free neighbor wins most often
+    from collections import Counter
+
+    freq = Counter(first_step.values())
+    assert freq[3] > freq[1] and freq[3] > freq[2]
+
+
+def test_sample_cnarw_induced_subgraph():
+    from graph_data_science_ray.algos.randomwalk import sample_cnarw
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.powerlaw(150, seed=9)
+    sub = sample_cnarw(from_arrow(t), [t["src_id"][0].as_py()], walk_length=15, walks_per_node=4, seed=1, num_partitions=2)
+    st = sub.take_all()
+    full = set(zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist()))
+    assert 0 < len(st) < len(full)
+    assert all((r["src_id"], r["dst_id"]) in full for r in st)
