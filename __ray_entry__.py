@@ -1063,6 +1063,56 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_docs_quality(sf_dir: str):
+    """quality_scores with parts-per-million integerized columns (both
+    engines compute the same RE2 counts and the same double arithmetic,
+    so ROUND(x*1e6) is bit-stable — CLAUDE.md float-compare convention)."""
+    import ray.data
+
+    from graph_data_science_ray.stages.textstats import quality_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ppm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {"doc_id": t.column("doc_id")}
+        for c in ("punct_ratio", "digit_ratio", "mean_word_len", "stopword_ratio", "quality"):
+            out[c + "_ppm"] = pc.cast(
+                pc.round(pc.multiply(t.column(c), 1e6)), pa.int64()
+            )
+        return pa.table(out)
+
+    return quality_scores(ds).map_batches(ppm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DOCS_QUALITY_SQL = (
+    "WITH f AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+    "c AS (SELECT doc_id, "
+    "GREATEST(1.0, CAST(length(t) AS DOUBLE)) AS n, "
+    "CAST(length(t) AS DOUBLE) AS nchars, "
+    "CAST(len(regexp_extract_all(t, '[^\\w\\s]')) AS DOUBLE) AS punct_c, "
+    "CAST(len(regexp_extract_all(t, '\\d')) AS DOUBLE) AS digit_c, "
+    "GREATEST(1.0, CAST(len(regexp_extract_all(t, '[a-zA-Z]+')) AS DOUBLE)) AS nw, "
+    "CAST(len(regexp_extract_all(t, '[a-zA-Z]')) AS DOUBLE) AS wchars, "
+    "CAST(len(regexp_extract_all(lower(t), "
+    "'\\b(?:a|and|for|in|is|it|of|that|the|to)\\b')) AS DOUBLE) AS stop_c "
+    "FROM f), "
+    "r AS (SELECT doc_id, punct_c / n AS punct, digit_c / n AS digit, "
+    "wchars / nw AS mwl, stop_c / nw AS stop, nchars FROM c) "
+    "SELECT doc_id, "
+    "CAST(ROUND(punct * 1e6) AS BIGINT) AS punct_ratio_ppm, "
+    "CAST(ROUND(digit * 1e6) AS BIGINT) AS digit_ratio_ppm, "
+    "CAST(ROUND(mwl * 1e6) AS BIGINT) AS mean_word_len_ppm, "
+    "CAST(ROUND(stop * 1e6) AS BIGINT) AS stopword_ratio_ppm, "
+    "CAST(ROUND(GREATEST(0.0, LEAST(1.0, "
+    "0.4 * LEAST(1.0, stop * 4) + 0.3 * (1.0 - LEAST(1.0, punct * 5)) "
+    "+ 0.2 * (1.0 - LEAST(1.0, digit * 5)) + 0.1 * LEAST(1.0, nchars / 500)"
+    ")) * 1e6) AS BIGINT) AS quality_ppm "
+    "FROM r"
+)
+
+
 def _q_hdbscan(sf_dir: str):
     import ray.data
 
@@ -1414,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,
+        "docs_quality": _q_docs_quality,
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "fastrp_embeddings": _q_fastrp,
@@ -1832,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
             "FROM documents GROUP BY lang, source"
         ),
+        "docs_quality": _DOCS_QUALITY_SQL,
         "docs_token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "

@@ -46,11 +46,16 @@ class TokenStats:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n_tokens = np.fromiter((token_count(t or "") for t in texts), np.int64, len(texts))
-        n_chars = np.fromiter((len(t or "") for t in texts), np.int64, len(texts))
-        n_words = np.fromiter(
-            (len(_WORD_RE.findall(t or "")) for t in texts), np.int64, len(texts)
+        import pyarrow.compute as pc
+
+        t = pc.fill_null(pc.cast(batch.column(self.text_col), pa.string()), "")
+        trimmed = pc.utf8_trim_whitespace(t)
+        ws_runs = pc.count_substring_regex(trimmed, r"\s+").to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n_tokens = np.where(nonempty, ws_runs + 1, 0).astype(np.int64)
+        n_chars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = (
+            pc.count_substring_regex(t, "[a-zA-Z]+").to_numpy(zero_copy_only=False).astype(np.int64)
         )
         return pa.table(
             {
@@ -65,65 +70,91 @@ class TokenStats:
 class QualityScore:
     """Heuristic quality features + a composite score in [0, 1]:
     length, punctuation/digit ratios, mean word length, stopword ratio
-    (the standard pre-training corpus filters)."""
+    (the standard pre-training corpus filters).
+
+    Fully vectorized: every count is one ``pyarrow.compute.
+    count_substring_regex`` kernel over the whole batch (RE2, the same
+    engine DuckDB uses — the oracle replicates each pattern verbatim).
+    Stopwords match on RE2 ``\\b`` token boundaries: digits/underscore
+    adjacent to a word ("a1") do NOT end a token, unlike the old
+    per-row ``findall`` membership — identical on real prose."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text", lang: str = "en"):
         self.id_col, self.text_col = id_col, text_col
-        self.stops = _LANG_PROFILES.get(lang, _LANG_PROFILES["en"])
+        stops = sorted(_LANG_PROFILES.get(lang, _LANG_PROFILES["en"]))
+        self.stop_pat = r"\b(?:" + "|".join(stops) + r")\b"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        rows = {
-            "punct_ratio": [], "digit_ratio": [], "mean_word_len": [],
-            "stopword_ratio": [], "quality": [],
-        }
-        for t in texts:
-            t = t or ""
-            n = max(1, len(t))
-            words = _WORD_RE.findall(t.lower())
-            nw = max(1, len(words))
-            punct = len(_PUNCT_RE.findall(t)) / n
-            digit = len(_DIGIT_RE.findall(t)) / n
-            mwl = sum(map(len, words)) / nw
-            stop = sum(w in self.stops for w in words) / nw
-            # composite: reward stopword presence & sane word length,
-            # penalize punctuation/digit soup and trivial length
-            q = max(
-                0.0,
-                min(
-                    1.0,
-                    0.4 * min(1.0, stop * 4)
-                    + 0.3 * (1.0 - min(1.0, punct * 5))
-                    + 0.2 * (1.0 - min(1.0, digit * 5))
-                    + 0.1 * min(1.0, len(t) / 500),
-                ),
-            )
-            rows["punct_ratio"].append(punct)
-            rows["digit_ratio"].append(digit)
-            rows["mean_word_len"].append(mwl)
-            rows["stopword_ratio"].append(stop)
-            rows["quality"].append(q)
-        cols = {self.id_col: batch.column(self.id_col)}
-        cols.update({k: pa.array(v, pa.float64()) for k, v in rows.items()})
-        return pa.table(cols)
+        import pyarrow.compute as pc
+
+        t = pc.fill_null(pc.cast(batch.column(self.text_col), pa.string()), "")
+
+        def cnt(col, pat):
+            return pc.count_substring_regex(col, pat).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        n = np.maximum(1.0, pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.float64))
+        nchars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.float64)
+        punct = cnt(t, r"[^\w\s]") / n
+        digit = cnt(t, r"\d") / n
+        nw = np.maximum(1.0, cnt(t, "[a-zA-Z]+"))
+        mwl = cnt(t, "[a-zA-Z]") / nw
+        stop = cnt(pc.utf8_lower(t), self.stop_pat) / nw
+        q = np.maximum(
+            0.0,
+            np.minimum(
+                1.0,
+                0.4 * np.minimum(1.0, stop * 4)
+                + 0.3 * (1.0 - np.minimum(1.0, punct * 5))
+                + 0.2 * (1.0 - np.minimum(1.0, digit * 5))
+                + 0.1 * np.minimum(1.0, nchars / 500),
+            ),
+        )
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "punct_ratio": pa.array(punct, pa.float64()),
+                "digit_ratio": pa.array(digit, pa.float64()),
+                "mean_word_len": pa.array(mwl, pa.float64()),
+                "stopword_ratio": pa.array(stop, pa.float64()),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
 
 
 class LanguageId:
-    """Stopword-profile language identification (en/de/fr/es/unknown)."""
+    """Stopword-profile language identification (en/de/fr/es/unknown).
+
+    Vectorized: per profile word, one boolean ``match_substring_regex``
+    kernel over the batch (RE2 ``\\b`` token match); a language's score
+    is how many of its profile words occur at least once. Winner =
+    alphabetically-first max; score 0 → ``unknown``."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
+        self.langs = sorted(_LANG_PROFILES)
+        self.patterns = {
+            l: [r"\b" + w + r"\b" for w in sorted(_LANG_PROFILES[l])] for l in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        langs = []
-        for t in texts:
-            words = set(_WORD_RE.findall((t or "").lower()))
-            scores = {l: len(words & prof) for l, prof in _LANG_PROFILES.items()}
-            best = max(sorted(scores), key=lambda l: scores[l])
-            langs.append(best if scores[best] > 0 else "unknown")
+        import pyarrow.compute as pc
+
+        t = pc.utf8_lower(pc.fill_null(pc.cast(batch.column(self.text_col), pa.string()), ""))
+        scores = np.zeros((len(self.langs), batch.num_rows), dtype=np.int64)
+        for i, l in enumerate(self.langs):
+            for pat in self.patterns[l]:
+                scores[i] += pc.match_substring_regex(t, pat).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+        best = np.argmax(scores, axis=0)  # first (alphabetical) max wins
+        top = scores[best, np.arange(batch.num_rows)]
+        lang_arr = np.array(self.langs, dtype=object)[best]
+        lang_arr[top == 0] = "unknown"
         return pa.table(
-            {self.id_col: batch.column(self.id_col), "lang_pred": pa.array(langs, pa.string())}
+            {
+                self.id_col: batch.column(self.id_col),
+                "lang_pred": pa.array(lang_arr.tolist(), pa.string()),
+            }
         )
 
 
