@@ -409,6 +409,31 @@ def _edges_ps_weighted(sf_dir: str):
     return dedup_edges(ds, "min")
 
 
+def _q_prize_steiner(sf_dir: str):
+    """gds.prizeSteinerTree: greedy path accretion + leaf pruning over
+    the weighted ps projection; prizes = part's total available qty
+    (deterministic from the data). Rows-only check (NP-hard heuristic)."""
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.pcst import prize_steiner_tree
+
+    edges = _edges_ps_weighted(sf_dir)
+    ids = unique_node_ids(edges)
+    # deterministic prizes: node_id mod 37 + 5 on a 64-node subset
+    sub = ids[:64]
+    prizes = {int(n): float(n % 37 + 5) for n in sub}
+
+    def restrict(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(src, sub) & np.isin(dst, sub)
+        return t.filter(pa.array(keep))
+
+    small = edges.map_batches(restrict, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return prize_steiner_tree(small, prizes).to_table()
+
+
 def _q_sssp(sf_dir: str):
     from graph_data_science_ray.algos.paths import bellman_ford
 
@@ -1419,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_k5": _q_hits,
         "bfs_hops8": _q_bfs_hops,
         "sssp_bf8": _q_sssp,
+        "prize_steiner_tree": _q_prize_steiner,
         "modularity_mod7": _q_modularity,
         "conductance_mod7": _q_conductance,
         "harmonic_64src": _q_harmonic64,

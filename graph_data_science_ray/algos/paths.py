@@ -294,9 +294,14 @@ def shortest_path_tree(
     max_iterations: int = 50,
     undirected: bool = False,
     num_partitions: int | None = None,
+    sources: list | np.ndarray | None = None,
 ) -> tuple[IterativeResult, np.ndarray]:
     """Bellman-Ford with predecessor tracking: returns (distances,
     predecessor node id per node; -1 for the source and unreachable).
+    ``sources`` (multi-source mode, overrides ``source``) seeds distance
+    0 at every listed node — values become the distance to the NEAREST
+    source, the Voronoi/forest variant PCST and k-center style
+    compositions need.
 
     Ties broken by smallest predecessor id (deterministic tree). Driver
     merge only — the (dist, pred) lexicographic argmin does not decompose
@@ -306,15 +311,22 @@ def shortest_path_tree(
     configure_ray_data()
     g = symmetrize(edges, dedup=False, num_partitions=num_partitions) if undirected else edges
     g = g.materialize()
-    src_node = _resolve_source(g, source)
     node_arr = unique_node_ids(g)
     n = node_arr.shape[0]
     dist = np.full(n, np.inf, dtype=np.float64)
     pred = np.full(n, -1, dtype=np.int64)
-    spos = np.searchsorted(node_arr, src_node)
-    if spos >= n or node_arr[spos] != src_node:
-        raise ValueError(f"source node {src_node} not in graph")
-    dist[spos] = 0.0
+    if sources is not None:
+        srcs = np.unique(np.asarray(list(sources), dtype=np.int64))
+        spos = np.searchsorted(node_arr, srcs)
+        if (spos >= n).any() or (node_arr[np.minimum(spos, n - 1)] != srcs).any():
+            raise ValueError("some source nodes not in graph")
+        dist[spos] = 0.0
+    else:
+        src_node = _resolve_source(g, source)
+        spos = np.searchsorted(node_arr, src_node)
+        if spos >= n or node_arr[spos] != src_node:
+            raise ValueError(f"source node {src_node} not in graph")
+        dist[spos] = 0.0
 
     def make_stage(state_ref):
         def fn(batch: pa.Table) -> pa.Table:

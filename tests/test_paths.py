@@ -523,3 +523,102 @@ def test_sample_cnarw_induced_subgraph():
     full = set(zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist()))
     assert 0 < len(st) < len(full)
     assert all((r["src_id"], r["dst_id"]) in full for r in st)
+
+
+def _pcst_bruteforce(pairs, weights, prizes):
+    """Exact PCST by subset enumeration: best Σprize(S) − MST(induced S)."""
+    import itertools
+
+    import networkx as nx
+
+    g = nx.Graph()
+    for (a, b), w in zip(pairs, weights):
+        if g.has_edge(a, b):
+            g[a][b]["weight"] = min(g[a][b]["weight"], w)
+        else:
+            g.add_edge(a, b, weight=w)
+    nodes = sorted(g)
+    best = max(prizes.values())  # single node, no edges
+    for r in range(2, len(nodes) + 1):
+        for S in itertools.combinations(nodes, r):
+            sub = g.subgraph(S)
+            if not nx.is_connected(sub):
+                continue
+            mst_w = sum(d["weight"] for _, _, d in nx.minimum_spanning_edges(sub, data=True))
+            best = max(best, sum(prizes.get(x, 0.0) for x in S) - mst_w)
+    return best
+
+
+def test_prize_steiner_tree_validity_and_quality():
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.pcst import prize_steiner_tree
+
+    rng = np.random.default_rng(41)
+    t0 = fixtures.er_random(9, 0.45, seed=19)
+    pairs = [
+        (s, d)
+        for s, d in zip(t0["src_id"].to_pylist(), t0["dst_id"].to_pylist())
+        if s != d
+    ]
+    weights = np.round(rng.random(len(pairs)) * 4 + 0.5, 3).tolist()
+    nodes = sorted({x for p in pairs for x in p})
+    prizes = {n: float(np.round(rng.random() * 6, 3)) for n in nodes}
+    t = fixtures.edges_table(pairs, weights)
+
+    res = prize_steiner_tree(from_arrow(t), prizes, num_partitions=NP)
+    # validity: a tree (|E| = |V|-1), edges exist in the graph
+    assert res.edges.num_rows == len(res.nodes) - 1
+    eset = {}
+    for (a, b), w in zip(pairs, weights):
+        k = (min(a, b), max(a, b))
+        eset[k] = min(eset.get(k, np.inf), w)
+    for u, v, w in zip(
+        res.edges["u"].to_pylist(), res.edges["v"].to_pylist(), res.edges["weight"].to_pylist()
+    ):
+        assert (u, v) in eset and w == pytest.approx(eset[(u, v)])
+    # connected (union-find over reported edges)
+    parent = {n: n for n in res.nodes.tolist()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(res.edges["u"].to_pylist(), res.edges["v"].to_pylist()):
+        parent[find(u)] = find(v)
+    assert len({find(n) for n in res.nodes.tolist()}) == 1
+    # every leaf pays for itself after pruning
+    deg = {}
+    wt = {}
+    for u, v, w in zip(
+        res.edges["u"].to_pylist(), res.edges["v"].to_pylist(), res.edges["weight"].to_pylist()
+    ):
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        wt[(u, v)] = w
+    root = max(prizes, key=lambda n: (prizes[n], -n))
+    for (u, v), w in wt.items():
+        for leaf in (u, v):
+            if deg[leaf] == 1 and leaf != root:
+                assert prizes.get(leaf, 0.0) >= w, (leaf, w)
+    # quality: within 75% of the exact optimum (deterministic, so stable)
+    opt = _pcst_bruteforce(pairs, weights, prizes)
+    assert res.net_value >= 0.75 * opt - 1e-9, (res.net_value, opt)
+    # deterministic
+    res2 = prize_steiner_tree(from_arrow(t), prizes, num_partitions=3)
+    assert res.edges.equals(res2.edges)
+
+
+def test_prize_steiner_tree_cheap_path_exact():
+    from graph_data_science_ray.algos.pcst import prize_steiner_tree
+
+    # two big prizes joined by a cheap 2-hop path through a zero-prize node,
+    # plus an expensive distractor edge
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    weights = [0.5, 0.5, 10.0, 5.0]
+    prizes = {0: 5.0, 1: 0.0, 2: 5.0, 3: 1.0}
+    res = prize_steiner_tree(from_arrow(fixtures.edges_table(pairs, weights)), prizes, num_partitions=NP)
+    assert sorted(res.nodes.tolist()) == [0, 1, 2]
+    assert res.net_value == pytest.approx(10.0 - 1.0)
