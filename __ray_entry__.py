@@ -1088,6 +1088,69 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_docs_split(sf_dir: str):
+    """Deterministic train/val/test assignment (Knuth multiplicative
+    hash — integer-exact in both engines)."""
+    import ray.data
+
+    from graph_data_science_ray.stages.split import hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(ds, "doc_id")
+
+
+def _q_docs_packed(sf_dir: str):
+    """Greedy sequence packing into 512-token chunks, 16 hash buckets;
+    the oracle replays the same first-fit state machine as a per-bucket
+    recursive CTE."""
+    import ray.data
+
+    from graph_data_science_ray.stages.split import pack_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_documents(ds, max_tokens=512, num_buckets=16)
+
+
+_DOCS_SPLIT_SQL = (
+    # u < 0.8 ⟺ h ≤ 3435973836; u < cumsum(0.8+0.1) ⟺ h ≤ 3865470566
+    # (integer-exact equivalents of the engine's float cuts)
+    "WITH h AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents) "
+    "SELECT doc_id, CASE WHEN hv <= 3435973836 THEN 'train' "
+    "WHEN hv <= 3865470566 THEN 'val' ELSE 'test' END AS split FROM h"
+)
+
+_DOCS_PACKED_SQL = (
+    "WITH RECURSIVE d AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+    "CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS bucket FROM documents), "
+    "r AS (SELECT doc_id, n_tokens, bucket, "
+    "ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d), "
+    # state machine per bucket: (chunk, pos) assigned to row rn, then
+    # (fill, posn, chk) carried to rn+1 — mirrors stages/split.pack_bucket
+    "s AS ("
+    "SELECT bucket, rn, doc_id, n_tokens, 0 AS chunk, 0 AS pos, "
+    "CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END AS chk, "
+    "CASE WHEN n_tokens >= 512 THEN 0 ELSE n_tokens END AS fill, "
+    "CASE WHEN n_tokens >= 512 THEN 0 ELSE 1 END AS posn "
+    "FROM r WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT r.bucket, r.rn, r.doc_id, r.n_tokens, "
+    "s.chk + CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 1 ELSE 0 END AS chunk, "
+    "CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 0 ELSE s.posn END AS pos, "
+    "CASE WHEN (CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 0 ELSE s.fill END) + r.n_tokens >= 512 "
+    "THEN s.chk + CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 1 ELSE 0 END + 1 "
+    "ELSE s.chk + CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 1 ELSE 0 END END AS chk, "
+    "CASE WHEN (CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 0 ELSE s.fill END) + r.n_tokens >= 512 "
+    "THEN 0 ELSE (CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 0 ELSE s.fill END) + r.n_tokens END AS fill, "
+    "CASE WHEN (CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 0 ELSE s.fill END) + r.n_tokens >= 512 "
+    "THEN 0 ELSE (CASE WHEN s.fill > 0 AND s.fill + r.n_tokens > 512 THEN 0 ELSE s.posn END) + 1 END AS posn "
+    "FROM s JOIN r ON r.bucket = s.bucket AND r.rn = s.rn + 1) "
+    "SELECT doc_id, n_tokens, bucket, "
+    "CAST(bucket * 1099511627776 + chunk AS BIGINT) AS chunk_id, "
+    "CAST(pos AS BIGINT) AS chunk_pos FROM s"
+)
+
+
 def _q_docs_quality(sf_dir: str):
     """quality_scores with parts-per-million integerized columns (both
     engines compute the same RE2 counts and the same double arithmetic,
@@ -1491,6 +1554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,
         "docs_quality": _q_docs_quality,
+        "docs_split": _q_docs_split,
+        "docs_packed": _q_docs_packed,
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "fastrp_embeddings": _q_fastrp,
@@ -1910,6 +1975,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang, source"
         ),
         "docs_quality": _DOCS_QUALITY_SQL,
+        "docs_split": _DOCS_SPLIT_SQL,
+        "docs_packed": _DOCS_PACKED_SQL,
         "docs_token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "

@@ -247,3 +247,62 @@ def test_write_mode_partitioned(tmp_path):
     res = pagerank(from_arrow(fixtures.tiny_cycle()), max_iterations=3, num_partitions=2)
     p = write(res, str(tmp_path / "ranks"), num_partitions=4)
     assert any(d.startswith("bucket=") for d in os.listdir(p))
+
+
+def test_hash_split_deterministic_proportions():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.stages.split import hash_split, split_of
+
+    ids = np.arange(10_000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = hash_split(ds, "doc_id").to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # pure function of the key: matches the batch kernel directly
+    want = split_of(ids, [0.8, 0.1, 0.1], ["train", "val", "test"])
+    got = out.sort_values("doc_id")["split"].to_numpy()
+    assert (got == want).all()
+    # rows follow their key across tables: same key → same split
+    ds2 = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids[::7])}))
+    out2 = hash_split(ds2, "doc_id").to_pandas().sort_values("doc_id")
+    sub = out.set_index("doc_id").loc[ids[::7], "split"].to_numpy()
+    assert (out2["split"].to_numpy() == sub).all()
+
+
+def test_pack_documents_invariants():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.stages.split import pack_documents
+
+    rng = np.random.default_rng(13)
+    n = 400
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 300, n)]
+    texts[5] = " ".join(["w"] * 900)  # oversized doc gets its own chunk
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()), "text": pa.array(texts)})
+    out = pack_documents(ray.data.from_arrow(t), max_tokens=512, num_buckets=8).to_pandas()
+    # every doc exactly once
+    assert sorted(out["doc_id"].tolist()) == list(range(n))
+    # chunk token budget: a chunk exceeds 512 only if it is one oversized doc
+    for cid, grp in out.groupby("chunk_id"):
+        if grp["n_tokens"].sum() > 512:
+            assert len(grp) == 1 and grp["n_tokens"].iloc[0] > 512
+        # positions are 0..k-1
+        assert sorted(grp["chunk_pos"].tolist()) == list(range(len(grp)))
+    # partitioning invariance: same assignment from a different block layout
+    out2 = (
+        pack_documents(
+            ray.data.from_arrow(t).repartition(7), max_tokens=512, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out1 = out.sort_values("doc_id").reset_index(drop=True)
+    assert out1.equals(out2)
