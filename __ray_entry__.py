@@ -802,7 +802,7 @@ def _q_docs_token_stats(sf_dir: str):
     from graph_data_science_ray.stages.textstats import token_stats
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return token_stats(ds).select_columns(["doc_id", "n_tokens", "n_chars"])
+    return token_stats(ds).select_columns(["doc_id", "n_tokens", "n_chars", "n_bpe_tokens"])
 
 
 def _q_docs_fingerprint(sf_dir: str):
@@ -1980,7 +1980,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
-            "length(text) AS n_chars FROM documents"
+            "length(text) AS n_chars, "
+            "len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?\\d+| ?[^\\sa-zA-Z\\d]+|\\s+'"
+            ")) AS n_bpe_tokens FROM documents"
         ),
         "docs_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "docs_lang_stats": (

@@ -30,6 +30,10 @@ _WS_RE = re.compile(r"\s+")
 _WORD_RE = re.compile(r"[a-zA-Z]+")
 _PUNCT_RE = re.compile(r"[^\w\s]")
 _DIGIT_RE = re.compile(r"\d")
+# GPT-2-style pre-tokenizer shape (contractions | space+word | space+number
+# | space+other-run | whitespace-run) — a proxy for BPE token counts without
+# a merges table; RE2-safe, so Arrow and DuckDB count it identically
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?\d+| ?[^\sa-zA-Z\d]+|\s+"
 
 
 def token_count(text: str) -> int:
@@ -57,12 +61,18 @@ class TokenStats:
         n_words = (
             pc.count_substring_regex(t, "[a-zA-Z]+").to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        n_bpe = (
+            pc.count_substring_regex(t, BPE_ISH_PATTERN)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
                 "n_tokens": pa.array(n_tokens),
                 "n_chars": pa.array(n_chars),
                 "n_words": pa.array(n_words),
+                "n_bpe_tokens": pa.array(n_bpe),
             }
         )
 
