@@ -160,3 +160,22 @@ def celf(
             covered[r].add(comp[r, i])
 
     return CelfResult(seeds, spreads, total)
+
+
+def greedy_influence_maximization(
+    edges: Dataset,
+    k: int = 5,
+    propagation_probability: float = 0.1,
+    simulations: int = 32,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> CelfResult:
+    """``gds.influenceMaximization.greedy`` parity [GDS-pub:
+    algo/.../influenceMaximization/]: plain greedy hill-climbing over
+    expected IC spread. CELF's lazy evaluation is an exact acceleration
+    of the same greedy (Leskovec et al. 2007) — identical seed sets and
+    spreads by submodularity — so this is the named wrapper."""
+    return celf(
+        edges, k=k, propagation_probability=propagation_probability,
+        simulations=simulations, seed=seed, num_partitions=num_partitions,
+    )

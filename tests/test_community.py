@@ -709,3 +709,12 @@ def test_maximum_spanning_forest_matches_networkx():
     assert res.edges.num_rows == g.number_of_nodes() - n_comp
     # every reported weight is the original (positive) weight
     assert all(ww > 0 for ww in res.edges["weight"].to_pylist())
+
+
+def test_greedy_im_equals_celf():
+    from graph_data_science_ray.algos.celf import celf, greedy_influence_maximization
+
+    t = fixtures.powerlaw(200, seed=4)
+    a = celf(from_arrow(t), k=4, simulations=16, seed=7, num_partitions=2)
+    b = greedy_influence_maximization(from_arrow(t), k=4, simulations=16, seed=7, num_partitions=2)
+    assert a.seeds == b.seeds and a.spreads == b.spreads
