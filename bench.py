@@ -20,6 +20,12 @@ import subprocess
 import sys
 import time
 
+# idle Ray worker/actor poll loops burn ~29% CPU each on this box and
+# starve long driver-side numpy sections 10-100x (measured; BASELINE.md) —
+# reap idle workers fast, keep a small warm pool
+os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "2000")
+os.environ.setdefault("RAY_num_workers_soft_limit", "8")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS") or 32)
 N_PAGES = int(os.environ.get("BENCH_PAGES") or 10_000)

@@ -115,8 +115,24 @@ def unique_node_ids(edges_table_or_ds) -> np.ndarray:
         )
         return pa.table({"node_id": pa.array(ids, pa.int64())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        ids = np.unique(t.column("node_id").to_numpy(zero_copy_only=False))
+        return pa.table({"node_id": pa.array(ids, pa.int64())})
+
+    partials = edges_table_or_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # worker-side tree combine: the driver merge input shrinks from
+    # O(blocks × per-block uniques) to O(few × node count) — the heavy
+    # sorts run in BUSY worker processes. (Long driver-side numpy runs
+    # 10–100× slower here whenever idle Ray workers/actors are alive —
+    # their poll loops each burn ~29% CPU on this box; measured in
+    # BENCH/BASELINE.md. Keeping the big merge off the driver sidesteps
+    # that and is the right shape for a multi-node cluster anyway.)
     t = collect_arrow(
-        edges_table_or_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        partials.repartition(4).map_batches(
+            combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
     )
     if t.num_rows == 0:
         return np.empty(0, dtype=np.int64)

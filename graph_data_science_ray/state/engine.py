@@ -43,7 +43,49 @@ def _src_out_weight_partials(edges: Dataset, weighted: bool) -> pa.Table:
         s = np.bincount(inv, weights=w, minlength=u.shape[0])
         return pa.table({"src_id": pa.array(u, pa.int64()), "w": pa.array(s, pa.float64())})
 
-    return collect_arrow(edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True))
+    def combine(t: pa.Table) -> pa.Table:
+        ids = t.column("src_id").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        u, inv = unique_inverse(ids)
+        s = np.bincount(inv, weights=w, minlength=u.shape[0])
+        return pa.table({"src_id": pa.array(u, pa.int64()), "w": pa.array(s, pa.float64())})
+
+    # worker-side tree combine before the driver merge (see
+    # algos/common.unique_node_ids for why the driver must not merge
+    # O(blocks × per-block keys) itself on this box)
+    return collect_arrow(
+        edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _dst_ids_partials(edges: Dataset) -> np.ndarray:
+    """Sorted unique dst ids (per-batch unique combiner, driver merge).
+
+    Runs BEFORE any shard actor exists on purpose: on this sandbox,
+    idle Ray actor/worker processes each burn ~29% CPU in their poll
+    loops (measured — see BENCH/BASELINE.md), so a long driver-side
+    np.unique with 16 idle actors alive ran 70–150 s vs 0.7 s without.
+    Computing the node universe from plain scans keeps the heavy driver
+    merge in the actor-free window."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        return pa.table({"dst_id": pa.array(np.unique(dst), pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        dst = np.unique(t.column("dst_id").to_numpy(zero_copy_only=False))
+        return pa.table({"dst_id": pa.array(dst, pa.int64())})
+
+    t = collect_arrow(
+        edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    if t.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(t.column("dst_id").to_numpy(zero_copy_only=False))
 
 
 class CsrEngine:
@@ -92,6 +134,15 @@ class CsrEngine:
             hub_ids = src_ids[hub_mask]
         else:
             hub_ids = np.empty(0, dtype=np.int64)
+
+        # node universe = srcs ∪ dsts, merged while NO actor is alive
+        # (idle actors starve long driver-side numpy — _dst_ids_partials)
+        dst_ids = _dst_ids_partials(edges)
+        all_ids = (
+            np.union1d(src_ids, dst_ids)
+            if (src_ids.shape[0] or dst_ids.shape[0])
+            else np.empty(0, np.int64)
+        )
 
         n_total_edges = int(src_w.sum()) if not weighted and src_w.shape[0] else None
         if routing == "auto":
@@ -157,14 +208,6 @@ class CsrEngine:
                 [s.ingest_routed_blocks.remote(hub_ids, *block_refs) for s in shards]
             )
         ray.get([s.build.remote(hub_ids) for s in shards])
-
-        # node universe = srcs ∪ all shard-local ids
-        id_tabs = ray.get([s.local_node_ids.remote() for s in shards])
-        all_ids = np.unique(
-            np.concatenate(
-                [src_ids] + [t.column("node_id").to_numpy(zero_copy_only=False) for t in id_tabs]
-            )
-        ) if (src_ids.shape[0] or id_tabs) else np.empty(0, np.int64)
 
         out_w = np.zeros(all_ids.shape[0], dtype=np.float64)
         if src_ids.shape[0]:

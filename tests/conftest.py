@@ -1,4 +1,12 @@
+import os
+
 import pytest
+
+# idle Ray worker/actor processes each burn ~29% CPU in their poll loops
+# on this box, starving driver-side numpy 10-100x (BENCH/BASELINE.md) —
+# reap idle workers fast and keep the warm pool small
+os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "2000")
+os.environ.setdefault("RAY_num_workers_soft_limit", "8")
 
 
 @pytest.fixture(scope="session", autouse=True)

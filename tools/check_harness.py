@@ -9,8 +9,14 @@ Usage: PYTHONPATH=/root/repo python tools/check_harness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# reap idle Ray workers fast — their poll loops starve driver-side numpy
+# on this box (BENCH/BASELINE.md)
+os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "2000")
+os.environ.setdefault("RAY_num_workers_soft_limit", "8")
 
 import numpy as np
 import pandas as pd
