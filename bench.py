@@ -207,8 +207,11 @@ def run_scaling() -> dict:
     """Fresh-process runs at 8 and 32 CPUs, INTERLEAVED (8,32,8,32) with
     min-per-leg: the sandbox host shows multi-minute phases of 5–20×
     stolen-time slowdown, so a single paired measurement is meaningless."""
+    legs = tuple(
+        int(x) for x in os.environ.get("RAY_GRAFT_SCALE_LEGS", "8,32").split(",")
+    )
     results: dict[int, dict] = {}
-    for ncpu in (8, 32, 8, 32):
+    for ncpu in legs + legs:  # interleaved A,B,A,B
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
@@ -220,17 +223,18 @@ def run_scaling() -> dict:
         r = json.loads(out.strip().splitlines()[-1])
         if ncpu not in results or r["queries"]["pagerank20_csr"] < results[ncpu]["queries"]["pagerank20_csr"]:
             results[ncpu] = r
-    tp8 = results[8]["pagerank_edges_per_sec"]
-    tp32 = results[32]["pagerank_edges_per_sec"]
-    eff = (tp32 / tp8) / 4.0
+    lo, hi = min(legs), max(legs)
+    tp_lo = results[lo]["pagerank_edges_per_sec"]
+    tp_hi = results[hi]["pagerank_edges_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
     return {
-        "metric": "pagerank scaling efficiency (num_cpus 8 → 32, fresh processes)",
+        "metric": f"pagerank scaling efficiency (num_cpus {lo} → {hi}, fresh processes)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_8": results[8]["queries"]["pagerank20_csr"],
-        "sec_32": results[32]["queries"]["pagerank20_csr"],
-        "edges_per_sec_8": tp8,
-        "edges_per_sec_32": tp32,
+        f"sec_{lo}": results[lo]["queries"]["pagerank20_csr"],
+        f"sec_{hi}": results[hi]["queries"]["pagerank20_csr"],
+        f"edges_per_sec_{lo}": tp_lo,
+        f"edges_per_sec_{hi}": tp_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }
