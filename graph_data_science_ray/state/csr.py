@@ -91,6 +91,10 @@ class CsrShard:
         the parquet spill path wins at cluster scale (see engine.build)."""
         total = 0
         for t in blocks:
+            # a fully-empty shuffle partition yields a schema-less block
+            # (pa.table({})) — Ray 2.49 gotcha, same one hash_join guards
+            if t.num_rows == 0 or "src_id" not in t.schema.names:
+                continue
             src = t.column("src_id").to_numpy(zero_copy_only=False)
             shard = bucket_of(src, self.P)
             if hub_ids.shape[0]:
