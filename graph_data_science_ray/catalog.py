@@ -123,6 +123,13 @@ class GraphCatalog:
         self.get(name).edges.write_parquet(path)
         return path
 
+    def export_csv(self, name: str, path: str) -> str:
+        """``gds.beta.graph.export.csv`` parity [GDS-pub: io/csv]: dump
+        the projected edge table as partitioned CSV (one file per block,
+        resumable layout like the parquet export)."""
+        self.get(name).edges.write_csv(path)
+        return path
+
 
 # module-level default catalog (the per-user catalog of the reference)
 default_catalog = GraphCatalog()

@@ -20,8 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# idle Ray worker poll loops starve driver-side numpy on this host
+# (BENCH/BASELINE.md) — session owners reap idle workers fast
+os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "2000")
+os.environ.setdefault("RAY_num_workers_soft_limit", "8")
 
 
 def _init_ray():

@@ -67,6 +67,15 @@ def test_catalog_project_list_drop(tmp_path):
     import os
 
     assert os.listdir(str(tmp_path / "exp"))
+    cat.export_csv("g1", str(tmp_path / "exp_csv"))
+    csvs = [f for f in os.listdir(str(tmp_path / "exp_csv")) if f.endswith(".csv")]
+    assert csvs
+    import pandas as pd
+
+    back = pd.concat(
+        [pd.read_csv(str(tmp_path / "exp_csv" / f)) for f in csvs], ignore_index=True
+    )
+    assert len(back) == 8 and set(back.columns) >= {"src_id", "dst_id"}
     cat.drop("g1")
     assert cat.list() == []
 
