@@ -36,10 +36,14 @@ def knn_graph(
     embedding_dimension: int = 64,
     seed: int = 42,
     num_partitions: int | None = None,
+    similarity_cutoff: float = -1.0,
 ) -> Dataset:
     """KNN over FastRP embeddings of the graph itself."""
     node_ids, emb = fastrp(edges, embedding_dimension=embedding_dimension, seed=seed)
-    return knn_matrix(node_ids, emb, k=k, num_partitions=num_partitions)
+    return knn_matrix(
+        node_ids, emb, k=k, num_partitions=num_partitions,
+        similarity_cutoff=similarity_cutoff,
+    )
 
 
 def filtered_knn_graph(
@@ -70,7 +74,10 @@ def knn_matrix(
     num_partitions: int | None = None,
     source_nodes=None,
     target_nodes=None,
+    similarity_cutoff: float = -1.0,
 ) -> Dataset:
+    """``similarity_cutoff`` mirrors gds.knn's similarityCutoff: pairs
+    below it are dropped (cosine ∈ [-1, 1]; default keeps all)."""
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -87,6 +94,8 @@ def knn_matrix(
         ]
     rows = pa.table({"pos": pa.array(positions, pa.int64())})
     ds = ray.data.from_arrow(rows).repartition(min(num_partitions, max(1, positions.shape[0])))
+
+    cutoff = similarity_cutoff
 
     def topk(batch: pa.Table) -> pa.Table:
         ids, mm, tmask = ray.get(mat_ref)
@@ -115,7 +124,7 @@ def knn_matrix(
         scr = sc.ravel()
         # target filtering can leave a row with < kk candidates — the
         # -inf placeholders are dropped here
-        keep = np.isfinite(scr)
+        keep = np.isfinite(scr) & (np.round(scr, 9) >= cutoff)
         return pa.table(
             {
                 "node_id": pa.array(src[keep], pa.int64()),

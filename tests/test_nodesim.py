@@ -87,3 +87,22 @@ def test_node_similarity_filtered():
     for s_ in got:
         exp = sorted(by_src[s_], key=lambda x: (-x[1], x[0]))[:3]
         assert got[s_] == exp
+
+
+def test_knn_similarity_cutoff():
+    import numpy as np
+
+    from graph_data_science_ray.algos.knn import knn_matrix
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(40, dtype=np.int64)
+    emb = rng.normal(size=(40, 8))
+    base = knn_matrix(ids, emb, k=5, num_partitions=2).to_pandas()
+    cut = float(base["similarity"].median())
+    got = knn_matrix(ids, emb, k=5, num_partitions=2, similarity_cutoff=cut).to_pandas()
+    want = base[base["similarity"] >= cut]
+    key = ["node_id", "neighbour_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        want.sort_values(key).reset_index(drop=True)
+    )
+    assert (got["similarity"] >= cut).all()
