@@ -258,6 +258,15 @@ def _q_wcc(sf_dir: str):
     )
 
 
+def _q_wcc_star(sf_dir: str):
+    """Large-star/small-star WCC (Kiveris): all state in the edge list,
+    no node vector anywhere — same (node_id, component=min id) contract
+    and oracle as the min-label wcc."""
+    from graph_data_science_ray.algos.wcc import wcc_star
+
+    return wcc_star(_edges_ps(sf_dir))
+
+
 def _q_wcc_sizes(sf_dir: str):
     from graph_data_science_ray.algos.wcc import wcc
 
@@ -1495,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted_k5": _q_pagerank_weighted,
         "pagerank_personalized_k5": _q_pagerank_personalized,
         "wcc": _q_wcc,
+        "wcc_star": _q_wcc_star,
         "wcc_sizes": _q_wcc_sizes,
         "triangles_global": _q_triangles_global,
         "triangles_per_node": _q_triangles_per_node,
@@ -1870,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg LEFT JOIN tcnt ON deg.node_id = tcnt.node_id"
         ),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
+        "wcc_star": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_sizes": _WCC_SQL_CORE + (
             "SELECT component, COUNT(*) AS n_nodes FROM "
             "(SELECT node, MIN(label) AS component FROM reach GROUP BY node) GROUP BY component"

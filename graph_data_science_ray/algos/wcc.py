@@ -125,3 +125,225 @@ def wcc(
         pass_frontier=True,
     )
     return res
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star WCC (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC'14) — the beyond-driver-memory path.
+#
+# Unlike `wcc` above (min-label over a driver-held node vector, rounds =
+# graph diameter), this variant keeps ALL state in the edge list itself:
+# each round rewrites the pair set via two per-node grouped transforms,
+# converging to star graphs rooted at each component's minimum id in
+# O(log n) rounds. Every step is a functions/shuffle.bucketed_merge hash
+# shuffle + vectorized per-bucket merge; the driver holds two scalars
+# (distinct-pair count + order-independent checksum) per cycle. This is
+# the WCC that still works when the node vector no longer fits anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _pairs_min_first(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """sorted-by-(a,b) arrays + group-first mask for a 2-col pair table."""
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.r_[True, a[1:] != a[:-1]]
+    return a, b, first
+
+
+def _distinct_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if a.shape[0] == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return a[keep], b[keep]
+
+
+def _pair_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+_EMPTY_PAIRS = {"a": -1, "b": -1}
+
+
+def _large_star(pairs: Dataset, num_partitions: int | None):
+    """Group the SYMMETRIC view by node u; with m = min(N(u) ∪ {u}),
+    emit (v, m) for each neighbor v > u. Output stays ≤ one row per
+    input undirected pair and is always oriented hi→lo."""
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, b]), pa.int64()),
+                "b": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    sym = pairs.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _pair_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        a, b, firstm = _pairs_min_first(g)
+        # m per group: min(first b in sorted order, u)
+        m_grp = np.minimum(b[firstm], a[firstm])
+        m = np.repeat(m_grp, np.diff(np.r_[np.flatnonzero(firstm), a.shape[0]]))
+        keep = b > a
+        return _pair_table(*_distinct_pairs(b[keep], m[keep]))
+
+    return bucketed_merge(sym, ["a"], merge, sentinel_row=_EMPTY_PAIRS, num_partitions=num_partitions)
+
+
+def _small_star(pairs: Dataset, num_partitions: int | None):
+    """Pairs arrive oriented (hi, lo). Group by hi=u; with m = min
+    neighbor, emit (u, m) and (v, m) for the other small neighbors."""
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _pair_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        a, b, firstm = _pairs_min_first(g)
+        counts = np.diff(np.r_[np.flatnonzero(firstm), a.shape[0]])
+        m_grp = b[firstm]  # all b < a, so the group min IS min(N∪{u})
+        m = np.repeat(m_grp, counts)
+        keep = b != m
+        out_a = np.concatenate([a[firstm], b[keep]])
+        out_b = np.concatenate([m_grp, m[keep]])
+        return _pair_table(*_distinct_pairs(out_a, out_b))
+
+    return bucketed_merge(pairs, ["a"], merge, sentinel_row=_EMPTY_PAIRS, num_partitions=num_partitions)
+
+
+def _dedup_pairs(pairs: Dataset, num_partitions: int | None):
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _pair_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        return _pair_table(*_distinct_pairs(a, b))
+
+    return bucketed_merge(
+        pairs, ["a", "b"], merge, sentinel_row=_EMPTY_PAIRS, num_partitions=num_partitions
+    )
+
+
+def _pairs_signature(pairs: Dataset) -> tuple[int, int]:
+    """(count, order-independent checksum) over a DISTINCT pair dataset."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = a * np.uint64(0x9E3779B97F4A7C15) ^ (b + np.uint64(0x85EBCA6B))
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        return pa.table(
+            {
+                "n": pa.array([int(a.shape[0])], pa.int64()),
+                "h": pa.array([int(x.sum(dtype=np.uint64)) & ((1 << 63) - 1)], pa.int64()),
+            }
+        )
+
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    t = collect_arrow(pairs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    if t.num_rows == 0:
+        return 0, 0
+    n = int(t.column("n").to_numpy().sum())
+    h = int(t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64).sum(dtype=np.uint64)) & ((1 << 63) - 1)
+    return n, h
+
+
+def wcc_star(
+    edges: Dataset,
+    max_cycles: int = 64,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Fully-distributed WCC: returns a (node_id, component) Dataset with
+    component = the component's minimum node id (same contract as
+    ``wcc``). See the module-bottom block comment for the algorithm."""
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    configure_ray_data()
+
+    def init_orient(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = src != dst
+        hi = np.maximum(src[keep], dst[keep])
+        lo = np.minimum(src[keep], dst[keep])
+        # self-loop-only nodes must still appear in the result
+        selfs = np.unique(src[~keep])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([hi, selfs]), pa.int64()),
+                "b": pa.array(np.concatenate([lo, selfs]), pa.int64()),
+            }
+        )
+
+    pairs = _dedup_pairs(
+        edges.map_batches(init_orient, batch_format="pyarrow", zero_copy_batch=True),
+        num_partitions,
+    ).materialize()
+
+    def drop_selfs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(a != b))
+
+    def only_selfs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(a == b))
+
+    singletons = pairs.map_batches(only_selfs, batch_format="pyarrow", zero_copy_batch=True)
+    work = pairs.map_batches(drop_selfs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    sig = _pairs_signature(work)
+    for _ in range(max_cycles):
+        stepped = _small_star(_large_star(work, num_partitions), num_partitions)
+        work = _dedup_pairs(stepped, num_partitions).materialize()
+        new_sig = _pairs_signature(work)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # star edges (v, root) → rows (v, root) ∪ (root, root) ∪ singletons,
+    # min-merged per node (a self-loop node with real edges resolves to
+    # its component root)
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, b]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            }
+        )
+
+    def min_per_node(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"node_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+            )
+        a, b, firstm = _pairs_min_first(g)
+        return pa.table(
+            {
+                "node_id": pa.array(a[firstm], pa.int64()),
+                "component": pa.array(b[firstm], pa.int64()),
+            }
+        )
+
+    allrows = work.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).union(
+        singletons
+    )
+    return bucketed_merge(
+        allrows, ["a"], min_per_node, sentinel_row=_EMPTY_PAIRS, num_partitions=num_partitions
+    )

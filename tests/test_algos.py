@@ -147,3 +147,40 @@ def test_triangles_max_degree_cutoff():
     got = res.as_dict()
     assert got[0] == -1
     assert all(v == 0 for k, v in got.items() if k != 0)
+
+
+def test_wcc_star_matches_networkx_partitions():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.wcc import wcc_star
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.er_random(150, 0.02, seed=77)
+    got = wcc_star(from_arrow(t), num_partitions=3).to_pandas()
+    g = nx.Graph(zip(t["src_id"].to_pylist(), t["dst_id"].to_pylist()))
+    g.remove_edges_from(nx.selfloop_edges(g))
+    g.add_nodes_from(t["src_id"].to_pylist())
+    want = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for n in comp:
+            want[n] = root
+    assert dict(zip(got["node_id"], got["component"])) == want
+    assert got["node_id"].is_unique
+
+
+def test_wcc_star_long_path_and_self_loops():
+    from graph_data_science_ray.algos.wcc import wcc_star
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # 200-hop path — diameter >> O(log n) star-contraction rounds —
+    # plus a self-loop-only node 999
+    pairs = [(i, i + 1) for i in range(200)] + [(999, 999)]
+    got = wcc_star(from_arrow(fixtures.edges_table(pairs)), num_partitions=2).to_pandas()
+    comp = dict(zip(got["node_id"], got["component"]))
+    assert all(comp[i] == 0 for i in range(201))
+    assert comp[999] == 999
+
+    # partition invariance
+    got2 = wcc_star(from_arrow(fixtures.edges_table(pairs)), num_partitions=5).to_pandas()
+    assert dict(zip(got2["node_id"], got2["component"])) == comp
