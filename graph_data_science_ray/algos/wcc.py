@@ -85,10 +85,14 @@ def wcc(
     pre_symmetrized: bool = False,
     reduce: str = "driver",
     seeds: dict[int, int] | None = None,
+    threshold: float | None = None,
 ) -> IterativeResult:
     """Component id per node (= min node_id in its component).
     ``seeds``: GDS seedProperty equivalent — initial label per node id
-    (unlisted nodes start from their own id).
+    (unlisted nodes start from their own id). ``threshold``: GDS's
+    weight cutoff — relationships with ``weight`` ≤ threshold are
+    ignored for propagation, but their endpoints stay in the node
+    universe (they report their own component).
 
     Symmetrization skips deduplication: the min aggregate is idempotent
     under parallel edges, and the dedup shuffle would cost more than the
@@ -98,6 +102,14 @@ def wcc(
     )
     und = und.materialize()
     node_arr = unique_node_ids(und)
+    if threshold is not None:
+        thr = float(threshold)
+
+        def above(t: pa.Table) -> pa.Table:
+            w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            return t.filter(pa.array(w > thr))
+
+        und = und.map_batches(above, batch_format="pyarrow", zero_copy_batch=True).materialize()
     init = node_arr.copy()
     if seeds:
         sk = np.asarray(sorted(seeds), dtype=np.int64)

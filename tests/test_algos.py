@@ -184,3 +184,23 @@ def test_wcc_star_long_path_and_self_loops():
     # partition invariance
     got2 = wcc_star(from_arrow(fixtures.edges_table(pairs)), num_partitions=5).to_pandas()
     assert dict(zip(got2["node_id"], got2["component"])) == comp
+
+
+def test_wcc_weight_threshold():
+    import networkx as nx
+
+    from graph_data_science_ray.algos.wcc import wcc
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # chain 0-1-2-3 with a weak 1-2 link, plus strong 4-5
+    pairs = [(0, 1), (1, 2), (2, 3), (4, 5)]
+    weights = [5.0, 0.5, 5.0, 5.0]
+    t = fixtures.edges_table(pairs, weights)
+    res = wcc(from_arrow(t), threshold=1.0, num_partitions=2)
+    comp = dict(zip(res.node_ids.tolist(), res.values.astype(int).tolist()))
+    # the weak edge is ignored: {0,1} {2,3} {4,5}; all nodes present
+    assert comp == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
+    # without threshold the chain is one component
+    res2 = wcc(from_arrow(t), num_partitions=2)
+    comp2 = dict(zip(res2.node_ids.tolist(), res2.values.astype(int).tolist()))
+    assert comp2 == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
