@@ -125,10 +125,13 @@ def pagerank(
     resume: bool = False,
     num_partitions: int | None = None,
     reduce: str = "driver",
+    scaler: str | None = None,
 ) -> IterativeResult:
     """GDS-convention PageRank over an ``(src_id, dst_id[, weight])``
     Dataset. Returns per-node scores matching the reference within 1e-6
     at convergence (tested against the FIXTURES.md §3 oracle).
+    ``scaler``: GDS's scaler config — post-scales the final scores with
+    ``functions/scalers.scale_values`` (minmax/l1norm/...).
 
     ``reduce``: "driver" merges the pre-aggregated per-batch contribution
     partials in one numpy pass on the driver (no shuffle; valid while the
@@ -200,6 +203,11 @@ def pagerank(
         if residual < tolerance:
             converged = True
             break
+
+    if scaler is not None:
+        from graph_data_science_ray.functions.scalers import scale_values
+
+        ranks = scale_values(ranks, scaler)
 
     return IterativeResult(
         node_ids=node_arr,

@@ -86,6 +86,7 @@ def wcc(
     reduce: str = "driver",
     seeds: dict[int, int] | None = None,
     threshold: float | None = None,
+    consecutive_ids: bool = False,
 ) -> IterativeResult:
     """Component id per node (= min node_id in its component).
     ``seeds``: GDS seedProperty equivalent — initial label per node id
@@ -136,6 +137,11 @@ def wcc(
         driver_reduce=_driver_reduce,
         pass_frontier=True,
     )
+    if consecutive_ids:
+        # GDS consecutiveIds: components renumbered 0..k-1 (ascending
+        # min-id order here, so the mapping is deterministic)
+        _, inv = unique_inverse(res.values)
+        res.values = inv
     return res
 
 

@@ -87,3 +87,31 @@ def scale_property(ds: Dataset, col: str, scaler: str, out_col: str | None = Non
         return t.append_column(out_col, pa.array(out, pa.float64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def scale_values(v: np.ndarray, scaler: str) -> np.ndarray:
+    """The same GDS scaler formulas over an in-memory float64 vector —
+    the post-processing hook algorithms expose as their ``scaler``
+    config (e.g. PageRank's [GDS-pub: algo scaler option])."""
+    scaler = scaler.lower()
+    if scaler not in SCALERS:
+        raise ValueError(f"unknown scaler {scaler}; choose from {SCALERS}")
+    v = v.astype(np.float64)
+    if scaler == "log":
+        return np.log(v)
+    if scaler == "minmax":
+        d = v.max() - v.min()
+        return (v - v.min()) / d if d else np.zeros_like(v)
+    if scaler == "mean":
+        d = v.max() - v.min()
+        return (v - v.mean()) / d if d else np.zeros_like(v)
+    if scaler == "l1norm":
+        s = np.abs(v).sum()
+        return v / s if s else np.zeros_like(v)
+    if scaler == "l2norm":
+        s = np.linalg.norm(v)
+        return v / s if s else np.zeros_like(v)
+    if scaler == "stdscore":
+        s = v.std()
+        return (v - v.mean()) / s if s else np.zeros_like(v)
+    return v - v.mean()  # center

@@ -204,3 +204,28 @@ def test_wcc_weight_threshold():
     res2 = wcc(from_arrow(t), num_partitions=2)
     comp2 = dict(zip(res2.node_ids.tolist(), res2.values.astype(int).tolist()))
     assert comp2 == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_wcc_consecutive_ids_and_pagerank_scaler():
+    import numpy as np
+
+    from graph_data_science_ray.algos.pagerank import pagerank
+    from graph_data_science_ray.algos.wcc import wcc
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    pairs = [(10, 11), (11, 12), (40, 41), (99, 99)]
+    res = wcc(from_arrow(fixtures.edges_table(pairs)), consecutive_ids=True, num_partitions=2)
+    comp = dict(zip(res.node_ids.tolist(), res.values.tolist()))
+    assert comp == {10: 0, 11: 0, 12: 0, 40: 1, 41: 1, 99: 2}
+
+    t = fixtures.er_random(50, 0.1, seed=3)
+    raw = pagerank(from_arrow(t), max_iterations=5, tolerance=0.0, num_partitions=2)
+    l1 = pagerank(
+        from_arrow(t), max_iterations=5, tolerance=0.0, num_partitions=2, scaler="l1norm"
+    )
+    np.testing.assert_allclose(l1.values, raw.values / np.abs(raw.values).sum())
+    assert abs(np.abs(l1.values).sum() - 1.0) < 1e-12
+    mm = pagerank(
+        from_arrow(t), max_iterations=5, tolerance=0.0, num_partitions=2, scaler="minmax"
+    )
+    assert mm.values.min() == 0.0 and mm.values.max() == 1.0
