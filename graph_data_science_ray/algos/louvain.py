@@ -113,7 +113,11 @@ def louvain(
     tolerance: float = 1e-9,
     num_partitions: int | None = None,
     weighted: bool = False,
+    gamma: float = 1.0,
 ) -> LouvainResult:
+    """``gamma`` is GDS Louvain's resolution parameter: >1 favors more,
+    smaller communities; 1.0 is classic modularity. It scales the
+    expected-degree term in every gain/Q evaluation."""
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
 
@@ -189,7 +193,7 @@ def louvain(
         comm = np.arange(n, dtype=np.int64)      # community = position
         sigma = k.copy()                          # Σ_tot per community
         in_w = internal.copy()                    # internal weight per community
-        q = float(np.sum(in_w / m - (sigma / two_m) ** 2))
+        q = float(np.sum(in_w / m - gamma * (sigma / two_m) ** 2))
         if total_q is None:
             total_q = q
 
@@ -216,7 +220,7 @@ def louvain(
             # score(c) = k_vc − k_v·(Σ_c − [c==cur]·k_v)/(2m); compare vs stay
             cur = comm[npos]
             adj = np.where(ncomm == cur, k[npos], 0.0)
-            score = nw - k[npos] * (sigma[ncomm] - adj) / two_m
+            score = nw - gamma * k[npos] * (sigma[ncomm] - adj) / two_m
             # per node: best (score desc, comm asc); rows sorted by (pos, comm)
             order = np.lexsort((ncomm, -score, npos))
             npos_o, ncomm_o, score_o, nw_o = npos[order], ncomm[order], score[order], nw[order]
@@ -227,7 +231,7 @@ def louvain(
             is_cur = ncomm == cur
             stay_kvc = np.zeros(n)
             np.add.at(stay_kvc, npos[is_cur], nw[is_cur])
-            stay_all = stay_kvc - k * (sigma[comm] - k) / two_m
+            stay_all = stay_kvc - gamma * k * (sigma[comm] - k) / two_m
             do_move = (
                 (b_comm != comm[b_pos])
                 & (b_score > stay_all[b_pos] + 1e-12)
@@ -252,7 +256,7 @@ def louvain(
             p2, c2, w2 = _merge_partials(part2, n)
             intra2 = new_comm[p2] == c2
             np.add.at(new_in_total, new_comm[p2[intra2]], w2[intra2] / 2.0)
-            new_q = float(np.sum(new_in_total / m) - np.sum((new_sigma / two_m) ** 2))
+            new_q = float(np.sum(new_in_total / m) - gamma * np.sum((new_sigma / two_m) ** 2))
             if new_q <= q + tolerance:
                 # monotone guard: reject a non-improving phase
                 stall += 1

@@ -718,3 +718,22 @@ def test_greedy_im_equals_celf():
     a = celf(from_arrow(t), k=4, simulations=16, seed=7, num_partitions=2)
     b = greedy_influence_maximization(from_arrow(t), k=4, simulations=16, seed=7, num_partitions=2)
     assert a.seeds == b.seeds and a.spreads == b.spreads
+
+
+def test_louvain_gamma_resolution():
+    from graph_data_science_ray.algos.louvain import louvain
+
+    # two 6-cliques joined by a single bridge edge
+    pairs = []
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                pairs.append((base + i, base + j))
+    pairs.append((0, 10))
+    t = fixtures.edges_table(pairs)
+    hi = louvain(from_arrow(t), num_partitions=2)  # gamma=1: two cliques
+    n_hi = len(set(hi.values.tolist()))
+    assert n_hi == 2
+    lo = louvain(from_arrow(t), num_partitions=2, gamma=1e-4)
+    n_lo = len(set(lo.values.tolist()))
+    assert n_lo == 1  # resolution → 0 merges everything
