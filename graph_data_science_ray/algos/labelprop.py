@@ -105,8 +105,11 @@ def label_propagation(
     num_partitions: int | None = None,
     pre_symmetrized: bool = False,
     reduce: str = "driver",
+    seeds: dict[int, int] | None = None,
 ) -> IterativeResult:
-    """Community label per node (deterministic min-tie-break variant)."""
+    """Community label per node (deterministic min-tie-break variant).
+    ``seeds``: GDS seedProperty — initial label per node id (unlisted
+    nodes start from their own id)."""
     und = edges if pre_symmetrized else symmetrize(
         edges, dedup=not weighted, num_partitions=num_partitions
     )
@@ -116,10 +119,17 @@ def label_propagation(
         und = dedup_edges(und, "sum", num_partitions=num_partitions)
     und = drop_self_loops(und).materialize()
     node_arr = unique_node_ids(und)
+    init = node_arr.copy()
+    if seeds:
+        sk = np.asarray(sorted(seeds), dtype=np.int64)
+        sv = np.asarray([seeds[k] for k in sk.tolist()], dtype=np.int64)
+        pos = np.searchsorted(node_arr, sk)
+        ok = (pos < node_arr.shape[0]) & (node_arr[np.minimum(pos, node_arr.shape[0] - 1)] == sk)
+        init[pos[ok]] = sv[ok]
     return run_iterative(
         edges=und,
         node_ids=node_arr,
-        init=node_arr.copy(),
+        init=init,
         make_stage=_make_stage(weighted),
         gather_key=["node_id", "label"],
         gather_aggs=lambda: [Sum("w", alias_name="w")],

@@ -229,3 +229,19 @@ def test_wcc_consecutive_ids_and_pagerank_scaler():
         from_arrow(t), max_iterations=5, tolerance=0.0, num_partitions=2, scaler="minmax"
     )
     assert mm.values.min() == 0.0 and mm.values.max() == 1.0
+
+
+def test_label_propagation_seeds():
+    from graph_data_science_ray.algos.labelprop import label_propagation
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # two triangles; seed both into the same label space
+    pairs = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    res = label_propagation(
+        from_arrow(fixtures.edges_table(pairs)),
+        seeds={0: 7, 1: 7, 2: 7, 10: 7, 11: 7, 12: 7},
+        num_partitions=2,
+    )
+    assert set(res.values.tolist()) == {7}
+    res2 = label_propagation(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
+    assert len(set(res2.values.tolist())) == 2
