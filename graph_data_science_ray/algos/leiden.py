@@ -60,7 +60,7 @@ def _strengths(sym: Dataset, level_ids: np.ndarray, internal: np.ndarray) -> np.
 
 def _q_from_rows(
     rows, level_ids: np.ndarray, comm: np.ndarray, internal: np.ndarray,
-    k: np.ndarray, m: float,
+    k: np.ndarray, m: float, gamma: float = 1.0,
 ) -> float:
     """Exact modularity from already-merged (node_pos, nbr_comm, w) rows
     gathered under the SAME ``comm`` assignment — no extra scan."""
@@ -73,13 +73,14 @@ def _q_from_rows(
         p, c, w = rows
         intra = comm[p] == c
         np.add.at(in_total, comm[p[intra]], w[intra] / 2.0)
-    return float(np.sum(in_total / m) - np.sum((sigma / (2 * m)) ** 2))
+    return float(np.sum(in_total / m) - gamma * np.sum((sigma / (2 * m)) ** 2))
 
 
 def _local_move(
     sym: Dataset, level_ids: np.ndarray, k: np.ndarray, internal: np.ndarray,
     comm: np.ndarray, two_m: float, max_rounds: int, tolerance: float,
     restrict: np.ndarray | None = None, singleton_only: bool = False,
+    gamma: float = 1.0,
 ) -> tuple[np.ndarray, float, bool]:
     """Phased synchronous local moving with the monotone-Q guard.
 
@@ -100,7 +101,7 @@ def _local_move(
     ids_ref = ray.put((level_ids, comm))
     part = _neighbor_community_weights(sym, ids_ref)
     rows = _merge_partials(part, n) if part.num_rows else None
-    q = _q_from_rows(rows, level_ids, comm, internal, k, m)
+    q = _q_from_rows(rows, level_ids, comm, internal, k, m, gamma)
     for rnd in range(max_rounds * C):
         ph = rnd % C
         if rows is None:
@@ -113,7 +114,7 @@ def _local_move(
                 break
         cur = comm[npos]
         adj = np.where(ncomm == cur, k[npos], 0.0)
-        score = nw - k[npos] * (sigma[ncomm] - adj) / two_m
+        score = nw - gamma * k[npos] * (sigma[ncomm] - adj) / two_m
         order = np.lexsort((ncomm, -score, npos))
         npos_o, ncomm_o, score_o = npos[order], ncomm[order], score[order]
         first = np.r_[True, npos_o[1:] != npos_o[:-1]]
@@ -121,7 +122,7 @@ def _local_move(
         stay_kvc = np.zeros(n)
         is_cur = ncomm == cur
         np.add.at(stay_kvc, npos[is_cur], nw[is_cur])
-        stay_all = stay_kvc - k * (sigma[comm] - k) / two_m
+        stay_all = stay_kvc - gamma * k * (sigma[comm] - k) / two_m
         do_move = (
             (b_comm != comm[b_pos])
             & (b_score > stay_all[b_pos] + 1e-12)
@@ -140,7 +141,7 @@ def _local_move(
         ids_ref2 = ray.put((level_ids, new_comm))
         part2 = _neighbor_community_weights(sym, ids_ref2)
         rows2 = _merge_partials(part2, n) if part2.num_rows else None
-        new_q = _q_from_rows(rows2, level_ids, new_comm, internal, k, m)
+        new_q = _q_from_rows(rows2, level_ids, new_comm, internal, k, m, gamma)
         if new_q <= q + tolerance:
             stall += 1
             if stall >= C:
@@ -163,7 +164,10 @@ def leiden(
     tolerance: float = 1e-9,
     num_partitions: int | None = None,
     weighted: bool = False,
+    gamma: float = 1.0,
 ) -> LouvainResult:
+    """``gamma`` is the resolution parameter (GDS leiden config),
+    scaling the expected-degree term in every gain/Q evaluation."""
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
 
@@ -219,7 +223,7 @@ def leiden(
         # ---- phase 1: local moving (Louvain step) --------------------
         comm, q, moved = _local_move(
             sym, level_ids, k, internal, comm_seed.copy(), two_m,
-            max_rounds_per_level, tolerance,
+            max_rounds_per_level, tolerance, gamma=gamma,
         )
         total_q = q
         # canonical label per community = min original member
@@ -234,7 +238,7 @@ def leiden(
         ref, _, _ = _local_move(
             sym, level_ids, k, internal, np.arange(n, dtype=np.int64), two_m,
             max_rounds_per_level, tolerance,
-            restrict=comm, singleton_only=True,
+            restrict=comm, singleton_only=True, gamma=gamma,
         )
 
         # ---- coarsen by the REFINED partition ------------------------

@@ -737,3 +737,19 @@ def test_louvain_gamma_resolution():
     lo = louvain(from_arrow(t), num_partitions=2, gamma=1e-4)
     n_lo = len(set(lo.values.tolist()))
     assert n_lo == 1  # resolution → 0 merges everything
+
+
+def test_leiden_gamma_resolution():
+    from graph_data_science_ray.algos.leiden import leiden
+
+    pairs = []
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                pairs.append((base + i, base + j))
+    pairs.append((0, 10))
+    t = fixtures.edges_table(pairs)
+    hi = leiden(from_arrow(t), num_partitions=2)
+    assert len(set(hi.values.tolist())) == 2
+    lo = leiden(from_arrow(t), num_partitions=2, gamma=1e-4)
+    assert len(set(lo.values.tolist())) == 1
