@@ -282,10 +282,19 @@ def wcc_star(
     edges: Dataset,
     max_cycles: int = 64,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> Dataset:
     """Fully-distributed WCC: returns a (node_id, component) Dataset with
     component = the component's minimum node id (same contract as
-    ``wcc``). See the module-bottom block comment for the algorithm."""
+    ``wcc``). See the module-bottom block comment for the algorithm.
+
+    ``checkpoint_dir``: per-cycle edge-list checkpoints — each completed
+    cycle writes its deduped pair set as parquet under ``cycle=K/`` plus
+    a ``MANIFEST.json`` (cycle, count, checksum) committed LAST, so a
+    killed run resumes (``resume=True``) from the latest complete cycle
+    and the restart is bitwise-identical to an uninterrupted run (the
+    pair set IS the whole algorithm state)."""
     from graph_data_science_ray.context import configure_ray_data
     from graph_data_science_ray.functions.shuffle import bucketed_merge
 
@@ -324,11 +333,39 @@ def wcc_star(
     singletons = pairs.map_batches(only_selfs, batch_format="pyarrow", zero_copy_batch=True)
     work = pairs.map_batches(drop_selfs, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
+    start_cycle = 0
+    if checkpoint_dir is not None:
+        import json
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if resume:
+            import ray.data as _rd
+
+            done = []
+            for d in os.listdir(checkpoint_dir):
+                mf = os.path.join(checkpoint_dir, d, "MANIFEST.json")
+                if d.startswith("cycle=") and os.path.exists(mf):
+                    done.append((int(d.split("=")[1]), mf))
+            if done:
+                cyc, mf = max(done)
+                work = _rd.read_parquet(os.path.join(checkpoint_dir, f"cycle={cyc}", "pairs")).materialize()
+                start_cycle = cyc + 1
+
     sig = _pairs_signature(work)
-    for _ in range(max_cycles):
+    for cycle in range(start_cycle, max_cycles):
         stepped = _small_star(_large_star(work, num_partitions), num_partitions)
         work = _dedup_pairs(stepped, num_partitions).materialize()
         new_sig = _pairs_signature(work)
+        if checkpoint_dir is not None:
+            import json
+            import os
+
+            cdir = os.path.join(checkpoint_dir, f"cycle={cycle}")
+            os.makedirs(cdir, exist_ok=True)
+            work.write_parquet(os.path.join(cdir, "pairs"))
+            with open(os.path.join(cdir, "MANIFEST.json"), "w") as f:
+                json.dump({"cycle": cycle, "count": new_sig[0], "checksum": new_sig[1]}, f)
         if new_sig == sig:
             break
         sig = new_sig

@@ -245,3 +245,25 @@ def test_label_propagation_seeds():
     assert set(res.values.tolist()) == {7}
     res2 = label_propagation(from_arrow(fixtures.edges_table(pairs)), num_partitions=2)
     assert len(set(res2.values.tolist())) == 2
+
+
+def test_wcc_star_checkpoint_resume(tmp_path):
+    from graph_data_science_ray.algos.wcc import wcc_star
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    pairs = [(i, i + 1) for i in range(60)] + [(100, 101)]
+    t = fixtures.edges_table(pairs)
+    full = wcc_star(from_arrow(t), num_partitions=2).to_pandas().sort_values("node_id")
+
+    ck = str(tmp_path / "wcc_ck")
+    # "killed" run: only 2 cycles complete
+    wcc_star(from_arrow(t), max_cycles=2, num_partitions=2, checkpoint_dir=ck)
+    import os
+
+    assert os.path.exists(os.path.join(ck, "cycle=1", "MANIFEST.json"))
+    resumed = (
+        wcc_star(from_arrow(t), num_partitions=2, checkpoint_dir=ck, resume=True)
+        .to_pandas()
+        .sort_values("node_id")
+    )
+    assert full.reset_index(drop=True).equals(resumed.reset_index(drop=True))
