@@ -38,7 +38,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import symmetrize
 
@@ -161,6 +161,7 @@ def a_star(
 
     metrics: list[dict] = []
     iterations = 0
+    scanner = BlockScanner(g)
     bound = float(h[spos])
     for it in range(max_iterations):
         if not frontier.any():
@@ -169,9 +170,7 @@ def a_star(
         if dist[tpos] <= bound:
             break  # A* optimality certificate
         ref = ray.put((node_arr, dist, frontier))
-        t = collect_arrow(
-            g.map_batches(make_stage(ref), batch_format="pyarrow", zero_copy_batch=True)
-        )
+        t = scanner.scan(make_stage(ref))
         frontier = np.zeros(n, dtype=bool)
         changed = 0
         if t.num_rows:

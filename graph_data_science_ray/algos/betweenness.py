@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -73,6 +73,7 @@ def betweenness_centrality(
     if orientation == "undirected":
         g = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions))
     g = g.materialize()
+    scanner = BlockScanner(g)
     node_ids = unique_node_ids(edges)
     n = node_ids.shape[0]
     if sources is None:
@@ -110,7 +111,7 @@ def betweenness_centrality(
                 out.append((si, u, sums))
             return _sparse_rows(out, ids)
 
-        t = collect_arrow(g.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(fwd)
         if t.num_rows == 0:
             depth -= 1
             break
@@ -145,7 +146,7 @@ def betweenness_centrality(
                 out.append((si, u, sums))
             return _sparse_rows(out, ids)
 
-        t = collect_arrow(g.map_batches(bwd, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(bwd)
         if t.num_rows:
             pos = np.searchsorted(node_ids, t.column("node_id").to_numpy(zero_copy_only=False))
             si = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, merge_sum, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, collect_arrow, merge_sum, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.pagerank import IterativeResult, _out_weight
 from graph_data_science_ray.context import configure_ray_data
 
@@ -42,6 +42,7 @@ def _iterate_scaled(
     state = init
     metrics, converged = [], False
     iteration = -1
+    scanner = BlockScanner(edges)
     for iteration in range(max_iterations):
         scaled = scale_fn(state)
         ref = ray.put((node_arr, scaled))
@@ -57,7 +58,7 @@ def _iterate_scaled(
                 {"dst_id": pa.array(u, pa.int64()), "contrib": pa.array(s, pa.float64())}
             )
 
-        t = collect_arrow(edges.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(stage)
         in_sum = np.zeros(n)
         if t.num_rows:
             ids, sums = merge_sum(t, "dst_id", "contrib")
@@ -186,7 +187,7 @@ def hits(
                 {"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())}
             )
 
-        t = collect_arrow(edges.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True))
+        t = BlockScanner(edges).scan(stage)
         out = np.zeros(n)
         if t.num_rows:
             ids, sums = merge_sum(t, "node_id", "s")

@@ -34,6 +34,69 @@ def collect_arrow(ds: Dataset) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
+@ray.remote
+def _scan_chunk(fn, *blocks):
+    outs = []
+    for b in blocks:
+        if b.num_rows == 0:
+            continue
+        t = fn(b)
+        if t is not None and t.num_rows > 0:
+            outs.append(t)
+    if not outs:
+        return None
+    if len(outs) == 1:
+        return outs[0]
+    return pa.concat_tables(outs, promote_options="default").combine_chunks()
+
+
+class BlockScanner:
+    """Per-iteration edge scans without a Ray Data stage launch.
+
+    Snapshots a materialized Dataset's Arrow block refs ONCE; each
+    ``scan(fn)`` runs plain ``ray.remote`` tasks over those refs (block
+    refs are top-level task args, so the raylet resolves them locally —
+    nothing is re-shipped) and concatenates the per-block partial tables
+    on the driver. Semantically identical to
+    ``collect_arrow(ds.map_batches(fn, batch_format="pyarrow",
+    zero_copy_batch=True))`` for batch-size-invariant fns — which every
+    scatter combiner here is (partition-invariance is tested) — but a
+    round costs milliseconds of task launch instead of a full
+    streaming-executor stage (~1-3 s on this host), the dominant cost of
+    iterative jobs on small/medium graphs.
+
+    Scale note: the partials stay combiner-sized (≤ one row per distinct
+    key per block), so the driver concat is node-vector-sized — the same
+    standing assumption as the dataflow path itself. The block list is
+    cluster-wide; tasks schedule wherever the block lives.
+    """
+
+    def __init__(self, ds_or_refs, max_tasks: int | None = None):
+        if isinstance(ds_or_refs, Dataset):
+            self.refs = list(ds_or_refs.to_arrow_refs())
+        else:
+            self.refs = list(ds_or_refs)
+        if max_tasks is None:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+            except Exception:
+                cpus = 8
+            max_tasks = max(1, cpus)
+        k = max(1, -(-len(self.refs) // max_tasks))
+        self.chunks = [self.refs[i : i + k] for i in range(0, len(self.refs), k)]
+
+    def scan(self, fn) -> pa.Table:
+        """Apply ``fn(block: pa.Table) -> pa.Table`` to every block;
+        return the concatenated non-empty partials (empty table if none)."""
+        tasks = [_scan_chunk.remote(fn, *c) for c in self.chunks]
+        tables = [t for t in ray.get(tasks) if t is not None]
+        if not tables:
+            return pa.table({})
+        if len(tables) == 1:
+            return tables[0]
+        return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
 @dataclass
 class NodeVector:
     """A per-node scalar vector keyed by sorted node ids.

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.pagerank import _out_weight
 from graph_data_science_ray.context import configure_ray_data
 
@@ -81,6 +81,7 @@ def fastrp(
     h = _row_normalize(h)
     emb = iteration_weights[0] * h
 
+    scanner = BlockScanner(edges)
     for w_i in iteration_weights[1:]:
         # scatter rows/outdeg, gather mean over in-neighbors by dst
         scaled = np.divide(h, out_w[:, None], out=np.zeros_like(h), where=out_w[:, None] > 0)
@@ -100,7 +101,7 @@ def fastrp(
                 cols[f"v{j}"] = pa.array(agg[:, j], pa.float64())
             return pa.table(cols)
 
-        t = collect_arrow(edges.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(stage)
         new_h = np.zeros((n, d))
         if t.num_rows:
             ids = t.column("dst_id").to_numpy(zero_copy_only=False)

@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -96,8 +96,7 @@ def _degree_features(edges_sym: Dataset, node_arr: np.ndarray) -> np.ndarray:
         return pa.table({"node_id": pa.array(u, pa.int64()),
                          "c": pa.array(c.astype(np.int64), pa.int64())})
 
-    t = collect_arrow(edges_sym.map_batches(stage, batch_format="pyarrow",
-                                            zero_copy_batch=True))
+    t = BlockScanner(edges_sym).scan(stage)
     deg = np.zeros(node_arr.shape[0])
     if t.num_rows:
         ids = t.column("node_id").to_numpy(zero_copy_only=False)
@@ -149,8 +148,7 @@ def _neighbor_mean_distributed(edges_sym: Dataset, node_arr: np.ndarray,
             cols[f"v{j}"] = pa.array(agg[:, j], pa.float64())
         return pa.table(cols)
 
-    t = collect_arrow(edges_sym.map_batches(stage, batch_format="pyarrow",
-                                            zero_copy_batch=True))
+    t = BlockScanner(edges_sym).scan(stage)
     out = np.zeros((node_arr.shape[0], d))
     if t.num_rows:
         ids = t.column("dst_id").to_numpy(zero_copy_only=False)

@@ -34,7 +34,11 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import (
+    BlockScanner,
+    unique_inverse,
+    unique_node_ids,
+)
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import symmetrize
 
@@ -102,6 +106,7 @@ def hashgnn(
     feats = features if features is not None else generate_features(node_ids, dimension, base_density, seed)
     assert feats.shape[0] == n
 
+    scanner = BlockScanner(g)
     for it in range(iterations):
         # ---- per-(node, slot) packed minima over OWN features --------
         own = np.full((n, K), _INF, dtype=np.uint64)
@@ -128,7 +133,7 @@ def hashgnn(
                 cols[f"m{k}"] = pa.array(acc[:, k], pa.uint64())
             return pa.table(cols)
 
-        t = collect_arrow(g.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(scatter)
         nbr_min = np.full((n, K), _INF, dtype=np.uint64)
         if t.num_rows:
             pos = np.searchsorted(node_ids, t.column("node_id").to_numpy(zero_copy_only=False))

@@ -108,6 +108,9 @@ def _exact_mst_mr(
     fu: list[int] = []
     fv: list[int] = []
     fw: list[float] = []
+    from graph_data_science_ray.algos.common import BlockScanner
+
+    scanner = BlockScanner(_stream_positions(n, num_partitions))
     for _ in range(max_rounds):
         if np.unique(comp).shape[0] <= 1:
             break
@@ -148,11 +151,7 @@ def _exact_mst_mr(
                              "u": pa.array(lo[first], pa.int64()),
                              "v": pa.array(hi[first], pa.int64())})
 
-        t = collect_arrow(
-            _stream_positions(n, num_partitions).map_batches(
-                champions, batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
+        t = scanner.scan(champions)
         if t.num_rows == 0:
             break
         c = t.column("c").to_numpy(zero_copy_only=False)

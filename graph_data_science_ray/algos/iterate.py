@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow
+from graph_data_science_ray.algos.common import BlockScanner, collect_arrow
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
@@ -87,16 +87,21 @@ def run_iterative(
     converged = False
     iteration = start_iter - 1
     changed = np.ones(n, dtype=bool)
+    # driver-reduce rounds scan the snapshot of edge blocks with plain
+    # ray.remote tasks (BlockScanner) — a full map_batches stage launch
+    # per round costs ~1-3 s of executor setup on this host, which
+    # dominates every small/medium iterative job
+    scanner = BlockScanner(edges) if (reduce == "driver" and driver_reduce is not None) else None
     for iteration in range(start_iter, max_iterations):
         state_ref = ray.put(
             (node_ids, state, changed) if pass_frontier else (node_ids, state)
         )
-        emitted = edges.map_batches(
-            make_stage(state_ref), batch_format="pyarrow", zero_copy_batch=True
-        )
-        if reduce == "driver" and driver_reduce is not None:
-            gathered = driver_reduce(collect_arrow(emitted))
+        if scanner is not None:
+            gathered = driver_reduce(scanner.scan(make_stage(state_ref)))
         else:
+            emitted = edges.map_batches(
+                make_stage(state_ref), batch_format="pyarrow", zero_copy_batch=True
+            )
             gathered_ds = emitted.groupby(gather_key, num_partitions=num_partitions).aggregate(
                 *gather_aggs()
             )

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -84,6 +84,7 @@ def k1coloring(
     sym = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions)).materialize()
     node_ids = unique_node_ids(edges)
     n = node_ids.shape[0]
+    scanner = BlockScanner(sym)
     colors = np.full(n, -1, dtype=np.int64)  # -1 = not yet colored
     active = np.ones(n, dtype=bool)
     iteration = 0
@@ -113,7 +114,7 @@ def k1coloring(
                 }
             )
 
-        t = collect_arrow(sym.map_batches(scatter_colors, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(scatter_colors)
         mex = np.zeros(n, dtype=np.int64)
         if t.num_rows:
             node = t.column("node_id").to_numpy(zero_copy_only=False)
@@ -132,7 +133,7 @@ def k1coloring(
             loser = np.maximum(src[same], dst[same])
             return pa.table({"node_id": pa.array(np.unique(loser), pa.int64())})
 
-        t2 = collect_arrow(sym.map_batches(detect, batch_format="pyarrow", zero_copy_batch=True))
+        t2 = scanner.scan(detect)
         active = np.zeros(n, dtype=bool)
         if t2.num_rows == 0:
             converged = True

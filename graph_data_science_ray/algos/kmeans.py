@@ -106,10 +106,11 @@ def kmeans(
         return pa.table({id_col: pa.array([ids[i]], pa.int64()),
                          vec_col: t.column(vec_col).slice(i, 1)})
 
-    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.algos.common import BlockScanner
 
-    cand = collect_arrow(ds.map_batches(first_point, batch_format="pyarrow",
-                                        zero_copy_batch=True))
+    ds = ds.materialize()
+    scanner = BlockScanner(ds)  # k init scans + Lloyd passes below
+    cand = scanner.scan(first_point)
     if cand.num_rows == 0:
         empty = pa.table({id_col: pa.array([], pa.int64()),
                           "cluster": pa.array([], pa.int64()),
@@ -138,8 +139,7 @@ def kmeans(
                              "d2": pa.array([d2[best]], pa.float64()),
                              vec_col: t.column(vec_col).slice(int(best), 1)})
 
-        champs = collect_arrow(ds.map_batches(far_point, batch_format="pyarrow",
-                                              zero_copy_batch=True))
+        champs = scanner.scan(far_point)
         ids = champs.column(id_col).to_numpy(zero_copy_only=False)
         d2 = champs.column("d2").to_numpy(zero_copy_only=False)
         best = np.lexsort((ids, -d2))[0]
@@ -187,8 +187,7 @@ def kmeans(
                              "changed": pa.array(ch, pa.int64()),
                              "sumvec": pa.array(list(sums), pa.list_(pa.float64()))})
 
-        part = collect_arrow(ds.map_batches(partials, batch_format="pyarrow",
-                                            zero_copy_batch=True))
+        part = scanner.scan(partials)
         cl = part.column("cluster").to_numpy(zero_copy_only=False)
         n = part.column("n").to_numpy(zero_copy_only=False)
         changed = int(part.column("changed").to_numpy(zero_copy_only=False).sum())

@@ -31,7 +31,12 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import (
+    BlockScanner,
+    collect_arrow,
+    unique_inverse,
+    unique_node_ids,
+)
 from graph_data_science_ray.algos.louvain import (
     LouvainResult,
     _merge_partials,
@@ -41,7 +46,7 @@ from graph_data_science_ray.context import configure_ray_data, shuffle_partition
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
 
-def _strengths(sym: Dataset, level_ids: np.ndarray, internal: np.ndarray) -> np.ndarray:
+def _strengths(sym, level_ids: np.ndarray, internal: np.ndarray) -> np.ndarray:
     def fn(t: pa.Table) -> pa.Table:
         src = t.column("src_id").to_numpy(zero_copy_only=False)
         w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -50,7 +55,10 @@ def _strengths(sym: Dataset, level_ids: np.ndarray, internal: np.ndarray) -> np.
         np.add.at(s, inv, w)
         return pa.table({"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())})
 
-    st = collect_arrow(sym.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
+    if isinstance(sym, BlockScanner):
+        st = sym.scan(fn)
+    else:
+        st = collect_arrow(sym.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
     k = np.zeros(level_ids.shape[0])
     if st.num_rows:
         pos = np.searchsorted(level_ids, st.column("node_id").to_numpy(zero_copy_only=False))
@@ -77,7 +85,7 @@ def _q_from_rows(
 
 
 def _local_move(
-    sym: Dataset, level_ids: np.ndarray, k: np.ndarray, internal: np.ndarray,
+    sym, level_ids: np.ndarray, k: np.ndarray, internal: np.ndarray,
     comm: np.ndarray, two_m: float, max_rounds: int, tolerance: float,
     restrict: np.ndarray | None = None, singleton_only: bool = False,
     gamma: float = 1.0,
@@ -215,14 +223,15 @@ def leiden(
     level = 0
     for level in range(1, max_levels + 1):
         n = level_ids.shape[0]
-        k = _strengths(sym, level_ids, internal)
+        scanner = BlockScanner(sym)  # per-level snapshot for the many scans below
+        k = _strengths(scanner, level_ids, internal)
         two_m = float(k.sum())
         if two_m == 0:
             break
 
         # ---- phase 1: local moving (Louvain step) --------------------
         comm, q, moved = _local_move(
-            sym, level_ids, k, internal, comm_seed.copy(), two_m,
+            scanner, level_ids, k, internal, comm_seed.copy(), two_m,
             max_rounds_per_level, tolerance, gamma=gamma,
         )
         total_q = q
@@ -236,7 +245,7 @@ def leiden(
 
         # ---- phase 2: refinement inside each community ---------------
         ref, _, _ = _local_move(
-            sym, level_ids, k, internal, np.arange(n, dtype=np.int64), two_m,
+            scanner, level_ids, k, internal, np.arange(n, dtype=np.int64), two_m,
             max_rounds_per_level, tolerance,
             restrict=comm, singleton_only=True, gamma=gamma,
         )
@@ -252,7 +261,7 @@ def leiden(
         new_internal = np.zeros(u_new.shape[0])
         np.add.at(new_internal, comp_pos, internal)
         ids_ref3 = ray.put((level_ids, ref))
-        part3 = _neighbor_community_weights(sym, ids_ref3)
+        part3 = _neighbor_community_weights(scanner, ids_ref3)
         if part3.num_rows:
             p3, c3, w3 = _merge_partials(part3, n)
             intra3 = ref[p3] == c3

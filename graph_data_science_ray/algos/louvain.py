@@ -40,7 +40,12 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import (
+    BlockScanner,
+    collect_arrow,
+    unique_inverse,
+    unique_node_ids,
+)
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -66,9 +71,12 @@ class LouvainResult:
         )
 
 
-def _neighbor_community_weights(sym: Dataset, ids_ref) -> pa.Table:
+def _neighbor_community_weights(sym, ids_ref) -> pa.Table:
     """One scan: per (node, neighbor community) summed edge weight,
-    pre-aggregated per batch, merged by the caller."""
+    pre-aggregated per batch, merged by the caller. ``sym`` is a
+    BlockScanner (per-level snapshot — local moving runs up to
+    rounds×C scans per level, so stage-launch overhead dominates) or a
+    Dataset (legacy path)."""
 
     def fn(t: pa.Table) -> pa.Table:
         ids, comm = ray.get(ids_ref)
@@ -92,6 +100,8 @@ def _neighbor_community_weights(sym: Dataset, ids_ref) -> pa.Table:
             }
         )
 
+    if isinstance(sym, BlockScanner):
+        return sym.scan(fn)
     return collect_arrow(sym.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
 
 
@@ -170,6 +180,7 @@ def louvain(
     level = 0
     for level in range(1, max_levels + 1):
         n = level_ids.shape[0]
+        scanner = BlockScanner(sym)  # per-level snapshot for the many scans below
         # strengths from one scan (out-weight per node; no self rows)
         def strength_fn(t: pa.Table) -> pa.Table:
             src = t.column("src_id").to_numpy(zero_copy_only=False)
@@ -179,7 +190,7 @@ def louvain(
             np.add.at(s, inv, w)
             return pa.table({"node_id": pa.array(u, pa.int64()), "s": pa.array(s, pa.float64())})
 
-        st = collect_arrow(sym.map_batches(strength_fn, batch_format="pyarrow", zero_copy_batch=True))
+        st = scanner.scan(strength_fn)
         k = np.zeros(n)
         if st.num_rows:
             pos = np.searchsorted(level_ids, st.column("node_id").to_numpy(zero_copy_only=False))
@@ -207,7 +218,7 @@ def louvain(
         # assignment doubles as the next round's candidate rows (on
         # reject the old rows stay valid — comm didn't change).
         ids_ref = ray.put((level_ids, comm))
-        part = _neighbor_community_weights(sym, ids_ref)
+        part = _neighbor_community_weights(scanner, ids_ref)
         if part.num_rows == 0:
             rows = None
         else:
@@ -252,7 +263,7 @@ def louvain(
             # exact intra weight needs the NEW assignment on both ends —
             # one fresh scan (rows above carry the OLD neighbor community)
             ids_ref2 = ray.put((level_ids, new_comm))
-            part2 = _neighbor_community_weights(sym, ids_ref2)
+            part2 = _neighbor_community_weights(scanner, ids_ref2)
             p2, c2, w2 = _merge_partials(part2, n)
             intra2 = new_comm[p2] == c2
             np.add.at(new_in_total, new_comm[p2[intra2]], w2[intra2] / 2.0)
@@ -286,7 +297,7 @@ def louvain(
         new_internal = np.zeros(u_new.shape[0])
         np.add.at(new_internal, comp_pos, internal)
         ids_ref3 = ray.put((level_ids, comm))
-        part3 = _neighbor_community_weights(sym, ids_ref3)
+        part3 = _neighbor_community_weights(scanner, ids_ref3)
         p3, c3, w3 = _merge_partials(part3, n)
         intra3 = comm[p3] == c3
         np.add.at(new_internal, comp_pos[p3[intra3]], w3[intra3] / 2.0)

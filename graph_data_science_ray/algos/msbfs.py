@@ -34,7 +34,11 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import (
+    BlockScanner,
+    unique_inverse,
+    unique_node_ids,
+)
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import symmetrize
 
@@ -58,6 +62,7 @@ def _msbfs_sums(
     lets allShortestPaths stream (src, tgt, d) pairs off the same waves
     without a second traversal."""
     n = node_ids.shape[0]
+    scanner = BlockScanner(sym)  # one snapshot; levels x waves scans below
     harmonic = np.zeros(n)
     total_dist = np.zeros(n, dtype=np.int64)
     reached = np.zeros(n, dtype=np.int64)
@@ -92,9 +97,7 @@ def _msbfs_sums(
                     {"node_id": pa.array(u, pa.int64()), "m": pa.array(acc, pa.uint64())}
                 )
 
-            t = collect_arrow(
-                sym.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
-            )
+            t = scanner.scan(scatter)
             incoming = np.zeros(n, dtype=np.uint64)
             if t.num_rows:
                 pos = np.searchsorted(node_ids, t.column("node_id").to_numpy(zero_copy_only=False))

@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops
 
@@ -59,6 +59,7 @@ def minimum_spanning_forest(
     picked_w: list[np.ndarray] = []
 
     rounds = 0
+    scanner = BlockScanner(edges)
     for rounds in range(1, max_rounds + 1):
         state_ref = ray.put((node_ids, comp))
 
@@ -100,7 +101,7 @@ def minimum_spanning_forest(
                 }
             )
 
-        t = collect_arrow(edges.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(scatter)
         if t.num_rows == 0:
             rounds -= 1
             break

@@ -37,7 +37,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow
+from graph_data_science_ray.algos.common import BlockScanner
 from graph_data_science_ray.algos.randomwalk import _walk_key
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import symmetrize
@@ -59,6 +59,7 @@ def node2vec_walks(
     if orientation == "undirected":
         edges = symmetrize(edges, dedup=True, num_partitions=num_partitions)
     edges = edges.materialize()
+    scanner = BlockScanner(edges)
 
     starts = np.repeat(np.asarray(start_nodes, dtype=np.int64), walks_per_node)
     n_walks = starts.shape[0]
@@ -97,9 +98,7 @@ def node2vec_walks(
                     }
                 )
 
-            at = collect_arrow(
-                edges.map_batches(prev_adj, batch_format="pyarrow", zero_copy_batch=True)
-            )
+            at = scanner.scan(prev_adj)
             if at.num_rows:
                 ap = at.column("p").to_numpy(zero_copy_only=False)
                 ad = at.column("d").to_numpy(zero_copy_only=False)
@@ -179,9 +178,7 @@ def node2vec_walks(
                  "d": pa.array(dd[first], pa.int64())}
             )
 
-        t = collect_arrow(
-            edges.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
-        )
+        t = scanner.scan(scatter)
         nxt = np.full(n_walks, -1, dtype=np.int64)
         if t.num_rows:
             ww = t.column("w").to_numpy(zero_copy_only=False)

@@ -168,17 +168,15 @@ def pagerank(
 
     converged = False
     iteration = start_iter - 1
+    from graph_data_science_ray.algos.common import BlockScanner
+
+    scanner = BlockScanner(edges) if reduce == "driver" else None
     for iteration in range(start_iter, max_iterations):
         scaled = np.divide(ranks, out_w, out=np.zeros_like(ranks), where=out_w > 0)
         state_ref = ray.put((node_arr, scaled))
-        contribs = edges.map_batches(
-            _contrib_stage(state_ref, weighted),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
         new_ranks = base.copy() if base is not None else np.full(n, 1.0 - damping, dtype=np.float64)
         if reduce == "driver":
-            t = collect_arrow(contribs)
+            t = scanner.scan(_contrib_stage(state_ref, weighted))
             if t.num_rows:
                 from graph_data_science_ray.algos.common import merge_sum
 
@@ -186,6 +184,11 @@ def pagerank(
                 pos = np.searchsorted(node_arr, ids)
                 new_ranks[pos] += damping * sums
         else:
+            contribs = edges.map_batches(
+                _contrib_stage(state_ref, weighted),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
             summed = contribs.groupby("dst_id", num_partitions=num_partitions).aggregate(
                 Sum("contrib", alias_name="in_sum")
             )

@@ -30,7 +30,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, collect_arrow, unique_inverse, unique_node_ids
 from graph_data_science_ray.algos.iterate import run_iterative
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
@@ -246,6 +246,7 @@ def bellman_ford_negative_cycles(
     dist = res.values
 
     # extra scan: dsts still improvable → on/behind a negative cycle
+    scanner = BlockScanner(g)
     state_ref = ray.put((node_arr, dist))
 
     def improvable(t: pa.Table) -> pa.Table:
@@ -259,7 +260,7 @@ def bellman_ford_negative_cycles(
         hit = np.isfinite(d_src) & (d_src + w < d[dp])
         return pa.table({"node_id": pa.array(np.unique(dst[hit]), pa.int64())})
 
-    t = collect_arrow(g.map_batches(improvable, batch_format="pyarrow", zero_copy_batch=True))
+    t = scanner.scan(improvable)
     if t.num_rows == 0:
         return res, False
 
@@ -277,7 +278,7 @@ def bellman_ford_negative_cycles(
             hit = fr[np.searchsorted(ids, src)] & ~done[dp]
             return pa.table({"node_id": pa.array(np.unique(dst[hit]), pa.int64())})
 
-        t = collect_arrow(g.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(expand)
         frontier = np.zeros(n, dtype=bool)
         if t.num_rows:
             pos = np.searchsorted(node_arr, t.column("node_id").to_numpy(zero_copy_only=False))
@@ -362,11 +363,10 @@ def shortest_path_tree(
     metrics: list[dict] = []
     converged = False
     iteration = -1
+    scanner = BlockScanner(g)
     for iteration in range(max_iterations):
         ref = ray.put((node_arr, dist))
-        t = collect_arrow(
-            g.map_batches(make_stage(ref), batch_format="pyarrow", zero_copy_batch=True)
-        )
+        t = scanner.scan(make_stage(ref))
         changed = 0
         if t.num_rows:
             ids = t.column("node_id").to_numpy(zero_copy_only=False)

@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow
+from graph_data_science_ray.algos.common import BlockScanner
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import symmetrize
 
@@ -70,6 +70,7 @@ def random_walks(
     if orientation == "undirected":
         edges = symmetrize(edges, dedup=True, num_partitions=num_partitions)
     edges = edges.materialize()
+    scanner = BlockScanner(edges)
 
     starts = np.repeat(np.asarray(start_nodes, dtype=np.int64), walks_per_node)
     n_walks = starts.shape[0]
@@ -132,7 +133,7 @@ def random_walks(
                 }
             )
 
-        t = collect_arrow(edges.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(scatter)
         nxt = np.full(n_walks, -1, dtype=np.int64)
         if t.num_rows:
             ww = t.column("w").to_numpy(zero_copy_only=False)
@@ -174,7 +175,7 @@ def _degrees(edges: Dataset) -> tuple[np.ndarray, np.ndarray]:
             {"n": pa.array(u, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
         )
 
-    t = collect_arrow(edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    t = BlockScanner(edges).scan(partial)
     n = t.column("n").to_numpy(zero_copy_only=False)
     c = t.column("c").to_numpy(zero_copy_only=False)
     order = np.argsort(n, kind="stable")
@@ -216,6 +217,7 @@ def cnarw_walks(
     """
     configure_ray_data()
     edges = symmetrize(edges, dedup=True, num_partitions=num_partitions).materialize()
+    scanner = BlockScanner(edges)
     deg_ids, deg = _degrees(edges)
 
     starts = np.repeat(np.asarray(start_nodes, dtype=np.int64), walks_per_node)
@@ -254,7 +256,7 @@ def cnarw_walks(
                 }
             )
 
-        t = collect_arrow(edges.map_batches(gather_nbrs, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(gather_nbrs)
         if t.num_rows == 0:
             break  # every live walker sits on an isolated node
         nu = t.column("u").to_numpy(zero_copy_only=False)
@@ -275,11 +277,7 @@ def cnarw_walks(
 
         o_mid = np.argsort(nv, kind="stable")
         mem_ref = ray.put((nv[o_mid], cur_pos_all[o_mid], cand_nodes, mem_keys))
-        t3 = collect_arrow(
-            edges.map_batches(
-                _cnarw_wedge_stage(mem_ref), batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
+        t3 = scanner.scan(_cnarw_wedge_stage(mem_ref))
         counts = np.zeros(0, dtype=np.int64)
         ckey = np.zeros(0, dtype=np.int64)
         if t3.num_rows:

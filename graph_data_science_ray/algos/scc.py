@@ -42,7 +42,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, unique_inverse, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops
 
@@ -105,7 +105,7 @@ def _degree_counts(active_edges: Dataset, node_ids: np.ndarray) -> tuple[np.ndar
             }
         )
 
-    t = collect_arrow(active_edges.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
+    t = BlockScanner(active_edges).scan(fn)
     out_deg = np.zeros(node_ids.shape[0], dtype=np.int64)
     in_deg = np.zeros(node_ids.shape[0], dtype=np.int64)
     if t.num_rows:
@@ -155,6 +155,7 @@ def strongly_connected_components(
             break
 
         # -- coloring to fixpoint --------------------------------------
+        scanner = BlockScanner(current)  # fixed for both inner loops below
         color = node_ids.copy()
         for _ in range(max_inner):
             state_ref = ray.put((node_ids, color))
@@ -171,9 +172,7 @@ def strongly_connected_components(
                     {"node_id": pa.array(u, pa.int64()), "m": pa.array(best, pa.int64())}
                 )
 
-            t = collect_arrow(
-                current.map_batches(scatter_min, batch_format="pyarrow", zero_copy_batch=True)
-            )
+            t = scanner.scan(scatter_min)
             new = color.copy()
             if t.num_rows:
                 pos = np.searchsorted(node_ids, t.column("node_id").to_numpy(zero_copy_only=False))
@@ -198,9 +197,7 @@ def strongly_connected_components(
                 u = np.unique(src[mark])
                 return pa.table({"node_id": pa.array(u, pa.int64())})
 
-            t = collect_arrow(
-                current.map_batches(scatter_back, batch_format="pyarrow", zero_copy_batch=True)
-            )
+            t = scanner.scan(scatter_back)
             if t.num_rows == 0:
                 break
             pos = np.searchsorted(node_ids, t.column("node_id").to_numpy(zero_copy_only=False))

@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
@@ -78,6 +78,7 @@ def sllpa(
     memory = np.full((n, T + 1), -1, dtype=np.int64)
     memory[:, 0] = node_ids
 
+    scanner = BlockScanner(sym)
     for t in range(1, T + 1):
         state_ref = ray.put((node_ids, memory, t))
 
@@ -112,7 +113,7 @@ def sllpa(
                 }
             )
 
-        tb = collect_arrow(sym.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True))
+        tb = scanner.scan(scatter)
         if tb.num_rows == 0:
             break
         node = tb.column("node_id").to_numpy(zero_copy_only=False)

@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_node_ids
+from graph_data_science_ray.algos.common import BlockScanner, collect_arrow, unique_node_ids
 from graph_data_science_ray.context import configure_ray_data
 
 
@@ -99,6 +99,7 @@ def longest_path(
     n = node_ids.shape[0]
     dist = np.where(levels == 0, 0.0, -np.inf)
     depth = int(levels.max()) if n else 0
+    scanner = BlockScanner(edges)
 
     for r in range(1, depth + 1):
         state_ref = ray.put((node_ids, dist, levels, r))
@@ -132,7 +133,7 @@ def longest_path(
                 {"node_id": pa.array(dk[first], pa.int64()), "cand": pa.array(best, pa.float64())}
             )
 
-        t = collect_arrow(edges.map_batches(relax, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(relax)
         if t.num_rows:
             ids = t.column("node_id").to_numpy(zero_copy_only=False)
             cand = t.column("cand").to_numpy(zero_copy_only=False)
@@ -153,6 +154,7 @@ def topological_sort(
     n = node_ids.shape[0]
     level = np.full(n, -1, dtype=np.int64)  # -1 = not yet peeled
     active = np.ones(n, dtype=bool)
+    scanner = BlockScanner(edges)
 
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -171,7 +173,7 @@ def topological_sort(
                 }
             )
 
-        t = collect_arrow(edges.map_batches(in_counts, batch_format="pyarrow", zero_copy_batch=True))
+        t = scanner.scan(in_counts)
         indeg = np.zeros(n, dtype=np.int64)
         if t.num_rows:
             pos = np.searchsorted(node_ids, t.column("node_id").to_numpy(zero_copy_only=False))
