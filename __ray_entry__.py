@@ -1210,6 +1210,36 @@ _DOCS_QUALITY_SQL = (
 )
 
 
+def _language_id_sql() -> str:
+    """Mirror of stages.textstats.LanguageId: per-language score = number
+    of profile words present (RE2 ``\\b w \\b`` on lowercased text — the
+    same RE2 engine in Arrow and DuckDB); winner = alphabetically-first
+    max, score 0 -> 'unknown'. Built from the SAME profile constant so
+    the two engines cannot drift."""
+    from graph_data_science_ray.stages.textstats import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(CASE WHEN regexp_matches(t, '\\b{w}\\b') THEN 1 ELSE 0 END)"
+            for w in sorted(_LANG_PROFILES[lang])
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    # alphabetically-first max: each lang wins if >= all later langs
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lang} >= s_{later}" for later in langs[i + 1 :])
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    all_scores = ", ".join(f"s_{l}" for l in langs)
+    return (
+        "WITH f AS (SELECT doc_id, lower(COALESCE(text, '')) AS t FROM documents), "
+        f"s AS (SELECT doc_id, {', '.join(score_cols)} FROM f) "
+        f"SELECT doc_id, CASE WHEN GREATEST({all_scores}) = 0 THEN 'unknown' "
+        f"{' '.join(branches)} ELSE '{langs[-1]}' END AS lang_pred FROM s"
+    )
+
+
 def _q_hdbscan(sf_dir: str):
     import ray.data
 
@@ -1986,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang, source"
         ),
         "docs_quality": _DOCS_QUALITY_SQL,
+        "language_id": _language_id_sql(),
         "docs_split": _DOCS_SPLIT_SQL,
         "docs_packed": _DOCS_PACKED_SQL,
         "docs_token_stats": (
