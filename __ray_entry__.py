@@ -376,6 +376,22 @@ def _q_node_similarity(sf_dir: str):
     return _round6(t, "similarity")
 
 
+def _q_node_similarity_overlap(sf_dir: str):
+    """similarityMetric=OVERLAP variant: |A∩B| / min(|A|,|B|)."""
+    from graph_data_science_ray.algos.nodesim import node_similarity
+
+    t = node_similarity(_edges_op(sf_dir), top_k=3, metric="overlap")
+    return _round6(t, "similarity")
+
+
+def _q_node_similarity_bottomk(sf_dir: str):
+    """bottomK=3 variant: the 3 LEAST similar candidate pairs per node."""
+    from graph_data_science_ray.algos.nodesim import node_similarity
+
+    t = node_similarity(_edges_op(sf_dir), top_k=3, bottom_k=True)
+    return _round6(t, "similarity")
+
+
 def _q_hits(sf_dir: str):
     from graph_data_science_ray.algos.centrality import hits
 
@@ -1544,6 +1560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector_k10": _q_eigenvector,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity_top3": _q_node_similarity,
+        "node_similarity_overlap_top3": _q_node_similarity_overlap,
+        "node_similarity_bottom3": _q_node_similarity_bottomk,
         "hits_k5": _q_hits,
         "bfs_hops8": _q_bfs_hops,
         "sssp_bf8": _q_sssp,
@@ -1935,6 +1953,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs JOIN deg d1 ON node1 = d1.src_id JOIN deg d2 ON node2 = d2.src_id), "
             "ranked AS (SELECT node1, node2, sim, "
             "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
+            "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
+        ),
+        "node_similarity_overlap_top3": (
+            f"WITH e AS MATERIALIZED ({_E_OP}), "
+            "deg AS MATERIALIZED (SELECT src_id, COUNT(*) AS dc FROM e GROUP BY src_id), "
+            "pairs AS MATERIALIZED ("
+            "SELECT e1.src_id AS node1, e2.src_id AS node2, COUNT(*) AS common "
+            "FROM e e1 JOIN e e2 ON e1.dst_id = e2.dst_id AND e1.src_id <> e2.src_id "
+            "GROUP BY 1, 2), "
+            "sims AS (SELECT node1, node2, "
+            "common * 1.0 / LEAST(d1.dc, d2.dc) AS sim "
+            "FROM pairs JOIN deg d1 ON node1 = d1.src_id JOIN deg d2 ON node2 = d2.src_id), "
+            "ranked AS (SELECT node1, node2, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
+            "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
+        ),
+        "node_similarity_bottom3": (
+            f"WITH e AS MATERIALIZED ({_E_OP}), "
+            "deg AS MATERIALIZED (SELECT src_id, COUNT(*) AS dc FROM e GROUP BY src_id), "
+            "pairs AS MATERIALIZED ("
+            "SELECT e1.src_id AS node1, e2.src_id AS node2, COUNT(*) AS common "
+            "FROM e e1 JOIN e e2 ON e1.dst_id = e2.dst_id AND e1.src_id <> e2.src_id "
+            "GROUP BY 1, 2), "
+            "sims AS (SELECT node1, node2, "
+            "common * 1.0 / (d1.dc + d2.dc - common) AS sim "
+            "FROM pairs JOIN deg d1 ON node1 = d1.src_id JOIN deg d2 ON node2 = d2.src_id), "
+            "ranked AS (SELECT node1, node2, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim ASC, node2) AS rn FROM sims) "
             "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
         ),
         "linkpred_top20": (

@@ -36,6 +36,8 @@ def node_similarity(
     num_partitions: int | None = None,
     source_filter: "np.ndarray | list | None" = None,
     target_filter: "np.ndarray | list | None" = None,
+    metric: str = "jaccard",
+    bottom_k: bool = False,
 ) -> pa.Table:
     """→ (node1, node2, similarity) — top_k per node1, sorted
     (node1, -similarity, node2). Self-pairs excluded.
@@ -43,8 +45,19 @@ def node_similarity(
     ``source_filter`` / ``target_filter``: the reference's
     ``gds.nodeSimilarity.filtered`` variant — restrict node1 to the
     source set and node2 to the target set BEFORE top-k selection, so
-    each source gets its k best among allowed targets."""
+    each source gets its k best among allowed targets.
+
+    ``metric``: the reference's ``similarityMetric`` — JACCARD
+    |A∩B|/|A∪B| (default), OVERLAP |A∩B|/min(|A|,|B|), COSINE
+    |A∩B|/sqrt(|A||B|) on unweighted neighbor sets.
+
+    ``bottom_k``: the reference's ``bottomK`` — keep the k LEAST similar
+    per node1 instead (still only pairs sharing ≥1 neighbor; ties broken
+    by node2 ascending, matching the deterministic top-k contract)."""
     configure_ray_data()
+    metric = metric.lower()
+    if metric not in ("jaccard", "overlap", "cosine"):
+        raise ValueError(f"unknown similarityMetric: {metric}")
     num_partitions = num_partitions or shuffle_partitions_for()
     edges = edges.materialize()
 
@@ -140,7 +153,12 @@ def node_similarity(
     common = pc_t.column("common").to_numpy(zero_copy_only=False).astype(np.float64)
     d1 = deg_c[np.searchsorted(deg_ids, n1)].astype(np.float64)
     d2 = deg_c[np.searchsorted(deg_ids, n2)].astype(np.float64)
-    sim = common / (d1 + d2 - common)
+    if metric == "jaccard":
+        sim = common / (d1 + d2 - common)
+    elif metric == "overlap":
+        sim = common / np.minimum(d1, d2)
+    else:  # cosine on unweighted sets
+        sim = common / np.sqrt(d1 * d2)
 
     # symmetric: each unordered pair yields rows for both directions
     a = np.concatenate([n1, n2])
@@ -154,7 +172,7 @@ def node_similarity(
     a, b, s = a[keep], b[keep], s[keep]
 
     # vectorized per-node top-k: sort (node1, -sim, node2), take first k
-    order = np.lexsort((b, -s, a))
+    order = np.lexsort((b, s if bottom_k else -s, a))
     a, b, s = a[order], b[order], s[order]
     _, starts = np.unique(a, return_index=True)
     ranks = np.arange(a.shape[0]) - np.repeat(starts, np.diff(np.append(starts, a.shape[0])))

@@ -106,3 +106,50 @@ def test_knn_similarity_cutoff():
         want.sort_values(key).reset_index(drop=True)
     )
     assert (got["similarity"] >= cut).all()
+
+
+def test_node_similarity_metrics_and_bottomk():
+    t = fixtures.er_random(60, 0.08, seed=61)
+    pairs = list(zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()))
+    out_nbrs = defaultdict(set)
+    for s, d in pairs:
+        out_nbrs[s].add(d)
+
+    def brute(metric, reverse):
+        rows = []
+        for a in sorted(out_nbrs):
+            sims = []
+            for b in sorted(out_nbrs):
+                if a == b:
+                    continue
+                inter = len(out_nbrs[a] & out_nbrs[b])
+                if inter == 0:
+                    continue
+                da, db = len(out_nbrs[a]), len(out_nbrs[b])
+                if metric == "overlap":
+                    s_ = inter / min(da, db)
+                elif metric == "cosine":
+                    s_ = inter / (da * db) ** 0.5
+                else:
+                    s_ = inter / (da + db - inter)
+                sims.append((s_, b))
+            sims.sort(key=lambda x: (-x[0] if not reverse else x[0], x[1]))
+            rows.extend((a, b, s_) for s_, b in sims[:3])
+        return rows
+
+    for metric, reverse in (("overlap", False), ("cosine", False), ("jaccard", True)):
+        got = node_similarity(
+            from_arrow(t), top_k=3, num_partitions=2, metric=metric, bottom_k=reverse
+        )
+        got_rows = list(
+            zip(
+                got.column("node1").to_pylist(),
+                got.column("node2").to_pylist(),
+                got.column("similarity").to_pylist(),
+            )
+        )
+        want = brute(metric, reverse)
+        assert len(got_rows) == len(want), metric
+        for (g1, g2, gs), (w1, w2, ws) in zip(got_rows, want):
+            assert (g1, g2) == (w1, w2), metric
+            assert gs == pytest.approx(ws, abs=1e-12)
