@@ -84,45 +84,104 @@ def kmeans(
     delta_threshold: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_centroids: "np.ndarray | list | None" = None,
+    number_of_restarts: int = 1,
 ) -> KMeansResult:
     """Lloyd k-means with deterministic farthest-first init.
 
     ``ds`` must have (id_col: int64, vec_col: fixed-width list<float>).
     Returns assignments as a streaming Dataset of
     (id_col, cluster: int64, distance: float64).
+
+    ``seed_centroids``: the reference's ``seedCentroids`` — explicit
+    (k × d) initial centroids; skips the farthest-first init (and, as in
+    GDS, forces numberOfRestarts to 1 since the start is fixed).
+
+    ``number_of_restarts``: the reference's ``numberOfRestarts`` — run
+    the whole fit R times and keep the lowest total within-cluster
+    squared distance (GDS restarts from different random samples; this
+    engine restarts farthest-first from the point with the r-th smallest
+    id, keeping determinism). Each restart costs k init scans + the
+    Lloyd passes + one cost scan.
     """
     configure_ray_data()
     if k < 1:
         raise ValueError("k must be >= 1")
-
-    # ---- init: farthest-first traversal, one scan per centroid --------
-    # pass 0: the point with the global min id
-    def first_point(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        if ids.shape[0] == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             vec_col: t.column(vec_col).slice(0, 0)})
-        i = int(np.argmin(ids))
-        return pa.table({id_col: pa.array([ids[i]], pa.int64()),
-                         vec_col: t.column(vec_col).slice(i, 1)})
+    if seed_centroids is not None:
+        seed_centroids = np.asarray(seed_centroids, dtype=np.float64)
+        if seed_centroids.ndim != 2 or seed_centroids.shape[0] != k:
+            raise ValueError("seedCentroids must be a (k, d) matrix")
+        number_of_restarts = 1
+    if number_of_restarts < 1:
+        raise ValueError("numberOfRestarts must be >= 1")
 
     from graph_data_science_ray.algos.common import BlockScanner
 
     ds = ds.materialize()
-    scanner = BlockScanner(ds)  # k init scans + Lloyd passes below
-    cand = scanner.scan(first_point)
-    if cand.num_rows == 0:
-        empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "cluster": pa.array([], pa.int64()),
-                          "distance": pa.array([], pa.float64())})
-        import ray.data as rd
-        return KMeansResult(np.empty(0, np.int64), rd.from_arrow(empty),
-                            np.empty((0, 0)), 0, True, [], id_col)
-    cids = cand.column(id_col).to_numpy(zero_copy_only=False)
-    j = int(np.argmin(cids))
-    cents = _batch_matrix(cand, vec_col)[j:j + 1]
+    scanner = BlockScanner(ds)  # init scans + Lloyd passes below
 
-    for _ in range(k - 1):
+    best: KMeansResult | None = None
+    best_cost = np.inf
+    for r in range(number_of_restarts):
+        res, cost = _kmeans_once(
+            ds, scanner, k, max_iterations, delta_threshold, id_col, vec_col,
+            seed_centroids, start_rank=r,
+        )
+        if res is None:
+            break  # empty input — res built below by the rank-0 path
+        res.metrics.append({"restart": r, "cost": cost})
+        if cost < best_cost:  # strict: ties keep the earliest restart
+            best, best_cost = res, cost
+        if res.centroids.shape[0] < k and r + 1 < number_of_restarts:
+            # fewer distinct points than k: every restart degenerates
+            break
+    if best is not None:
+        return best
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "distance": pa.array([], pa.float64())})
+    import ray.data as rd
+    return KMeansResult(np.empty(0, np.int64), rd.from_arrow(empty),
+                        np.empty((0, 0)), 0, True, [], id_col)
+
+
+def _kmeans_once(
+    ds: Dataset,
+    scanner,
+    k: int,
+    max_iterations: int,
+    delta_threshold: float,
+    id_col: str,
+    vec_col: str,
+    seed_centroids: "np.ndarray | None",
+    start_rank: int = 0,
+) -> "tuple[KMeansResult | None, float]":
+    if seed_centroids is not None:
+        cents = seed_centroids
+    else:
+        # ---- init: farthest-first traversal, one scan per centroid ----
+        # pass 0: the point with the (start_rank+1)-th smallest global id
+        # (rank 0 = min id; later restarts start elsewhere, deterministic)
+        m_rank = start_rank + 1
+
+        def first_point(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            if ids.shape[0] == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 vec_col: t.column(vec_col).slice(0, 0)})
+            take = np.argsort(ids)[:m_rank]  # per-batch m smallest (combiner)
+            return pa.table({id_col: pa.array(ids[take], pa.int64()),
+                             vec_col: t.column(vec_col).take(take)})
+
+        cand = scanner.scan(first_point)
+        if cand.num_rows == 0:
+            return None, np.inf
+        cids = cand.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(cids)
+        j = int(order[min(start_rank, order.shape[0] - 1)])
+        cents = _batch_matrix(cand, vec_col)[j:j + 1]
+
+    for _ in range(0 if seed_centroids is not None else k - 1):
         cref = ray.put(cents)
 
         def far_point(t: pa.Table) -> pa.Table:
@@ -230,5 +289,18 @@ def kmeans(
                          "distance": pa.array(np.round(dist, 9), pa.float64())})
 
     assign = ds.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+    # total within-cluster squared distance (restart selection objective);
+    # one combiner scan — a single float per block
+    def cost_partial(t: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _batch_matrix(t, vec_col)
+        if m.shape[0] == 0:
+            return pa.table({"cost": pa.array([], pa.float64())})
+        d2 = _dists_to(m, c).min(axis=1)
+        return pa.table({"cost": pa.array([float(np.maximum(d2, 0.0).sum())])})
+
+    cost_t = scanner.scan(cost_partial)
+    cost = float(cost_t.column("cost").to_numpy(zero_copy_only=False).sum()) if cost_t.num_rows else 0.0
     return KMeansResult(np.empty(0, np.int64), assign, cents, iterations,
-                        converged, metrics, id_col)
+                        converged, metrics, id_col), cost

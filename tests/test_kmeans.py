@@ -104,3 +104,31 @@ def test_empty_input():
     res = kmeans(ray.data.from_arrow(t), k=3)
     assert res.to_table().num_rows == 0
     assert res.converged
+
+
+def test_seed_centroids_and_restarts():
+    import ray.data
+
+    pts, truth = _blobs()
+    ds = ray.data.from_arrow(_points_table(pts))
+
+    # seedCentroids: exact blob centers -> perfect recovery, no init scans
+    seeds = np.array([[10.0] * 4, [-10.0] * 4, [10.0, 10.0, -10.0, -10.0]])
+    res = kmeans(ds, k=3, max_iterations=5, seed_centroids=seeds)
+    t = res.to_table()
+    got = dict(zip(t.column("vec_id").to_pylist(), t.column("cluster").to_pylist()))
+    for b in range(3):
+        members = {got[i] for i in np.where(truth == b)[0]}
+        assert len(members) == 1
+
+    # numberOfRestarts: never worse than the single deterministic run
+    base_cost = [m for m in kmeans(ds, k=3, max_iterations=10).metrics if "cost" in m][0]["cost"]
+    multi = kmeans(ds, k=3, max_iterations=10, number_of_restarts=3)
+    multi_cost = min(m["cost"] for m in multi.metrics if "cost" in m)
+    assert multi_cost <= base_cost + 1e-9
+
+    # bad seed matrix rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans(ds, k=3, seed_centroids=np.zeros((2, 4)))
