@@ -65,16 +65,51 @@ def fastrp(
     iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
     normalization_strength: float = 0.0,
     seed: int = 42,
+    weighted: bool = False,
+    feature_table: "pa.Table | None" = None,
+    property_ratio: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """→ (sorted node_ids, embeddings (n × d) float64)."""
+    """→ (sorted node_ids, embeddings (n × d) float64).
+
+    ``weighted``: the reference's ``relationshipWeightProperty`` —
+    neighbor aggregation becomes the weight-proportional mean
+    (h_src · w / Σ_out w), requiring a ``weight`` column on ``edges``.
+
+    ``feature_table`` + ``property_ratio``: the reference's
+    ``featureProperties`` / ``propertyRatio`` — the last
+    round(d · ratio) dimensions are initialized from a very-sparse
+    random projection of the node's property vector (deterministic per
+    (feature index, dim, seed), like the structural part); nodes absent
+    from ``feature_table`` get zero property dimensions.
+    ``feature_table`` columns: ``node_id`` + one float column per
+    feature."""
     configure_ray_data()
+    if not 0.0 <= property_ratio <= 1.0:
+        raise ValueError("propertyRatio must be in [0, 1]")
+    if property_ratio > 0.0 and feature_table is None:
+        raise ValueError("propertyRatio > 0 requires feature_table")
     edges = edges.materialize()
     node_arr = unique_node_ids(edges)
     n = node_arr.shape[0]
     d = embedding_dimension
-    out_w = _out_weight(edges, node_arr, weighted=False)
+    out_w = _out_weight(edges, node_arr, weighted=weighted)
 
-    h = _sparse_init(node_arr, d, seed)
+    dp = int(round(d * property_ratio)) if feature_table is not None else 0
+    h = np.zeros((n, d), dtype=np.float64)
+    if d - dp > 0:
+        h[:, : d - dp] = _sparse_init(node_arr, d - dp, seed)
+    if dp > 0:
+        fcols = [c for c in feature_table.column_names if c != "node_id"]
+        fids = feature_table.column("node_id").to_numpy(zero_copy_only=False)
+        fmat = np.stack(
+            [feature_table.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in fcols], axis=1,
+        )
+        # projection matrix keyed by feature INDEX (stable: column order)
+        proj = _sparse_init(np.arange(1, len(fcols) + 1, dtype=np.int64), dp, seed + 1)
+        pos = np.searchsorted(node_arr, fids)
+        ok = (pos < n) & (node_arr[np.minimum(pos, n - 1)] == fids)
+        h[pos[ok], d - dp:] = fmat[ok] @ proj
     if normalization_strength != 0.0:
         deg = np.maximum(out_w, 1.0)
         h = h * (deg**normalization_strength)[:, None]
@@ -92,6 +127,10 @@ def fastrp(
             src = batch.column("src_id").to_numpy(zero_copy_only=False)
             dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
             rows = sc[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            if weighted:
+                rows = rows * batch.column("weight").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)[:, None]
             u, inv = unique_inverse(dst)
             agg = np.zeros((u.shape[0], rows.shape[1]))
             for j in range(rows.shape[1]):

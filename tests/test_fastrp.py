@@ -193,3 +193,61 @@ def test_filtered_knn_source_target_sets():
                              seed=3, num_partitions=2).take_all()
     assert all(r["node_id"] != r["neighbour_id"] for r in e2e)
     assert {r["node_id"] for r in e2e} <= targets
+
+
+def test_fastrp_weighted_matches_dense_replica():
+    import pyarrow as pa
+
+    t = fixtures.er_random(40, 0.12, seed=31)
+    rng = np.random.default_rng(5)
+    w = rng.uniform(0.5, 2.0, size=t.num_rows)
+    tw = t.set_column(t.schema.get_field_index("weight"), "weight", pa.array(w)) \
+        if "weight" in t.column_names else t.append_column("weight", pa.array(w))
+    pairs = list(zip(t.column("src_id").to_pylist(), t.column("dst_id").to_pylist()))
+    ids, emb = fastrp(from_arrow(tw), embedding_dimension=12, seed=9, weighted=True)
+
+    idx = {u: i for i, u in enumerate(ids.tolist())}
+    n = len(ids)
+    A = np.zeros((n, n))
+    outw = np.zeros(n)
+    for (s, d_), ww in zip(pairs, w):
+        A[idx[s], idx[d_]] += ww
+        outw[idx[s]] += ww
+    h = _row_normalize(_sparse_init(ids, 12, 9))
+    want = 0.0 * h
+    for wi in (1.0, 1.0):
+        scaled = np.divide(h, outw[:, None], out=np.zeros_like(h), where=outw[:, None] > 0)
+        h = _row_normalize(A.T @ scaled)
+        want = want + wi * h
+    assert np.allclose(emb, want, atol=1e-10)
+
+
+def test_fastrp_feature_properties():
+    import pyarrow as pa
+
+    t = fixtures.er_random(40, 0.12, seed=32)
+    ids_all = sorted(set(t.column("src_id").to_pylist()) | set(t.column("dst_id").to_pylist()))
+    rng = np.random.default_rng(6)
+    feats = pa.table({
+        "node_id": pa.array(ids_all, pa.int64()),
+        "f0": pa.array(rng.normal(size=len(ids_all))),
+        "f1": pa.array(rng.normal(size=len(ids_all))),
+    })
+    ids, emb = fastrp(from_arrow(t), embedding_dimension=16, seed=9,
+                      feature_table=feats, property_ratio=0.5)
+    assert emb.shape == (len(ids), 16)
+    assert np.isfinite(emb).all()
+    # deterministic
+    _, emb2 = fastrp(from_arrow(t), embedding_dimension=16, seed=9,
+                     feature_table=feats, property_ratio=0.5)
+    assert np.array_equal(emb, emb2)
+    # property part actually differs from the structural-only embedding
+    _, emb0 = fastrp(from_arrow(t), embedding_dimension=16, seed=9)
+    assert not np.allclose(emb, emb0)
+    # ratio 1.0: init entirely from properties
+    _, embp = fastrp(from_arrow(t), embedding_dimension=8, seed=9,
+                     feature_table=feats, property_ratio=1.0)
+    assert np.isfinite(embp).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fastrp(from_arrow(t), property_ratio=0.5)
