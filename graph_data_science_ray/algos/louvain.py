@@ -51,13 +51,16 @@ from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
 
 class LouvainResult:
-    def __init__(self, node_ids, values, modularity, levels, metrics):
+    def __init__(self, node_ids, values, modularity, levels, metrics,
+                 intermediate_communities=None):
         self.node_ids = node_ids
         self.values = values  # final community id = min original member id
         self.value_name = "community"
         self.modularity = modularity
         self.levels = levels
         self.metrics = metrics
+        # (n × ranLevels) per-level community id per original node, or None
+        self.intermediate_communities = intermediate_communities
 
     def as_dict(self) -> dict:
         return dict(zip(self.node_ids.tolist(), self.values.tolist()))
@@ -124,12 +127,19 @@ def louvain(
     num_partitions: int | None = None,
     weighted: bool = False,
     gamma: float = 1.0,
+    include_intermediate_communities: bool = False,
 ) -> LouvainResult:
     """``gamma`` is GDS Louvain's resolution parameter: >1 favors more,
     smaller communities; 1.0 is classic modularity. It scales the
-    expected-degree term in every gain/Q evaluation."""
+    expected-degree term in every gain/Q evaluation.
+
+    ``include_intermediate_communities`` (GDS
+    ``includeIntermediateCommunities``): also return the per-level
+    community id of every original node as an (n × ranLevels) matrix on
+    ``LouvainResult.intermediate_communities`` (last column = final)."""
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
+    inter_levels: list[np.ndarray] = []
 
     # ---- level-0 graph: symmetrized simple weighted view ------------
     base = edges
@@ -337,11 +347,19 @@ def louvain(
         level_ids = u_new
         min_member = new_min
         internal = new_internal
+        if include_intermediate_communities:
+            inter_levels.append(min_member[assign].copy())
 
     # nodes that never coarsened keep their own id; otherwise the min
     # original member of their final supernode
     final = min_member[assign]
-    return LouvainResult(orig_ids, final, total_q if total_q is not None else 0.0, level, metrics)
+    inter = None
+    if include_intermediate_communities:
+        if not inter_levels:
+            inter_levels.append(final.copy())
+        inter = np.stack(inter_levels, axis=1)
+    return LouvainResult(orig_ids, final, total_q if total_q is not None else 0.0, level, metrics,
+                         intermediate_communities=inter)
 
 
 def modularity_optimization(

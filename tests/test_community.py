@@ -753,3 +753,23 @@ def test_leiden_gamma_resolution():
     assert len(set(hi.values.tolist())) == 2
     lo = leiden(from_arrow(t), num_partitions=2, gamma=1e-4)
     assert len(set(lo.values.tolist())) == 1
+
+
+def test_louvain_intermediate_communities():
+    import numpy as np
+
+    from graph_data_science_ray.algos.louvain import louvain
+
+    t = _cliques_with_bridges()
+    res = louvain(from_arrow(t), num_partitions=2, include_intermediate_communities=True)
+    inter = res.intermediate_communities
+    assert inter is not None and inter.shape[0] == res.node_ids.shape[0]
+    assert inter.shape[1] >= 1
+    # last level equals the final assignment
+    assert np.array_equal(inter[:, -1], res.values)
+    # levels only coarsen: community count is non-increasing level-over-level
+    counts = [len(np.unique(inter[:, j])) for j in range(inter.shape[1])]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # default keeps the field off
+    res0 = louvain(from_arrow(t), num_partitions=2)
+    assert res0.intermediate_communities is None
