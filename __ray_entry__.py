@@ -356,6 +356,38 @@ def _q_eigenvector(sf_dir: str):
     return _round6(t, "score")
 
 
+def _q_article_rank_weighted(sf_dir: str):
+    """relationshipWeightProperty variant over the ps MIN-weight projection."""
+    from graph_data_science_ray.algos.centrality import article_rank
+
+    res = article_rank(
+        _edges_ps_weighted(sf_dir), max_iterations=PR_ITERS, tolerance=0.0, weighted=True
+    )
+    t = pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "score": pa.array(res.values, pa.float64()),
+        }
+    )
+    return _round6(t, "score")
+
+
+def _q_eigenvector_weighted(sf_dir: str):
+    """relationshipWeightProperty variant over the ps MIN-weight projection."""
+    from graph_data_science_ray.algos.centrality import eigenvector
+
+    res = eigenvector(
+        _edges_ps_weighted(sf_dir), max_iterations=10, tolerance=0.0, weighted=True
+    )
+    t = pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "score": pa.array(res.values, pa.float64()),
+        }
+    )
+    return _round6(t, "score")
+
+
 def _q_lcc(sf_dir: str):
     from graph_data_science_ray.algos.centrality import local_clustering_coefficient
 
@@ -1557,7 +1589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_list": _q_triangle_list,
         "label_propagation": _q_label_propagation,
         "article_rank_k5": _q_article_rank_k,
+        "article_rank_weighted_k5": _q_article_rank_weighted,
         "eigenvector_k10": _q_eigenvector,
+        "eigenvector_weighted_k10": _q_eigenvector_weighted,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity_top3": _q_node_similarity,
         "node_similarity_overlap_top3": _q_node_similarity_overlap,
@@ -1692,6 +1726,28 @@ def _pagerank_weighted_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
     return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
 
 
+def _article_rank_weighted_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
+    """Weighted ArticleRank: contribution w/(sum_out_w + avg positive
+    out-weight), on the ps MIN-weight projection."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_PS_W}),",
+        "nodes AS MATERIALIZED (SELECT src_id AS node FROM e UNION SELECT dst_id FROM e),",
+        "deg AS MATERIALIZED (SELECT src_id, CAST(SUM(weight) AS DOUBLE) AS outw FROM e GROUP BY src_id),",
+        "avgdeg AS MATERIALIZED (SELECT AVG(outw) AS a FROM deg),",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.node, {1 - d} + {d} * COALESCE(s.contrib, 0) AS r "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst_id AS node, "
+            f"SUM(r{i-1}.r * e.weight / (deg.outw + avgdeg.a)) AS contrib "
+            f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node JOIN deg ON e.src_id = deg.src_id "
+            f"CROSS JOIN avgdeg GROUP BY e.dst_id) s ON n.node = s.node),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
+
+
 def _pagerank_personalized_sql(k: int = PR_ITERS, d: float = DAMPING, n_src: int = 4) -> str:
     """Personalized PageRank: the (1−d) teleport base only at the n_src
     smallest node ids; r0 = base (matches algos/pagerank.py sourceNodes)."""
@@ -1797,11 +1853,13 @@ WITH e0 AS ({_E_PS}),
 """
 
 
-def _eigenvector_sql(k: int = 10) -> str:
+def _eigenvector_sql(k: int = 10, weighted: bool = False) -> str:
     """k power iterations with per-step L2 normalization, as chained
     MATERIALIZED CTEs (same chaining idiom as _pagerank_sql)."""
+    src = _E_PS_W if weighted else _E_PS
+    term = f"r{{prev}}.r * e.weight" if weighted else "r{prev}.r"
     parts = [
-        f"WITH e AS MATERIALIZED ({_E_PS}),",
+        f"WITH e AS MATERIALIZED ({src}),",
         "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
         "(SELECT src_id AS node FROM e UNION ALL SELECT dst_id FROM e)),",
         "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) c FROM nodes),",
@@ -1809,7 +1867,7 @@ def _eigenvector_sql(k: int = 10) -> str:
     ]
     for i in range(1, k + 1):
         parts.append(
-            f"s{i} AS MATERIALIZED (SELECT e.dst_id AS node, SUM(r{i-1}.r) AS s "
+            f"s{i} AS MATERIALIZED (SELECT e.dst_id AS node, SUM({term.format(prev=i-1)}) AS s "
             f"FROM e JOIN r{i-1} ON e.src_id = r{i-1}.node GROUP BY 1),"
         )
         parts.append(f"n{i} AS MATERIALIZED (SELECT SQRT(SUM(s * s)) AS nrm FROM s{i}),")
@@ -1917,6 +1975,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted_k5": _pagerank_weighted_sql(),
         "pagerank_personalized_k5": _pagerank_personalized_sql(),
         "article_rank_k5": _pagerank_sql(denom="deg.outdeg + avgdeg.a"),
+        "article_rank_weighted_k5": _article_rank_weighted_sql(),
+        "eigenvector_weighted_k10": _eigenvector_sql(10, weighted=True),
         "local_clustering_coefficient": _TRI_SQL_CORE + (
             ", deg AS (SELECT node_id, CAST(COUNT(*) AS DOUBLE) AS d FROM "
             "(SELECT u AS node_id FROM und UNION ALL SELECT v FROM und) GROUP BY node_id), "

@@ -34,9 +34,11 @@ def _iterate_scaled(
     tolerance: float,
     value_name: str,
     init: np.ndarray,
+    weighted: bool = False,
 ) -> IterativeResult:
     """Shared loop: broadcast scaled[src] per iteration, per-batch
-    combiner sum by dst, driver merge, custom apply."""
+    combiner sum by dst, driver merge, custom apply. ``weighted``
+    multiplies each contribution by the edge's ``weight`` column."""
     configure_ray_data()
     n = node_arr.shape[0]
     state = init
@@ -52,6 +54,10 @@ def _iterate_scaled(
             src = batch.column("src_id").to_numpy(zero_copy_only=False)
             dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
             contrib = sc[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            if weighted:
+                contrib = contrib * batch.column("weight").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
             u, inv = unique_inverse(dst)
             s = np.bincount(inv, weights=contrib, minlength=u.shape[0])
             return pa.table(
@@ -77,11 +83,14 @@ def article_rank(
     damping: float = 0.85,
     max_iterations: int = 20,
     tolerance: float = 1e-7,
+    weighted: bool = False,
 ) -> IterativeResult:
+    """``weighted`` = GDS relationshipWeightProperty: contributions are
+    w/(sum_out_w + avg), with avg the mean positive out-weight."""
     configure_ray_data()
     edges = edges.materialize()
     node_arr = unique_node_ids(edges)
-    out_w = _out_weight(edges, node_arr, weighted=False)
+    out_w = _out_weight(edges, node_arr, weighted=weighted)
     nonzero = out_w[out_w > 0]
     avg_deg = float(nonzero.mean()) if nonzero.shape[0] else 0.0
 
@@ -95,7 +104,7 @@ def article_rank(
 
     return _iterate_scaled(
         edges, node_arr, scale, apply, max_iterations, tolerance, "article_rank",
-        np.ones(node_arr.shape[0]),
+        np.ones(node_arr.shape[0]), weighted=weighted,
     )
 
 
@@ -103,7 +112,10 @@ def eigenvector(
     edges: Dataset,
     max_iterations: int = 20,
     tolerance: float = 1e-7,
+    weighted: bool = False,
 ) -> IterativeResult:
+    """``weighted`` = GDS relationshipWeightProperty: power iteration on
+    the weighted adjacency."""
     configure_ray_data()
     edges = edges.materialize()
     node_arr = unique_node_ids(edges)
@@ -119,7 +131,8 @@ def eigenvector(
 
     init = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
     return _iterate_scaled(
-        edges, node_arr, scale, apply, max_iterations, tolerance, "eigenvector", init
+        edges, node_arr, scale, apply, max_iterations, tolerance, "eigenvector", init,
+        weighted=weighted,
     )
 
 

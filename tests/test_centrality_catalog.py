@@ -196,3 +196,41 @@ def test_filter_graph_empty_keep_and_catalog():
     want = sorted({(s, d) for s, d in pairs if s < d})
     assert sorted(_pairs(collect_arrow(sub.edges))) == want
     assert {e["name"] for e in cat.list()} == {"g", "g_fwd"}
+
+
+def test_weighted_article_rank_and_eigenvector_match_numpy():
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.centrality import article_rank, eigenvector
+
+    t = fixtures.er_random(40, 0.12, seed=13)
+    rng = np.random.default_rng(2)
+    w = rng.uniform(0.5, 3.0, size=t.num_rows)
+    tw = t.append_column("weight", pa.array(w)) if "weight" not in t.column_names else t
+    pairs = _pairs(t)
+    ids = sorted({x for p in pairs for x in p})
+    idx = {u: i for i, u in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for (s, d), ww in zip(pairs, w):
+        A[idx[s], idx[d]] += ww
+    outw = A.sum(axis=1)
+
+    # weighted ArticleRank replica
+    avg = outw[outw > 0].mean()
+    r = np.ones(n)
+    for _ in range(5):
+        contrib = np.divide(r, outw + avg, out=np.zeros(n), where=outw > 0)
+        r = 0.15 + 0.85 * (A.T @ contrib)
+    res = article_rank(from_arrow(tw), max_iterations=5, tolerance=0.0, weighted=True)
+    assert np.allclose(res.values, r, atol=1e-10)
+
+    # weighted eigenvector replica
+    v = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(8):
+        s = A.T @ v
+        nrm = np.linalg.norm(s)
+        v = s / nrm if nrm > 0 else v
+    rese = eigenvector(from_arrow(tw), max_iterations=8, tolerance=0.0, weighted=True)
+    assert np.allclose(rese.values, v, atol=1e-10)
