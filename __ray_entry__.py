@@ -575,6 +575,18 @@ def _q_betweenness32(sf_dir: str):
     return _round6(betweenness_centrality(edges, sources=ids[:32]), "betweenness")
 
 
+def _q_betweenness_weighted32(sf_dir: str):
+    """relationshipWeightProperty variant; 32-source sample on the ps
+    MIN-weight projection. Rows-only (weighted Brandes is not
+    SQL-expressible); exactness vs networkx is pytest-covered."""
+    from graph_data_science_ray.algos.betweenness import betweenness_centrality_weighted
+    from graph_data_science_ray.algos.common import unique_node_ids
+
+    edges = _edges_ps_weighted(sf_dir)
+    ids = unique_node_ids(edges)
+    return _round6(betweenness_centrality_weighted(edges, sources=ids[:32]), "betweenness")
+
+
 def _q_random_walks(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.randomwalk import random_walks
@@ -1642,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_longest_path": _q_dag_longest_path,
         "bellman_ford_negative": _q_bellman_ford_negative,
         "betweenness_32src": _q_betweenness32,
+        "betweenness_weighted_32src": _q_betweenness_weighted32,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,

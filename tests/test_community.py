@@ -773,3 +773,44 @@ def test_louvain_intermediate_communities():
     # default keeps the field off
     res0 = louvain(from_arrow(t), num_partitions=2)
     assert res0.intermediate_communities is None
+
+
+def test_betweenness_weighted_matches_networkx():
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.betweenness import betweenness_centrality_weighted
+
+    t = fixtures.er_random(40, 0.1, seed=37)
+    # integer weights -> exact float path sums, no tie ambiguity
+    rng = np.random.default_rng(8)
+    w = rng.integers(1, 6, size=t.num_rows).astype(np.float64)
+    cols = {"src_id": t.column("src_id"), "dst_id": t.column("dst_id"),
+            "weight": pa.array(w)}
+    tw = pa.table(cols)
+
+    g = nx.Graph()
+    for s, d, ww in zip(tw.column("src_id").to_pylist(), tw.column("dst_id").to_pylist(),
+                        tw.column("weight").to_pylist()):
+        if s != d:
+            # undirected MIN-dedup view: keep the smaller weight
+            if g.has_edge(s, d):
+                g[s][d]["weight"] = min(g[s][d]["weight"], ww)
+            else:
+                g.add_edge(s, d, weight=ww)
+
+    got_t = betweenness_centrality_weighted(from_arrow(tw), num_partitions=2)
+    got = dict(zip(got_t["node_id"].to_pylist(), got_t["betweenness"].to_pylist()))
+    exp = nx.betweenness_centrality(g, weight="weight", normalized=False)
+    for u, v in exp.items():
+        assert got[u] == pytest.approx(v, abs=1e-9), u
+
+    # subset sampling agrees with networkx subset variant
+    srcs = sorted(g.nodes())[:6]
+    got_s = betweenness_centrality_weighted(from_arrow(tw), sources=srcs, num_partitions=2)
+    gs = dict(zip(got_s["node_id"].to_pylist(), got_s["betweenness"].to_pylist()))
+    exp_s = nx.betweenness_centrality_subset(
+        g, sources=srcs, targets=list(g.nodes()), weight="weight", normalized=False)
+    for u, v in exp_s.items():
+        assert gs[u] == pytest.approx(v, abs=1e-9), u
