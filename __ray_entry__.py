@@ -388,6 +388,13 @@ def _q_eigenvector_weighted(sf_dir: str):
     return _round6(t, "score")
 
 
+def _q_degree_distribution(sf_dir: str):
+    """gds.graph.list degreeDistribution (exact discrete quantiles)."""
+    from graph_data_science_ray.algos.degree import degree_distribution
+
+    return degree_distribution(_edges_op(sf_dir))
+
+
 def _q_lcc(sf_dir: str):
     from graph_data_science_ray.algos.centrality import local_clustering_coefficient
 
@@ -413,6 +420,15 @@ def _q_node_similarity_overlap(sf_dir: str):
     from graph_data_science_ray.algos.nodesim import node_similarity
 
     t = node_similarity(_edges_op(sf_dir), top_k=3, metric="overlap")
+    return _round6(t, "similarity")
+
+
+def _q_node_similarity_weighted(sf_dir: str):
+    """relationshipWeightProperty variant (weighted Jaccard Σmin/Σmax)
+    over the ps MIN-weight projection."""
+    from graph_data_science_ray.algos.nodesim import node_similarity
+
+    t = node_similarity(_edges_ps_weighted(sf_dir), top_k=3, weighted=True)
     return _round6(t, "similarity")
 
 
@@ -1589,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
         "degree_topk": _q_degree_topk,
+        "degree_distribution": _q_degree_distribution,
         "pagerank_k5": _q_pagerank_k,
         "pagerank_csr_k5": _q_pagerank_csr_k,
         "pagerank_weighted_k5": _q_pagerank_weighted,
@@ -1607,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_clustering_coefficient": _q_lcc,
         "node_similarity_top3": _q_node_similarity,
         "node_similarity_overlap_top3": _q_node_similarity_overlap,
+        "node_similarity_weighted_top3": _q_node_similarity_weighted,
         "node_similarity_bottom3": _q_node_similarity_bottomk,
         "hits_k5": _q_hits,
         "bfs_hops8": _q_bfs_hops,
@@ -1971,6 +1989,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY e.src_id, e.dst_id LIMIT 50"
         ),
         "out_degree": f"SELECT src_id AS node_id, COUNT(*) AS out_degree FROM ({_E_OP}) GROUP BY src_id",
+        "degree_distribution": (
+            f"WITH d AS (SELECT src_id, COUNT(*) AS c FROM ({_E_OP}) GROUP BY src_id) "
+            "SELECT COUNT(*) AS n_nodes, MIN(c) AS min, "
+            "CAST(ROUND(AVG(c) * 1e6) AS BIGINT) AS mean_ppm, MAX(c) AS max, "
+            "quantile_disc(c, 0.50) AS p50, quantile_disc(c, 0.75) AS p75, "
+            "quantile_disc(c, 0.90) AS p90, quantile_disc(c, 0.95) AS p95, "
+            "quantile_disc(c, 0.99) AS p99, quantile_disc(c, 0.999) AS p999 FROM d"
+        ),
         "in_degree": f"SELECT dst_id AS node_id, COUNT(*) AS in_degree FROM ({_E_OP}) GROUP BY dst_id",
         "degree_topk": (
             f"SELECT src_id AS node_id, COUNT(*) AS out_degree FROM ({_E_OP}) "
@@ -2038,6 +2064,21 @@ def oracle_sql() -> dict[str, str]:
             "sims AS (SELECT node1, node2, "
             "common * 1.0 / LEAST(d1.dc, d2.dc) AS sim "
             "FROM pairs JOIN deg d1 ON node1 = d1.src_id JOIN deg d2 ON node2 = d2.src_id), "
+            "ranked AS (SELECT node1, node2, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
+            "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
+        ),
+        "node_similarity_weighted_top3": (
+            f"WITH e AS MATERIALIZED ({_E_PS_W}), "
+            "tot AS MATERIALIZED (SELECT src_id, SUM(weight) AS tw FROM e GROUP BY src_id), "
+            "pairs AS MATERIALIZED ("
+            "SELECT e1.src_id AS node1, e2.src_id AS node2, "
+            "SUM(LEAST(e1.weight, e2.weight)) AS cmn "
+            "FROM e e1 JOIN e e2 ON e1.dst_id = e2.dst_id AND e1.src_id <> e2.src_id "
+            "GROUP BY 1, 2), "
+            "sims AS (SELECT node1, node2, "
+            "cmn / (t1.tw + t2.tw - cmn) AS sim "
+            "FROM pairs JOIN tot t1 ON node1 = t1.src_id JOIN tot t2 ON node2 = t2.src_id), "
             "ranked AS (SELECT node1, node2, sim, "
             "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
             "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"

@@ -46,3 +46,45 @@ def degree(
         .groupby("node_id", num_partitions=num_partitions)
         .aggregate(Sum("_d", alias_name=alias))
     )
+
+
+def degree_distribution(
+    edges: Dataset,
+    orientation: str = "natural",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Single-row degree-distribution summary — the reference's
+    ``gds.graph.list`` degreeDistribution field (min/mean/max +
+    p50/p75/p90/p95/p99/p999), computed over nodes WITH at least one
+    edge in the chosen orientation (zero-degree nodes can't appear in an
+    edge-only projection). Percentiles are exact discrete lower
+    quantiles (value at floor(p·(n−1))), matching DuckDB
+    ``quantile_disc``; the reference's HdrHistogram is approximate, so
+    exact is a strict refinement."""
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    configure_ray_data()
+    d = collect_arrow(degree(edges, orientation=orientation, num_partitions=num_partitions))
+    if d.num_rows == 0:
+        cols = ["n_nodes", "min", "mean_ppm", "max", "p50", "p75", "p90", "p95", "p99", "p999"]
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    vals = np.sort(d.column("degree").to_numpy(zero_copy_only=False).astype(np.int64))
+    n = vals.shape[0]
+
+    def q(p: float) -> int:
+        return int(vals[int(np.floor(p * (n - 1)))])
+
+    return pa.table(
+        {
+            "n_nodes": pa.array([n], pa.int64()),
+            "min": pa.array([int(vals[0])], pa.int64()),
+            "mean_ppm": pa.array([int(round(vals.mean() * 1e6))], pa.int64()),
+            "max": pa.array([int(vals[-1])], pa.int64()),
+            "p50": pa.array([q(0.50)], pa.int64()),
+            "p75": pa.array([q(0.75)], pa.int64()),
+            "p90": pa.array([q(0.90)], pa.int64()),
+            "p95": pa.array([q(0.95)], pa.int64()),
+            "p99": pa.array([q(0.99)], pa.int64()),
+            "p999": pa.array([q(0.999)], pa.int64()),
+        }
+    )

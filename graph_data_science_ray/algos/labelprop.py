@@ -35,7 +35,7 @@ from graph_data_science_ray.checkpoint import CheckpointManager
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
 
 
-def _make_stage(weighted: bool):
+def _make_stage(weighted: bool, node_w_ref=None):
     def make(state_ref):
         def fn(batch: pa.Table) -> pa.Table:
             ids, labels = ray.get(state_ref)
@@ -46,7 +46,11 @@ def _make_stage(weighted: bool):
                 if weighted
                 else np.ones(src.shape[0], dtype=np.float64)
             )
-            src_label = labels[np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)]
+            sp = np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)
+            if node_w_ref is not None:
+                # GDS nodeWeightProperty: a vote counts w_rel x w_node(src)
+                w = w * ray.get(node_w_ref)[sp]
+            src_label = labels[sp]
             # within-batch combiner: sum weight per (dst, label) —
             # lexsort grouping (group_pairs), same lexicographic output
             # order as np.unique(axis=0) but radix-sorted
@@ -106,10 +110,13 @@ def label_propagation(
     pre_symmetrized: bool = False,
     reduce: str = "driver",
     seeds: dict[int, int] | None = None,
+    node_weights: dict[int, float] | None = None,
 ) -> IterativeResult:
     """Community label per node (deterministic min-tie-break variant).
     ``seeds``: GDS seedProperty — initial label per node id (unlisted
-    nodes start from their own id)."""
+    nodes start from their own id). ``node_weights``: GDS
+    nodeWeightProperty — a node's vote counts relationship-weight x its
+    node weight (unlisted nodes weigh 1.0)."""
     und = edges if pre_symmetrized else symmetrize(
         edges, dedup=not weighted, num_partitions=num_partitions
     )
@@ -126,11 +133,20 @@ def label_propagation(
         pos = np.searchsorted(node_arr, sk)
         ok = (pos < node_arr.shape[0]) & (node_arr[np.minimum(pos, node_arr.shape[0] - 1)] == sk)
         init[pos[ok]] = sv[ok]
+    node_w_ref = None
+    if node_weights:
+        nw = np.ones(node_arr.shape[0], dtype=np.float64)
+        wk = np.asarray(sorted(node_weights), dtype=np.int64)
+        wv = np.asarray([node_weights[k] for k in wk.tolist()], dtype=np.float64)
+        posw = np.searchsorted(node_arr, wk)
+        okw = (posw < node_arr.shape[0]) & (node_arr[np.minimum(posw, node_arr.shape[0] - 1)] == wk)
+        nw[posw[okw]] = wv[okw]
+        node_w_ref = ray.put(nw)
     return run_iterative(
         edges=und,
         node_ids=node_arr,
         init=init,
-        make_stage=_make_stage(weighted),
+        make_stage=_make_stage(weighted, node_w_ref),
         gather_key=["node_id", "label"],
         gather_aggs=lambda: [Sum("w", alias_name="w")],
         apply_fn=_apply,

@@ -38,6 +38,7 @@ def node_similarity(
     target_filter: "np.ndarray | list | None" = None,
     metric: str = "jaccard",
     bottom_k: bool = False,
+    weighted: bool = False,
 ) -> pa.Table:
     """→ (node1, node2, similarity) — top_k per node1, sorted
     (node1, -similarity, node2). Self-pairs excluded.
@@ -53,7 +54,13 @@ def node_similarity(
 
     ``bottom_k``: the reference's ``bottomK`` — keep the k LEAST similar
     per node1 instead (still only pairs sharing ≥1 neighbor; ties broken
-    by node2 ascending, matching the deterministic top-k contract)."""
+    by node2 ascending, matching the deterministic top-k contract).
+
+    ``weighted``: the reference's ``relationshipWeightProperty`` —
+    treat the neighborhood as a weight vector (``weight`` column
+    required): Jaccard Σmin/Σmax, overlap Σmin/min(Σw_a, Σw_b), cosine
+    Σ(w_a·w_b)/(‖w_a‖‖w_b‖), all over shared neighbors in the
+    numerator."""
     configure_ray_data()
     metric = metric.lower()
     if metric not in ("jaccard", "overlap", "cosine"):
@@ -61,9 +68,18 @@ def node_similarity(
     num_partitions = num_partitions or shuffle_partitions_for()
     edges = edges.materialize()
 
-    # out-degrees (per-batch partials + driver merge)
+    # out-degrees (per-batch partials + driver merge); weighted mode
+    # needs Σw (jaccard/overlap) or Σw² (cosine norm) per node instead
     def deg_partials(t: pa.Table) -> pa.Table:
-        u, c = np.unique(t.column("src_id").to_numpy(zero_copy_only=False), return_counts=True)
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        if weighted:
+            w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            if metric == "cosine":
+                w = w * w
+            u, inv = np.unique(src, return_inverse=True)
+            c = np.bincount(inv, weights=w, minlength=u.shape[0])
+            return pa.table({"node_id": pa.array(u, pa.int64()), "c": pa.array(c, pa.float64())})
+        u, c = np.unique(src, return_counts=True)
         return pa.table({"node_id": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
 
     dt = collect_arrow(edges.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True))
@@ -73,7 +89,7 @@ def node_similarity(
              "similarity": pa.array([], pa.float64())}
         )
     deg_ids, deg_c = merge_sum(dt, "node_id", "c")
-    deg_c = deg_c.astype(np.int64)
+    deg_c = deg_c.astype(np.float64) if weighted else deg_c.astype(np.int64)
 
     # optionally drop hub DESTINATIONS (in-degree cutoff) before pairing
     if degree_cutoff is not None:
@@ -104,19 +120,32 @@ def node_similarity(
     # groupby(dst).map_groups gives dst-pure groups; within a group the
     # pair generation is vectorized (meshgrid upper triangle).
     def pairs(g: pa.Table) -> pa.Table:
-        srcs = np.unique(g.column("src_id").to_numpy(zero_copy_only=False))
+        src = g.column("src_id").to_numpy(zero_copy_only=False)
+        if weighted:
+            w = g.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(src)
+            srcs, w = src[order], w[order]  # src unique per dst (deduped)
+        else:
+            srcs = np.unique(src)
         m = srcs.shape[0]
         if m < 2:
             return pa.table(
                 {"node1": pa.array([], pa.int64()), "node2": pa.array([], pa.int64()),
-                 "c": pa.array([], pa.int64())}
+                 "c": pa.array([], pa.float64() if weighted else pa.int64())}
             )
         ii, jj = np.triu_indices(m, k=1)
+        if weighted:
+            # per-pair contribution of THIS shared neighbor:
+            # min(w_i, w_j) for jaccard/overlap, w_i*w_j for cosine
+            c = w[ii] * w[jj] if metric == "cosine" else np.minimum(w[ii], w[jj])
+            c = pa.array(c, pa.float64())
+        else:
+            c = pa.array(np.ones(ii.shape[0], dtype=np.int64))
         return pa.table(
             {
                 "node1": pa.array(srcs[ii], pa.int64()),
                 "node2": pa.array(srcs[jj], pa.int64()),
-                "c": pa.array(np.ones(ii.shape[0], dtype=np.int64)),
+                "c": c,
             }
         )
 
@@ -137,7 +166,9 @@ def node_similarity(
             {
                 "node1": pa.array(m1, pa.int64()),
                 "node2": pa.array(m2, pa.int64()),
-                "common": pa.array(mc.astype(np.int64), pa.int64()),
+                "common": pa.array(mc.astype(np.float64), pa.float64())
+                if weighted
+                else pa.array(mc.astype(np.int64), pa.int64()),
             }
         )
     else:

@@ -247,6 +247,24 @@ def test_label_propagation_seeds():
     assert len(set(res2.values.tolist())) == 2
 
 
+def test_label_propagation_node_weights():
+    from graph_data_science_ray.algos.labelprop import label_propagation
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    # star: center 0 hears ties from 1,2,3 -> min label wins unweighted;
+    # a heavy node weight on 3 flips the center's first-round vote
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    base = label_propagation(
+        from_arrow(fixtures.edges_table(pairs)), max_iterations=1, num_partitions=2
+    )
+    assert base.as_dict()[0] == 1
+    heavy = label_propagation(
+        from_arrow(fixtures.edges_table(pairs)), max_iterations=1, num_partitions=2,
+        node_weights={3: 10.0},
+    )
+    assert heavy.as_dict()[0] == 3
+
+
 def test_wcc_star_checkpoint_resume(tmp_path):
     from graph_data_science_ray.algos.wcc import wcc_star
     from graph_data_science_ray.sources.edges import from_arrow

@@ -153,3 +153,53 @@ def test_node_similarity_metrics_and_bottomk():
         for (g1, g2, gs), (w1, w2, ws) in zip(got_rows, want):
             assert (g1, g2) == (w1, w2), metric
             assert gs == pytest.approx(ws, abs=1e-12)
+
+
+def test_node_similarity_weighted_metrics():
+    import pyarrow as pa
+
+    t = fixtures.er_random(50, 0.1, seed=17)
+    rng = np.random.default_rng(4)
+    w = rng.uniform(0.5, 4.0, size=t.num_rows)
+    tw = pa.table({"src_id": t.column("src_id"), "dst_id": t.column("dst_id"),
+                   "weight": pa.array(w)})
+
+    nbrs = defaultdict(dict)
+    for s, d, ww in zip(tw.column("src_id").to_pylist(), tw.column("dst_id").to_pylist(),
+                        tw.column("weight").to_pylist()):
+        nbrs[s][d] = ww  # er_random edges are distinct, no collision
+
+    def brute(metric):
+        rows = []
+        for a in sorted(nbrs):
+            sims = []
+            for b in sorted(nbrs):
+                if a == b:
+                    continue
+                shared = set(nbrs[a]) & set(nbrs[b])
+                if not shared:
+                    continue
+                if metric == "cosine":
+                    num = sum(nbrs[a][x] * nbrs[b][x] for x in shared)
+                    den = (sum(v * v for v in nbrs[a].values())
+                           * sum(v * v for v in nbrs[b].values())) ** 0.5
+                else:
+                    num = sum(min(nbrs[a][x], nbrs[b][x]) for x in shared)
+                    ta, tb = sum(nbrs[a].values()), sum(nbrs[b].values())
+                    den = (ta + tb - num) if metric == "jaccard" else min(ta, tb)
+                sims.append((num / den, b))
+            sims.sort(key=lambda x: (-x[0], x[1]))
+            rows.extend((a, b, s_) for s_, b in sims[:3])
+        return rows
+
+    for metric in ("jaccard", "overlap", "cosine"):
+        got = node_similarity(from_arrow(tw), top_k=3, num_partitions=2,
+                              metric=metric, weighted=True)
+        got_rows = list(zip(got.column("node1").to_pylist(),
+                            got.column("node2").to_pylist(),
+                            got.column("similarity").to_pylist()))
+        want = brute(metric)
+        assert len(got_rows) == len(want), metric
+        for (g1, g2, gs), (w1, w2, ws) in zip(got_rows, want):
+            assert (g1, g2) == (w1, w2), metric
+            assert gs == pytest.approx(ws, abs=1e-12)
