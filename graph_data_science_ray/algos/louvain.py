@@ -128,6 +128,7 @@ def louvain(
     weighted: bool = False,
     gamma: float = 1.0,
     include_intermediate_communities: bool = False,
+    seeds: dict[int, int] | None = None,
 ) -> LouvainResult:
     """``gamma`` is GDS Louvain's resolution parameter: >1 favors more,
     smaller communities; 1.0 is classic modularity. It scales the
@@ -136,7 +137,11 @@ def louvain(
     ``include_intermediate_communities`` (GDS
     ``includeIntermediateCommunities``): also return the per-level
     community id of every original node as an (n × ranLevels) matrix on
-    ``LouvainResult.intermediate_communities`` (last column = final)."""
+    ``LouvainResult.intermediate_communities`` (last column = final).
+
+    ``seeds`` (GDS ``seedProperty``): initial community id per node id —
+    level-1 local moving starts from the seeded partition instead of
+    singletons (nodes may still move out); unlisted nodes start alone."""
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
     inter_levels: list[np.ndarray] = []
@@ -214,6 +219,29 @@ def louvain(
         comm = np.arange(n, dtype=np.int64)      # community = position
         sigma = k.copy()                          # Σ_tot per community
         in_w = internal.copy()                    # internal weight per community
+        if level == 1 and seeds:
+            # GDS seedProperty: start level-1 local moving from the
+            # seeded partition (community position = min member position
+            # per seed value); nodes may still move out.
+            sk = np.asarray(sorted(seeds), dtype=np.int64)
+            sv = np.asarray([seeds[x] for x in sk.tolist()], dtype=np.int64)
+            posk = np.searchsorted(level_ids, sk)
+            okk = (posk < n) & (level_ids[np.minimum(posk, n - 1)] == sk)
+            idxs = posk[okk]
+            useed, sinv = np.unique(sv[okk], return_inverse=True)
+            minpos = np.full(useed.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(minpos, sinv, idxs)
+            comm[idxs] = minpos[sinv]
+            sigma = np.zeros(n)
+            np.add.at(sigma, comm, k)
+            in_w = np.zeros(n)
+            np.add.at(in_w, comm, internal)
+            ids_ref0 = ray.put((level_ids, comm))
+            part0 = _neighbor_community_weights(scanner, ids_ref0)
+            if part0.num_rows:
+                p0, c0, w0 = _merge_partials(part0, n)
+                intra0 = comm[p0] == c0
+                np.add.at(in_w, comm[p0[intra0]], w0[intra0] / 2.0)
         q = float(np.sum(in_w / m - gamma * (sigma / two_m) ** 2))
         if total_q is None:
             total_q = q
@@ -222,7 +250,9 @@ def louvain(
         # failure mode): restrict each sub-round to one deterministic
         # phase class (position mod C), the classic coloring workaround.
         C = 4
-        moved_any = False
+        # a non-singleton seeded start must still coarsen, even if local
+        # moving can't improve on it
+        moved_any = bool(level == 1 and seeds and (comm != np.arange(n)).any())
         stall = 0
         # ONE scan per round: the acceptance scan under the tentative
         # assignment doubles as the next round's candidate rows (on
@@ -238,6 +268,14 @@ def louvain(
             if rows is None:
                 break
             npos, ncomm, nw = rows
+            # isolation candidates (Blondel remove-then-reinsert): a node
+            # whose own home position is an empty community may retreat
+            # there with score 0 — needed to escape bad seeded starts
+            iso = np.where(sigma <= 0.0)[0]
+            if iso.size:
+                npos = np.concatenate([npos, iso])
+                ncomm = np.concatenate([ncomm, iso])
+                nw = np.concatenate([nw, np.zeros(iso.shape[0])])
             # score(c) = k_vc − k_v·(Σ_c − [c==cur]·k_v)/(2m); compare vs stay
             cur = comm[npos]
             adj = np.where(ncomm == cur, k[npos], 0.0)

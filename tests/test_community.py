@@ -814,3 +814,39 @@ def test_betweenness_weighted_matches_networkx():
         g, sources=srcs, targets=list(g.nodes()), weight="weight", normalized=False)
     for u, v in exp_s.items():
         assert gs[u] == pytest.approx(v, abs=1e-9), u
+
+
+def test_louvain_seed_property():
+    from graph_data_science_ray.algos.louvain import louvain
+
+    t = _cliques_with_bridges()
+    base = louvain(from_arrow(t), num_partitions=2)
+
+    # perfect seeds (the true clique partition) -> same final communities
+    seeds = {c * 10 + i: c for c in range(4) for i in range(5)}
+    seeded = louvain(from_arrow(t), num_partitions=2, seeds=seeds)
+    got = seeded.as_dict()
+    for c in range(4):
+        labels = {got[c * 10 + i] for i in range(5)}
+        assert len(labels) == 1
+    assert len({got[c * 10] for c in range(4)}) == 4
+    assert seeded.modularity == pytest.approx(base.modularity, abs=1e-9)
+
+    # all-in-one seeds: a genuine local optimum of single-node moving
+    # (isolating any node strictly lowers Q) -> the seeded partition is
+    # kept, exactly like the reference's seeded local moving
+    all_one = {c * 10 + i: 0 for c in range(4) for i in range(5)}
+    res = louvain(from_arrow(t), num_partitions=2, seeds=all_one)
+    assert len(set(res.as_dict().values())) == 1
+    assert res.modularity == pytest.approx(0.0, abs=1e-12)
+
+    # partial seeds: two cliques pre-seeded, the rest unseeded -> still
+    # recovers all four cliques
+    part_seeds = {i: 100 for i in range(5)}
+    part_seeds.update({10 + i: 200 for i in range(5)})
+    res2 = louvain(from_arrow(t), num_partitions=2, seeds=part_seeds)
+    got2 = res2.as_dict()
+    for c in range(4):
+        labels = {got2[c * 10 + i] for i in range(5)}
+        assert len(labels) == 1
+    assert len({got2[c * 10] for c in range(4)}) == 4
