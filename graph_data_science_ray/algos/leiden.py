@@ -173,9 +173,13 @@ def leiden(
     num_partitions: int | None = None,
     weighted: bool = False,
     gamma: float = 1.0,
+    include_intermediate_communities: bool = False,
 ) -> LouvainResult:
     """``gamma`` is the resolution parameter (GDS leiden config),
-    scaling the expected-degree term in every gain/Q evaluation."""
+    scaling the expected-degree term in every gain/Q evaluation.
+    ``include_intermediate_communities``: also return each level's
+    community id per original node as an (n x ranLevels) matrix on
+    ``LouvainResult.intermediate_communities`` (last column = final)."""
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
 
@@ -220,6 +224,7 @@ def leiden(
     metrics: list[dict] = []
     total_q = 0.0
     final_comm_labels = min_member.copy()
+    inter_levels: list[np.ndarray] = []
     level = 0
     for level in range(1, max_levels + 1):
         n = level_ids.shape[0]
@@ -239,6 +244,8 @@ def leiden(
         rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(rep, comm, min_member)
         final_comm_labels = rep[comm[assign]]
+        if include_intermediate_communities:
+            inter_levels.append(final_comm_labels.copy())
         metrics.append({"level": level, "modularity": q, "n_supernodes": int(n)})
         if not moved and level > 1:
             break
@@ -308,4 +315,10 @@ def leiden(
         internal = new_internal
         comm_seed = next_seed.astype(np.int64)
 
-    return LouvainResult(orig_ids, final_comm_labels, total_q, level, metrics)
+    inter = None
+    if include_intermediate_communities:
+        if not inter_levels:
+            inter_levels.append(final_comm_labels.copy())
+        inter = np.stack(inter_levels, axis=1)
+    return LouvainResult(orig_ids, final_comm_labels, total_q, level, metrics,
+                         intermediate_communities=inter)

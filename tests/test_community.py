@@ -850,3 +850,18 @@ def test_louvain_seed_property():
         labels = {got2[c * 10 + i] for i in range(5)}
         assert len(labels) == 1
     assert len({got2[c * 10] for c in range(4)}) == 4
+
+
+def test_leiden_intermediate_communities():
+    import numpy as np
+
+    from graph_data_science_ray.algos.leiden import leiden
+
+    t = _cliques_with_bridges()
+    res = leiden(from_arrow(t), num_partitions=2, include_intermediate_communities=True)
+    inter = res.intermediate_communities
+    assert inter is not None and inter.shape[0] == res.node_ids.shape[0]
+    assert np.array_equal(inter[:, -1], res.values)
+    res0 = leiden(from_arrow(t), num_partitions=2)
+    assert res0.intermediate_communities is None
+    assert np.array_equal(res0.values, res.values)
