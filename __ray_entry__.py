@@ -1408,6 +1408,27 @@ def _q_lsh_ann_topk(sf_dir: str):
     return _round6(t.drop_columns(["query_idx"]), "score")
 
 
+def _q_ivf_ann_topk(sf_dir: str):
+    """IVF-Flat ANN (k-means coarse quantizer, n_probe nearest lists).
+    Rows-only: the quantizer is iterative k-means, not SQL; exactness at
+    n_probe=n_lists and recall floors are pytest-covered."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from graph_data_science_ray.stages.embed import ivf_topk
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = ivf_topk(ds, np.array([q], dtype=np.float64), k=10, n_lists=16, n_probe=4)
+    return _round6(t.drop_columns(["query_idx"]), "score")
+
+
 def _q_fastrp(sf_dir: str):
     from graph_data_science_ray.algos.fastrp import fastrp_table
 
@@ -1681,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_packed": _q_docs_packed,
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "fastrp_embeddings": _q_fastrp,
         "graphsage_embeddings": _q_graphsage,
         "hashgnn_embeddings": _q_hashgnn,

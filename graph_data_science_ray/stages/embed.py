@@ -171,3 +171,100 @@ def embedding_cosine_pairs(
     return bucketed.groupby("lsh_bucket", num_partitions=num_partitions).map_groups(
         pairs, batch_format="pyarrow"
     )
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_iterations: int = 5,
+) -> pa.Table:
+    """FAISS-style IVF-Flat approximate top-k: coarse-quantize the
+    vectors into ``n_lists`` k-means cells (the engine's deterministic
+    farthest-first k-means), then each query scores ONLY rows whose cell
+    is among its ``n_probe`` nearest centroids. ``n_probe == n_lists``
+    degenerates to exact brute force (tested). One training pass +
+    one search scan; centroids and probe lists ride along broadcast —
+    the batch never ships, the (n_lists × d) matrix does.
+
+    Returns (query_idx, vec_id, score) like ``brute_force_topk``."""
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.algos.kmeans import kmeans
+
+    configure_ray_data()
+    res = kmeans(ds, k=n_lists, max_iterations=max_train_iterations,
+                 id_col=id_col, vec_col=vec_col)
+    cents = res.centroids
+    qraw = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(qraw)
+    d2 = (
+        (qraw * qraw).sum(axis=1, keepdims=True)
+        - 2.0 * (qraw @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    npr = min(n_probe, cents.shape[0])
+    probes = np.argsort(d2, axis=1)[:, :npr]  # (Q, P) cell ids per query
+    probe_union = np.unique(probes)
+    state_ref = ray.put((qn, cents, probes, probe_union))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, c, pr, pu = ray.get(state_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m_raw = _batch_matrix(batch, vec_col)
+        if m_raw.shape[0] == 0:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        a = (
+            (m_raw * m_raw).sum(axis=1, keepdims=True)
+            - 2.0 * (m_raw @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        ).argmin(axis=1)
+        keep_rows = np.isin(a, pu)
+        if not keep_rows.any():
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids, a = ids[keep_rows], a[keep_rows]
+        m = _normalize(m_raw[keep_rows])
+        sims = qm @ m.T  # (Q, n')
+        allowed = (a[None, None, :] == pr[:, :, None]).any(axis=1)  # (Q, n')
+        sims = np.where(allowed, sims, -np.inf)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(qm.shape[0], dtype=np.int64), kk)
+        vi = ids[part.ravel()]
+        sc = np.take_along_axis(sims, part, axis=1).ravel()
+        fin = np.isfinite(sc)
+        return pa.table(
+            {
+                "query_idx": pa.array(qi[fin]),
+                id_col: pa.array(vi[fin]),
+                "score": pa.array(sc[fin], pa.float64()),
+            }
+        )
+
+    part = collect_arrow(ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True))
+    if part.num_rows == 0:
+        return pa.table({"query_idx": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    qi = part.column("query_idx").to_numpy(zero_copy_only=False)
+    vi = part.column(id_col).to_numpy(zero_copy_only=False)
+    sc = part.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vi, -sc, qi))
+    qi, vi, sc = qi[order], vi[order], sc[order]
+    _, starts = np.unique(qi, return_index=True)
+    ranks = np.arange(qi.shape[0]) - np.repeat(starts, np.diff(np.append(starts, qi.shape[0])))
+    keep = ranks < k
+    return pa.table(
+        {
+            "query_idx": pa.array(qi[keep]),
+            id_col: pa.array(vi[keep]),
+            "score": pa.array(sc[keep], pa.float64()),
+        }
+    )

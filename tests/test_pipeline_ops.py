@@ -306,3 +306,38 @@ def test_pack_documents_invariants():
     )
     out1 = out.sort_values("doc_id").reset_index(drop=True)
     assert out1.equals(out2)
+
+
+def test_ivf_topk_exact_when_full_probe_and_recall():
+    from graph_data_science_ray.stages.embed import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal((300, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    qs = m[[3, 50, 200]]
+    exact = brute_force_topk(ds, qs, k=10)
+
+    # n_probe = n_lists -> identical to brute force
+    full = ivf_topk(ds, qs, k=10, n_lists=8, n_probe=8)
+    assert full.to_pydict() == exact.to_pydict()
+
+    # partial probe: self always found (its own cell is the nearest),
+    # and recall@10 is decent
+    part = ivf_topk(ds, qs, k=10, n_lists=8, n_probe=3)
+    got = {}
+    for q_, v in zip(part.column("query_idx").to_pylist(), part.column("vec_id").to_pylist()):
+        got.setdefault(q_, []).append(v)
+    want = {}
+    for q_, v in zip(exact.column("query_idx").to_pylist(), exact.column("vec_id").to_pylist()):
+        want.setdefault(q_, []).append(v)
+    for qi, self_id in enumerate([3, 50, 200]):
+        assert got[qi][0] == self_id
+        recall = len(set(got[qi]) & set(want[qi])) / len(want[qi])
+        assert recall >= 0.5, (qi, recall)
