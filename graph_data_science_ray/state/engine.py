@@ -121,6 +121,12 @@ class CsrEngine:
         auto picks scan below ``scan_threshold`` edges."""
         configure_ray_data()
         P = num_shards
+        # prune + materialize ONCE: the degree scan, the dst-universe
+        # scan, and the shard ingest all reuse these blocks — a lazy
+        # input (read→union→rename pipeline) would otherwise be
+        # re-executed three times over (measured 3-4x of build wall)
+        cols = ["src_id", "dst_id"] + (["weight"] if weighted else [])
+        edges = edges.select_columns(cols).materialize()
         # out-degrees (combiner partials + driver merge) → hub set
         from graph_data_science_ray.algos.common import merge_sum
 
@@ -200,10 +206,9 @@ class CsrEngine:
                 loads.append(s.ingest_parquet.remote(files))
             ray.get(loads)
         else:
-            # scan routing: shards filter their rows from shared blocks
-            edges = edges.materialize()
-            cols = ["src_id", "dst_id"] + (["weight"] if weighted else [])
-            block_refs = edges.select_columns(cols).materialize().to_arrow_refs()
+            # scan routing: shards filter their rows from the shared
+            # blocks materialized once at the top of build
+            block_refs = edges.to_arrow_refs()
             ray.get(
                 [s.ingest_routed_blocks.remote(hub_ids, *block_refs) for s in shards]
             )
