@@ -1429,6 +1429,16 @@ def _q_ivf_ann_topk(sf_dir: str):
     return _round6(t.drop_columns(["query_idx"]), "score")
 
 
+def _q_split_relationships(sf_dir: str):
+    """gds.alpha.ml.splitRelationships: labeled holdout + negatives.
+    Rows-only (the split hash is splitmix64 — not SQL-mirrorable);
+    partition/determinism invariants are pytest-covered."""
+    from graph_data_science_ray.pipelines.ml import split_relationships
+
+    out = split_relationships(_edges_ps(sf_dir), holdout_fraction=0.2, seed=11)
+    return out["test"]
+
+
 def _q_fastrp(sf_dir: str):
     from graph_data_science_ray.algos.fastrp import fastrp_table
 
@@ -1711,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_top20": _q_linkpred,
         "nodeclass_pipeline": _q_nodeclass,
         "linkpred_pipeline": _q_linkpred_pipeline,
+        "split_relationships": _q_split_relationships,
         "nodereg_pipeline": _q_nodereg,
         "media_features": _q_media_features,
         "kmeans_embeddings": _q_kmeans,

@@ -212,6 +212,84 @@ def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _mix64(_mix64(lo) ^ hi)
 
 
+def _sample_non_edges(nodes: np.ndarray, edge_hash: np.ndarray, n_neg: int,
+                      seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic rejection sampling of ``n_neg`` distinct non-edges
+    over ``nodes`` (edge membership via the sorted 64-bit pair-hash set)."""
+    neg_a = np.empty(0, np.int64)
+    neg_b = np.empty(0, np.int64)
+    draw = 0
+    while neg_a.shape[0] < n_neg and draw < 50:
+        need = (n_neg - neg_a.shape[0]) * 2 + 16
+        idx = np.arange(draw * need, (draw + 1) * need, dtype=np.int64)
+        ca = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 1))
+                    % np.uint64(nodes.shape[0])).astype(np.int64)]
+        cb = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 2))
+                    % np.uint64(nodes.shape[0])).astype(np.int64)]
+        ok = (ca != cb) & ~np.isin(_pair_hash(ca, cb), edge_hash)
+        ca, cb = ca[ok], cb[ok]
+        # drop duplicate candidate pairs
+        _, fi = np.unique(_pair_hash(ca, cb), return_index=True)
+        ca, cb = ca[fi], cb[fi]
+        known = np.isin(_pair_hash(ca, cb), _pair_hash(neg_a, neg_b)) if neg_a.shape[0] else np.zeros(ca.shape[0], bool)
+        neg_a = np.concatenate([neg_a, ca[~known]])
+        neg_b = np.concatenate([neg_b, cb[~known]])
+        draw += 1
+    return neg_a[:n_neg], neg_b[:n_neg]
+
+
+def split_relationships(
+    edges,
+    holdout_fraction: float = 0.2,
+    negative_ratio: float = 1.0,
+    seed: int = 42,
+) -> dict:
+    """``gds.alpha.ml.splitRelationships`` equivalent: hold out a
+    hash-deterministic fraction of the (distinct, unordered, loop-free)
+    positive edges as a labeled TEST set, sample ``negative_ratio`` x as
+    many non-edges (label 0), and return the remaining positives as the
+    TRAIN edge table. Everything is deterministic in ``seed``; the same
+    primitives back the link-prediction pipeline.
+
+    Returns {"train": (src_id, dst_id), "test": (src_id, dst_id, label)}
+    as Arrow tables, test sorted by (label desc, src, dst)."""
+    configure_ray_data()
+
+    def pairs_only(t: pa.Table) -> pa.Table:
+        return t.select(["src_id", "dst_id"])
+
+    et = collect_arrow(edges.map_batches(pairs_only, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    src = et.column("src_id").to_numpy(zero_copy_only=False)
+    dst = et.column("dst_id").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edge_hash = np.unique(_pair_hash(src, dst))
+    _, first = np.unique(_pair_hash(src, dst), return_index=True)
+    psrc, pdst = src[first], dst[first]
+
+    held = _hash_uniform(_pair_hash(psrc, pdst).astype(np.int64), seed + 13) < holdout_fraction
+    tr_s, tr_d = psrc[~held], pdst[~held]
+    te_s, te_d = psrc[held], pdst[held]
+    nodes = np.unique(np.concatenate([src, dst]))
+    n_neg = int(te_s.shape[0] * negative_ratio)
+    neg_a, neg_b = _sample_non_edges(nodes, edge_hash, n_neg, seed)
+
+    ts = np.concatenate([te_s, neg_a])
+    td = np.concatenate([te_d, neg_b])
+    lab = np.concatenate([np.ones(te_s.shape[0], np.int64),
+                          np.zeros(neg_a.shape[0], np.int64)])
+    order = np.lexsort((td, ts, -lab))
+    tro = np.lexsort((tr_d, tr_s))
+    return {
+        "train": pa.table({"src_id": pa.array(tr_s[tro], pa.int64()),
+                           "dst_id": pa.array(tr_d[tro], pa.int64())}),
+        "test": pa.table({"src_id": pa.array(ts[order], pa.int64()),
+                          "dst_id": pa.array(td[order], pa.int64()),
+                          "label": pa.array(lab[order], pa.int64())}),
+    }
+
+
 def link_prediction_pipeline(
     edges: Dataset,
     embeddings: Dataset,
@@ -255,27 +333,7 @@ def link_prediction_pipeline(
 
     nodes = np.unique(np.concatenate([src, dst]))
     n_neg = int(psrc.shape[0] * negative_ratio)
-    # deterministic rejection sampling of non-edges
-    neg_a = np.empty(0, np.int64)
-    neg_b = np.empty(0, np.int64)
-    draw = 0
-    while neg_a.shape[0] < n_neg and draw < 50:
-        need = (n_neg - neg_a.shape[0]) * 2 + 16
-        idx = np.arange(draw * need, (draw + 1) * need, dtype=np.int64)
-        ca = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 1))
-                    % np.uint64(nodes.shape[0])).astype(np.int64)]
-        cb = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 2))
-                    % np.uint64(nodes.shape[0])).astype(np.int64)]
-        ok = (ca != cb) & ~np.isin(_pair_hash(ca, cb), edge_hash)
-        ca, cb = ca[ok], cb[ok]
-        # drop duplicate candidate pairs
-        _, fi = np.unique(_pair_hash(ca, cb), return_index=True)
-        ca, cb = ca[fi], cb[fi]
-        known = np.isin(_pair_hash(ca, cb), _pair_hash(neg_a, neg_b)) if neg_a.shape[0] else np.zeros(ca.shape[0], bool)
-        neg_a = np.concatenate([neg_a, ca[~known]])
-        neg_b = np.concatenate([neg_b, cb[~known]])
-        draw += 1
-    neg_a, neg_b = neg_a[:n_neg], neg_b[:n_neg]
+    neg_a, neg_b = _sample_non_edges(nodes, edge_hash, n_neg, seed)
 
     pa_all = np.concatenate([psrc, neg_a])
     pb_all = np.concatenate([pdst, neg_b])

@@ -31,7 +31,14 @@ from graph_data_science_ray.stages.ids import bucket_of
 from graph_data_science_ray.state.csr import CsrShard
 
 
-def _src_out_weight_partials(edges: Dataset, weighted: bool) -> pa.Table:
+def _universe_partials(edges: Dataset, weighted: bool) -> tuple:
+    """ONE scan for both build inputs: per-src out-weight sums AND the
+    unique dst universe (kind 0 = src row with weight, kind 1 = dst
+    row). Worker-side tree combine before the driver merge — same
+    rationale as the split helpers it fuses (idle-worker-starved driver
+    merges, BENCH/BASELINE.md); fusing saves a full edge scan + stage
+    launch per build."""
+
     def partials(t: pa.Table) -> pa.Table:
         src = t.column("src_id").to_numpy(zero_copy_only=False)
         w = (
@@ -40,43 +47,50 @@ def _src_out_weight_partials(edges: Dataset, weighted: bool) -> pa.Table:
             else np.ones(src.shape[0])
         )
         u, inv = unique_inverse(src)
-        s = np.bincount(inv, weights=w, minlength=u.shape[0])
-        return pa.table({"src_id": pa.array(u, pa.int64()), "w": pa.array(s, pa.float64())})
+        sw = np.bincount(inv, weights=w, minlength=u.shape[0])
+        ud = np.unique(t.column("dst_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "node_id": pa.array(np.concatenate([u, ud]), pa.int64()),
+                "w": pa.array(np.concatenate([sw, np.zeros(ud.shape[0])]), pa.float64()),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(u.shape[0], np.int8), np.ones(ud.shape[0], np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
 
     def combine(t: pa.Table) -> pa.Table:
-        ids = t.column("src_id").to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return t
+        ids = t.column("node_id").to_numpy(zero_copy_only=False)
         w = t.column("w").to_numpy(zero_copy_only=False)
-        u, inv = unique_inverse(ids)
-        s = np.bincount(inv, weights=w, minlength=u.shape[0])
-        return pa.table({"src_id": pa.array(u, pa.int64()), "w": pa.array(s, pa.float64())})
-
-    # worker-side tree combine before the driver merge (see
-    # algos/common.unique_node_ids for why the driver must not merge
-    # O(blocks × per-block keys) itself on this box)
-    return collect_arrow(
-        edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(4)
-        .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    )
-
-
-def _dst_ids_partials(edges: Dataset) -> np.ndarray:
-    """Sorted unique dst ids (per-batch unique combiner, driver merge).
-
-    Runs BEFORE any shard actor exists on purpose: on this sandbox,
-    idle Ray actor/worker processes each burn ~29% CPU in their poll
-    loops (measured — see BENCH/BASELINE.md), so a long driver-side
-    np.unique with 16 idle actors alive ran 70–150 s vs 0.7 s without.
-    Computing the node universe from plain scans keeps the heavy driver
-    merge in the actor-free window."""
-
-    def partials(t: pa.Table) -> pa.Table:
-        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
-        return pa.table({"dst_id": pa.array(np.unique(dst), pa.int64())})
-
-    def combine(t: pa.Table) -> pa.Table:
-        dst = np.unique(t.column("dst_id").to_numpy(zero_copy_only=False))
-        return pa.table({"dst_id": pa.array(dst, pa.int64())})
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        # combine per kind separately — packing (id, kind) into one int64
+        # key would overflow for 63-bit url-hash ids
+        out_i, out_w, out_k = [], [], []
+        for kk in (0, 1):
+            m = kind == kk
+            if not m.any():
+                continue
+            u, inv = unique_inverse(ids[m])
+            sw = (
+                np.bincount(inv, weights=w[m], minlength=u.shape[0])
+                if kk == 0
+                else np.zeros(u.shape[0])
+            )
+            out_i.append(u)
+            out_w.append(sw)
+            out_k.append(np.full(u.shape[0], kk, np.int8))
+        return pa.table(
+            {
+                "node_id": pa.array(np.concatenate(out_i), pa.int64()),
+                "w": pa.array(np.concatenate(out_w), pa.float64()),
+                "kind": pa.array(np.concatenate(out_k), pa.int8()),
+            }
+        )
 
     t = collect_arrow(
         edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
@@ -84,8 +98,20 @@ def _dst_ids_partials(edges: Dataset) -> np.ndarray:
         .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
     if t.num_rows == 0:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(t.column("dst_id").to_numpy(zero_copy_only=False))
+        return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.int64))
+    ids = t.column("node_id").to_numpy(zero_copy_only=False)
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    is_src = kind == 0
+    sub = pa.table({"src_id": pa.array(ids[is_src], pa.int64()),
+                    "w": pa.array(w[is_src], pa.float64())})
+    from graph_data_science_ray.algos.common import merge_sum
+    if sub.num_rows:
+        src_ids, src_w = merge_sum(sub, "src_id", "w")
+    else:
+        src_ids, src_w = np.empty(0, np.int64), np.empty(0, np.float64)
+    dst_ids = np.unique(ids[~is_src])
+    return src_ids, src_w, dst_ids
 
 
 class CsrEngine:
@@ -127,23 +153,15 @@ class CsrEngine:
         # re-executed three times over (measured 3-4x of build wall)
         cols = ["src_id", "dst_id"] + (["weight"] if weighted else [])
         edges = edges.select_columns(cols).materialize()
-        # out-degrees (combiner partials + driver merge) → hub set
-        from graph_data_science_ray.algos.common import merge_sum
-
-        deg_t = _src_out_weight_partials(edges, weighted)
-        if deg_t.num_rows:
-            src_ids, src_w = merge_sum(deg_t, "src_id", "w")
-        else:
-            src_ids, src_w = np.empty(0, np.int64), np.empty(0, np.float64)
+        # out-degrees + dst universe from ONE fused scan, merged while
+        # NO actor is alive (idle actors starve long driver-side numpy)
+        src_ids, src_w, dst_ids = _universe_partials(edges, weighted)
         if hub_threshold is not None:
             hub_mask = src_w > hub_threshold
             hub_ids = src_ids[hub_mask]
         else:
             hub_ids = np.empty(0, dtype=np.int64)
 
-        # node universe = srcs ∪ dsts, merged while NO actor is alive
-        # (idle actors starve long driver-side numpy — _dst_ids_partials)
-        dst_ids = _dst_ids_partials(edges)
         all_ids = (
             np.union1d(src_ids, dst_ids)
             if (src_ids.shape[0] or dst_ids.shape[0])
