@@ -70,3 +70,21 @@ def test_csr_checkpoint_resume_bitwise(tmp_path, tmp_path_factory):
     straight = eng.pagerank(max_iterations=10)
     assert np.array_equal(resumed.values, straight.values)
     assert resumed.metrics[0]["iteration"] == 3
+
+
+def test_csr_spill_routing_matches_scan(er_graph, tmp_path_factory):
+    """routing="spill" (the cluster-scale path: route to shard-partitioned
+    parquet, each actor reads only its partition) must agree with scan
+    routing bit-for-bit — auto never picks it at test scale, so force it."""
+    want = pagerank_oracle(_pairs(er_graph), max_iter=20)
+    eng = CsrEngine.build(
+        from_arrow(er_graph), num_shards=4, routing="spill",
+        spill_dir=str(tmp_path_factory.mktemp("csr_spill")),
+        hub_threshold=3,
+    )
+    res = eng.pagerank(max_iterations=20)
+    got = res.as_dict()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+    eng.shutdown()
