@@ -113,9 +113,13 @@ def eigenvector(
     max_iterations: int = 20,
     tolerance: float = 1e-7,
     weighted: bool = False,
+    source_nodes: "np.ndarray | list | None" = None,
 ) -> IterativeResult:
     """``weighted`` = GDS relationshipWeightProperty: power iteration on
-    the weighted adjacency."""
+    the weighted adjacency. ``source_nodes`` = GDS sourceNodes: start the
+    power iteration from the uniform unit vector restricted to the given
+    nodes (the converged direction is unchanged on the reachable strongly
+    connected core, but partial runs and disconnected parts differ)."""
     configure_ray_data()
     edges = edges.materialize()
     node_arr = unique_node_ids(edges)
@@ -129,7 +133,16 @@ def eigenvector(
         new = in_sum / norm if norm > 0 else np.full(n, 1.0 / np.sqrt(n) if n else 0.0)
         return new, float(np.abs(new - state).max()) if n else 0.0
 
-    init = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
+    if source_nodes is not None and n:
+        src = np.asarray(source_nodes, dtype=np.int64)
+        init = np.zeros(n)
+        pos = np.searchsorted(node_arr, src)
+        ok = (pos < n) & (node_arr[np.minimum(pos, n - 1)] == src)
+        init[pos[ok]] = 1.0
+        nrm = np.linalg.norm(init)
+        init = init / nrm if nrm > 0 else np.full(n, 1.0 / np.sqrt(n))
+    else:
+        init = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
     return _iterate_scaled(
         edges, node_arr, scale, apply, max_iterations, tolerance, "eigenvector", init,
         weighted=weighted,

@@ -234,3 +234,23 @@ def test_weighted_article_rank_and_eigenvector_match_numpy():
         v = s / nrm if nrm > 0 else v
     rese = eigenvector(from_arrow(tw), max_iterations=8, tolerance=0.0, weighted=True)
     assert np.allclose(rese.values, v, atol=1e-10)
+
+
+def test_eigenvector_source_nodes():
+    import numpy as np
+
+    from graph_data_science_ray.algos.centrality import eigenvector
+
+    t = fixtures.er_random(30, 0.15, seed=9)
+    full = eigenvector(from_arrow(t), max_iterations=50, tolerance=1e-12)
+    ids = full.node_ids
+    # restricted start converges to the same principal direction on a
+    # (almost surely) connected ER graph
+    seeded = eigenvector(from_arrow(t), max_iterations=50, tolerance=1e-12,
+                         source_nodes=ids[:3])
+    assert np.allclose(full.values, seeded.values, atol=1e-6)
+    # one iteration from a single source differs from the uniform start
+    one_u = eigenvector(from_arrow(t), max_iterations=1, tolerance=0.0)
+    one_s = eigenvector(from_arrow(t), max_iterations=1, tolerance=0.0,
+                        source_nodes=ids[:1])
+    assert not np.allclose(one_u.values, one_s.values)
