@@ -236,6 +236,30 @@ def unique_inverse(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return s[newu], inv
 
 
+def community_postprocess(
+    node_ids: np.ndarray,
+    values: np.ndarray,
+    consecutive_ids: bool = False,
+    min_community_size: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """GDS community-output options [GDS-pub: config/CommunitySizeConfig,
+    ConsecutiveIdsConfig]: ``minCommunitySize`` drops nodes whose
+    community has fewer members from the stream/write output;
+    ``consecutiveIds`` renumbers the surviving communities 0..k-1
+    (ascending original-id order, so deterministic). Filter runs first,
+    renumber second. Returns (node_ids, values, kept_mask) with
+    kept_mask=None when no filtering happened."""
+    mask = None
+    if min_community_size is not None and int(min_community_size) > 1 and values.size:
+        u, inv = unique_inverse(values)
+        counts = np.bincount(inv, minlength=u.shape[0])
+        mask = counts[inv] >= int(min_community_size)
+        node_ids, values = node_ids[mask], values[mask]
+    if consecutive_ids and values.size:
+        _, values = unique_inverse(values)
+    return node_ids, values, mask
+
+
 def merge_sum(t: pa.Table, key: str, val: str) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column(key).to_numpy(zero_copy_only=False)
     vals = t.column(val).to_numpy(zero_copy_only=False)

@@ -111,12 +111,16 @@ def label_propagation(
     reduce: str = "driver",
     seeds: dict[int, int] | None = None,
     node_weights: dict[int, float] | None = None,
+    consecutive_ids: bool = False,
+    min_community_size: int | None = None,
 ) -> IterativeResult:
     """Community label per node (deterministic min-tie-break variant).
     ``seeds``: GDS seedProperty — initial label per node id (unlisted
     nodes start from their own id). ``node_weights``: GDS
     nodeWeightProperty — a node's vote counts relationship-weight x its
-    node weight (unlisted nodes weigh 1.0)."""
+    node weight (unlisted nodes weigh 1.0). ``consecutive_ids`` /
+    ``min_community_size``: GDS output options (renumber 0..k-1 /
+    drop nodes in communities below the size floor)."""
     und = edges if pre_symmetrized else symmetrize(
         edges, dedup=not weighted, num_partitions=num_partitions
     )
@@ -142,7 +146,7 @@ def label_propagation(
         okw = (posw < node_arr.shape[0]) & (node_arr[np.minimum(posw, node_arr.shape[0] - 1)] == wk)
         nw[posw[okw]] = wv[okw]
         node_w_ref = ray.put(nw)
-    return run_iterative(
+    res = run_iterative(
         edges=und,
         node_ids=node_arr,
         init=init,
@@ -160,3 +164,10 @@ def label_propagation(
         reduce=reduce,
         driver_reduce=_driver_reduce,
     )
+    if consecutive_ids or min_community_size is not None:
+        from graph_data_science_ray.algos.common import community_postprocess
+
+        res.node_ids, res.values, _ = community_postprocess(
+            res.node_ids, res.values, consecutive_ids, min_community_size
+        )
+    return res

@@ -34,6 +34,7 @@ from ray.data.aggregate import Min, Sum
 from graph_data_science_ray.algos.common import (
     BlockScanner,
     collect_arrow,
+    community_postprocess,
     unique_inverse,
     unique_node_ids,
 )
@@ -174,6 +175,8 @@ def leiden(
     weighted: bool = False,
     gamma: float = 1.0,
     include_intermediate_communities: bool = False,
+    consecutive_ids: bool = False,
+    min_community_size: int | None = None,
 ) -> LouvainResult:
     """``gamma`` is the resolution parameter (GDS leiden config),
     scaling the expected-degree term in every gain/Q evaluation.
@@ -320,5 +323,10 @@ def leiden(
         if not inter_levels:
             inter_levels.append(final_comm_labels.copy())
         inter = np.stack(inter_levels, axis=1)
-    return LouvainResult(orig_ids, final_comm_labels, total_q, level, metrics,
+    out_ids, final_comm_labels, kept = community_postprocess(
+        orig_ids, final_comm_labels, consecutive_ids, min_community_size
+    )
+    if inter is not None and kept is not None:
+        inter = inter[kept]
+    return LouvainResult(out_ids, final_comm_labels, total_q, level, metrics,
                          intermediate_communities=inter)

@@ -43,6 +43,7 @@ from ray.data.aggregate import Sum
 from graph_data_science_ray.algos.common import (
     BlockScanner,
     collect_arrow,
+    community_postprocess,
     unique_inverse,
     unique_node_ids,
 )
@@ -129,6 +130,8 @@ def louvain(
     gamma: float = 1.0,
     include_intermediate_communities: bool = False,
     seeds: dict[int, int] | None = None,
+    consecutive_ids: bool = False,
+    min_community_size: int | None = None,
 ) -> LouvainResult:
     """``gamma`` is GDS Louvain's resolution parameter: >1 favors more,
     smaller communities; 1.0 is classic modularity. It scales the
@@ -396,7 +399,12 @@ def louvain(
         if not inter_levels:
             inter_levels.append(final.copy())
         inter = np.stack(inter_levels, axis=1)
-    return LouvainResult(orig_ids, final, total_q if total_q is not None else 0.0, level, metrics,
+    out_ids, final, kept = community_postprocess(
+        orig_ids, final, consecutive_ids, min_community_size
+    )
+    if inter is not None and kept is not None:
+        inter = inter[kept]
+    return LouvainResult(out_ids, final, total_q if total_q is not None else 0.0, level, metrics,
                          intermediate_communities=inter)
 
 

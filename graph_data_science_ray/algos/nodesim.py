@@ -39,6 +39,7 @@ def node_similarity(
     metric: str = "jaccard",
     bottom_k: bool = False,
     weighted: bool = False,
+    top_n: int = 0,
 ) -> pa.Table:
     """→ (node1, node2, similarity) — top_k per node1, sorted
     (node1, -similarity, node2). Self-pairs excluded.
@@ -60,7 +61,11 @@ def node_similarity(
     treat the neighborhood as a weight vector (``weight`` column
     required): Jaccard Σmin/Σmax, overlap Σmin/min(Σw_a, Σw_b), cosine
     Σ(w_a·w_b)/(‖w_a‖‖w_b‖), all over shared neighbors in the
-    numerator."""
+    numerator.
+
+    ``top_n``: the reference's ``topN``/``bottomN`` — a GLOBAL limit on
+    the number of result pairs, applied after per-node top-k (0 = no
+    limit; with ``bottom_k`` the globally least-similar survive)."""
     configure_ray_data()
     metric = metric.lower()
     if metric not in ("jaccard", "overlap", "cosine"):
@@ -208,10 +213,19 @@ def node_similarity(
     _, starts = np.unique(a, return_index=True)
     ranks = np.arange(a.shape[0]) - np.repeat(starts, np.diff(np.append(starts, a.shape[0])))
     keep = ranks < top_k
+    a, b, s = a[keep], b[keep], s[keep]
+    if top_n and a.shape[0] > top_n:
+        # GDS topN / bottomN: global limit applied AFTER per-node top-k
+        # (bottom_k selects per-node least-similar, so the global pass
+        # keeps the n least-similar of those); deterministic tie-break
+        # (node1, node2) ascending
+        g = np.lexsort((b, a, s if bottom_k else -s))[:top_n]
+        g.sort()  # preserve (node1, -sim, node2) output ordering
+        a, b, s = a[g], b[g], s[g]
     return pa.table(
         {
-            "node1": pa.array(a[keep], pa.int64()),
-            "node2": pa.array(b[keep], pa.int64()),
-            "similarity": pa.array(s[keep], pa.float64()),
+            "node1": pa.array(a, pa.int64()),
+            "node2": pa.array(b, pa.int64()),
+            "similarity": pa.array(s, pa.float64()),
         }
     )

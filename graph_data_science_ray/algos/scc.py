@@ -42,7 +42,12 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import BlockScanner, unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import (
+    BlockScanner,
+    community_postprocess,
+    unique_inverse,
+    unique_node_ids,
+)
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.sources.edges import drop_self_loops
 
@@ -123,7 +128,12 @@ def strongly_connected_components(
     max_outer: int = 50,
     max_inner: int = 200,
     num_partitions: int | None = None,
+    consecutive_ids: bool = False,
+    min_component_size: int | None = None,
 ) -> SccResult:
+    """``consecutive_ids`` / ``min_component_size``: GDS output options —
+    renumber components 0..k-1 / drop nodes in components below the
+    size floor [GDS-pub: scc proc config]."""
     configure_ray_data()
     edges = drop_self_loops(edges)  # self-loops don't affect SCC membership
     node_ids = unique_node_ids(edges)
@@ -216,4 +226,7 @@ def strongly_connected_components(
             ids_ref = ray.put((node_ids, active))
             current = _filter_active(current, ids_ref).materialize()
 
+    node_ids, scc, _ = community_postprocess(
+        node_ids, scc, consecutive_ids, min_component_size
+    )
     return SccResult(node_ids, scc, outer, metrics)

@@ -87,6 +87,7 @@ def wcc(
     seeds: dict[int, int] | None = None,
     threshold: float | None = None,
     consecutive_ids: bool = False,
+    min_component_size: int | None = None,
 ) -> IterativeResult:
     """Component id per node (= min node_id in its component).
     ``seeds``: GDS seedProperty equivalent — initial label per node id
@@ -137,11 +138,14 @@ def wcc(
         driver_reduce=_driver_reduce,
         pass_frontier=True,
     )
-    if consecutive_ids:
-        # GDS consecutiveIds: components renumbered 0..k-1 (ascending
-        # min-id order here, so the mapping is deterministic)
-        _, inv = unique_inverse(res.values)
-        res.values = inv
+    if consecutive_ids or min_component_size is not None:
+        # GDS consecutiveIds / minComponentSize output options
+        # (renumber 0..k-1 ascending min-id order / drop small components)
+        from graph_data_science_ray.algos.common import community_postprocess
+
+        res.node_ids, res.values, _ = community_postprocess(
+            res.node_ids, res.values, consecutive_ids, min_component_size
+        )
     return res
 
 

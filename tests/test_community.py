@@ -865,3 +865,54 @@ def test_leiden_intermediate_communities():
     res0 = leiden(from_arrow(t), num_partitions=2)
     assert res0.intermediate_communities is None
     assert np.array_equal(res0.values, res.values)
+
+
+def test_community_output_options():
+    """GDS consecutiveIds / minCommunitySize output options across algos."""
+    from graph_data_science_ray.algos.labelprop import label_propagation
+    from graph_data_science_ray.algos.louvain import louvain
+    from graph_data_science_ray.algos.leiden import leiden
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+    from graph_data_science_ray.algos.wcc import wcc
+
+    t = _cliques_with_bridges()  # 4 cliques of 5 + ring bridges
+    base = louvain(from_arrow(t), num_partitions=2)
+    res = louvain(from_arrow(t), num_partitions=2, consecutive_ids=True)
+    assert sorted(set(res.values.tolist())) == list(range(len(set(base.values.tolist()))))
+    # renumbering preserves the partition
+    assert len({(a, b) for a, b in zip(base.values.tolist(), res.values.tolist())}) == len(
+        set(base.values.tolist())
+    )
+
+    # min_community_size drops the 2-clique-short graph's small community
+    pairs = [(0, 1), (0, 2), (1, 2), (10, 11)]  # triangle + one edge
+    small = fixtures.edges_table(pairs)
+    for fn, kw in (
+        (louvain, "min_community_size"),
+        (leiden, "min_community_size"),
+        (label_propagation, "min_community_size"),
+        (wcc, "min_component_size"),
+    ):
+        r = fn(from_arrow(small), num_partitions=2, **{kw: 3})
+        assert sorted(r.node_ids.tolist()) == [0, 1, 2], fn.__name__
+        assert len(set(r.values.tolist())) == 1, fn.__name__
+
+    # intermediate_communities rows track the filtered node set
+    ri = louvain(
+        from_arrow(small), num_partitions=2, min_community_size=3,
+        include_intermediate_communities=True,
+    )
+    assert ri.intermediate_communities.shape[0] == ri.node_ids.shape[0] == 3
+
+    # SCC: two 2-cycles, one isolated-in-scc node; consecutive + min size
+    sp = [(0, 1), (1, 0), (5, 6), (6, 5), (5, 9)]
+    r = strongly_connected_components(
+        from_arrow(fixtures.edges_table(sp)), consecutive_ids=True
+    )
+    comp = dict(zip(r.node_ids.tolist(), r.values.tolist()))
+    assert comp[0] == comp[1] and comp[5] == comp[6] and comp[9] not in (comp[0], comp[5])
+    assert sorted(set(r.values.tolist())) == [0, 1, 2]
+    r2 = strongly_connected_components(
+        from_arrow(fixtures.edges_table(sp)), min_component_size=2
+    )
+    assert sorted(r2.node_ids.tolist()) == [0, 1, 5, 6]

@@ -203,3 +203,34 @@ def test_node_similarity_weighted_metrics():
         for (g1, g2, gs), (w1, w2, ws) in zip(got_rows, want):
             assert (g1, g2) == (w1, w2), metric
             assert gs == pytest.approx(ws, abs=1e-12)
+
+
+def test_node_similarity_top_n_global_limit():
+    t = fixtures.er_random(60, 0.08, seed=61)
+    full = node_similarity(from_arrow(t), top_k=3, num_partitions=2)
+    n = 7
+    lim = node_similarity(from_arrow(t), top_k=3, top_n=n, num_partitions=2)
+    assert lim.num_rows == n
+    # the survivors are exactly the n globally most-similar of the
+    # per-node top-k rows (ties by node1, node2 ascending)
+    rows = sorted(
+        zip(
+            full.column("similarity").to_pylist(),
+            full.column("node1").to_pylist(),
+            full.column("node2").to_pylist(),
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:n]
+    want = sorted((a, b, s) for s, a, b in rows)
+    got = sorted(
+        zip(
+            lim.column("node1").to_pylist(),
+            lim.column("node2").to_pylist(),
+            lim.column("similarity").to_pylist(),
+        )
+    )
+    assert got == want
+    # bottom variant: globally least similar survive
+    lb = node_similarity(from_arrow(t), top_k=3, top_n=n, bottom_k=True, num_partitions=2)
+    assert lb.num_rows == n
+    assert max(lb.column("similarity").to_pylist()) <= min(r[0] for r in rows)
