@@ -63,9 +63,27 @@ def random_walks(
     orientation: str = "natural",
     seed: int = 42,
     num_partitions: int | None = None,
+    return_factor: float = 1.0,
+    in_out_factor: float = 1.0,
 ) -> pa.Table:
     """(walk_id, step, node_id) — step 0 is the start node. Walk w's
-    start = start_nodes[w // walks_per_node]."""
+    start = start_nodes[w // walks_per_node].
+
+    ``return_factor`` / ``in_out_factor``: GDS randomWalk's p/q
+    second-order bias [GDS-pub: proc/.../walking/RandomWalkProc] —
+    delegated to the node2vec walker (same output schema); not
+    combinable with ``restart_prob``."""
+    if return_factor != 1.0 or in_out_factor != 1.0:
+        if restart_prob:
+            raise ValueError("p/q bias and restart_prob are mutually exclusive")
+        from graph_data_science_ray.algos.node2vec import node2vec_walks
+
+        return node2vec_walks(
+            edges, start_nodes, walk_length=walk_length,
+            walks_per_node=walks_per_node, return_factor=return_factor,
+            in_out_factor=in_out_factor, orientation=orientation, seed=seed,
+            num_partitions=num_partitions,
+        )
     configure_ray_data()
     if orientation == "undirected":
         edges = symmetrize(edges, dedup=True, num_partitions=num_partitions)

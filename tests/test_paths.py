@@ -622,3 +622,26 @@ def test_prize_steiner_tree_cheap_path_exact():
     res = prize_steiner_tree(from_arrow(fixtures.edges_table(pairs, weights)), prizes, num_partitions=NP)
     assert sorted(res.nodes.tolist()) == [0, 1, 2]
     assert res.net_value == pytest.approx(10.0 - 1.0)
+
+
+def test_random_walks_pq_bias_delegates():
+    """GDS returnFactor/inOutFactor on gds.randomWalk — delegated to the
+    exact p/q node2vec walker; same schema, deterministic, edge-valid."""
+    import numpy as np
+    import pytest
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.algos.node2vec import node2vec_walks
+    from graph_data_science_ray.algos.randomwalk import random_walks
+    from graph_data_science_ray.sources.edges import from_arrow
+
+    t = fixtures.powerlaw(120, seed=3)
+    starts = sorted(set(t["src_id"].to_pylist()))[:8]
+    w = random_walks(from_arrow(t), starts, walk_length=10, walks_per_node=2,
+                     seed=7, num_partitions=2, return_factor=4.0, in_out_factor=0.5)
+    ref = node2vec_walks(from_arrow(t), starts, walk_length=10, walks_per_node=2,
+                         seed=7, num_partitions=2, return_factor=4.0, in_out_factor=0.5)
+    assert w.equals(ref)
+    assert set(w.column_names) == {"walk_id", "step", "node_id"}
+    with pytest.raises(ValueError):
+        random_walks(from_arrow(t), starts, restart_prob=0.2, return_factor=2.0)
