@@ -267,6 +267,20 @@ def _q_wcc_star(sf_dir: str):
     return wcc_star(_edges_ps(sf_dir))
 
 
+def _q_wcc_consecutive(sf_dir: str):
+    """GDS consecutiveIds output option: components renumbered 0..k-1
+    ascending by min-member id — SQL mirror is DENSE_RANK()-1."""
+    from graph_data_science_ray.algos.wcc import wcc
+
+    res = wcc(_edges_ps(sf_dir), consecutive_ids=True)
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "component": pa.array(res.values.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _q_wcc_sizes(sf_dir: str):
     from graph_data_science_ray.algos.wcc import wcc
 
@@ -412,6 +426,14 @@ def _q_node_similarity(sf_dir: str):
     from graph_data_science_ray.algos.nodesim import node_similarity
 
     t = node_similarity(_edges_op(sf_dir), top_k=3)
+    return _round6(t, "similarity")
+
+
+def _q_node_similarity_topn(sf_dir: str):
+    """GDS topN: global limit applied after per-node top-k."""
+    from graph_data_science_ray.algos.nodesim import node_similarity
+
+    t = node_similarity(_edges_op(sf_dir), top_k=3, top_n=20)
     return _round6(t, "similarity")
 
 
@@ -1642,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted_k5": _q_pagerank_weighted,
         "pagerank_personalized_k5": _q_pagerank_personalized,
         "wcc": _q_wcc,
+        "wcc_consecutive": _q_wcc_consecutive,
         "wcc_star": _q_wcc_star,
         "wcc_sizes": _q_wcc_sizes,
         "triangles_global": _q_triangles_global,
@@ -1654,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector_weighted_k10": _q_eigenvector_weighted,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity_top3": _q_node_similarity,
+        "node_similarity_top3_n20": _q_node_similarity_topn,
         "node_similarity_overlap_top3": _q_node_similarity_overlap,
         "node_similarity_weighted_top3": _q_node_similarity_weighted,
         "node_similarity_bottom3": _q_node_similarity_bottomk,
@@ -2060,6 +2084,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg LEFT JOIN tcnt ON deg.node_id = tcnt.node_id"
         ),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
+        "wcc_consecutive": _WCC_SQL_CORE + (
+            "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
+            "FROM (SELECT node, MIN(label) AS component FROM reach GROUP BY node)"
+        ),
         "wcc_star": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_sizes": _WCC_SQL_CORE + (
             "SELECT component, COUNT(*) AS n_nodes FROM "
@@ -2086,6 +2114,21 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT node1, node2, sim, "
             "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
             "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"
+        ),
+        "node_similarity_top3_n20": (
+            f"WITH e AS MATERIALIZED ({_E_OP}), "
+            "deg AS MATERIALIZED (SELECT src_id, COUNT(*) AS dc FROM e GROUP BY src_id), "
+            "pairs AS MATERIALIZED ("
+            "SELECT e1.src_id AS node1, e2.src_id AS node2, COUNT(*) AS common "
+            "FROM e e1 JOIN e e2 ON e1.dst_id = e2.dst_id AND e1.src_id <> e2.src_id "
+            "GROUP BY 1, 2), "
+            "sims AS (SELECT node1, node2, "
+            "common * 1.0 / (d1.dc + d2.dc - common) AS sim "
+            "FROM pairs JOIN deg d1 ON node1 = d1.src_id JOIN deg d2 ON node2 = d2.src_id), "
+            "ranked AS (SELECT node1, node2, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2) AS rn FROM sims) "
+            "SELECT node1, node2, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3 "
+            "ORDER BY sim DESC, node1, node2 LIMIT 20"
         ),
         "node_similarity_overlap_top3": (
             f"WITH e AS MATERIALIZED ({_E_OP}), "
