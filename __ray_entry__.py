@@ -586,6 +586,19 @@ def _q_harmonic64(sf_dir: str):
     return _round6(t, "harmonic")
 
 
+def _q_closeness64(sf_dir: str):
+    """Wasserman-Faust closeness FOR the 64 smallest node ids, hop-capped
+    at 16 — rides the same MSBFS wave as harmonic_64src (undirected
+    symmetry makes per-source sums exact)."""
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.msbfs import closeness_centrality
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    t = closeness_centrality(edges, sources=ids[:64], max_depth=16)
+    return _round6(t, "closeness")
+
+
 def _q_allsp64(sf_dir: str):
     """All-pairs hop distances (gds.allShortestPaths.stream) from the 64
     smallest node ids, hop-capped at 16 — same bounded MSBFS wave as
@@ -1688,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_mod7": _q_modularity,
         "conductance_mod7": _q_conductance,
         "harmonic_64src": _q_harmonic64,
+        "closeness_64src": _q_closeness64,
         "all_shortest_paths_64src": _q_allsp64,
         "docs_dedup_first": _q_docs_dedup_first,
         "docs_token_stats": _q_docs_token_stats,
@@ -2224,6 +2238,27 @@ def oracle_sql() -> dict[str, str]:
             "h AS (SELECT node, SUM(1.0 / d) AS hsum FROM md WHERE d > 0 GROUP BY node) "
             "SELECT nodes.node AS node_id, ROUND(COALESCE(h.hsum, 0), 6) AS harmonic "
             "FROM nodes LEFT JOIN h ON nodes.node = h.node"
+        ),
+        "closeness_64src": (
+            # same bounded recursive walk as harmonic_64src, folded per
+            # SOURCE: wf closeness = (cnt/Σd)·(cnt/(n−1)), 0 if unreachable
+            f"WITH RECURSIVE e AS ({_E_PS}), "
+            "und AS (SELECT DISTINCT a, b FROM "
+            "(SELECT src_id a, dst_id b FROM e UNION ALL SELECT dst_id, src_id FROM e)), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT a AS node FROM und UNION ALL SELECT b FROM und)), "
+            "srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 64), "
+            "walk(src, node, d) AS ("
+            "SELECT node, node, 0 FROM srcs "
+            "UNION "
+            "SELECT walk.src, und.b, walk.d + 1 FROM walk JOIN und ON walk.node = und.a "
+            "WHERE walk.d < 16), "
+            "md AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY src, node), "
+            "agg AS (SELECT src, SUM(d) AS sumd, COUNT(*) AS cnt FROM md WHERE d > 0 GROUP BY src), "
+            "nn AS (SELECT COUNT(*) AS n FROM nodes) "
+            "SELECT srcs.node AS node_id, "
+            "ROUND(COALESCE((agg.cnt * 1.0 / agg.sumd) * (agg.cnt * 1.0 / (nn.n - 1)), 0), 6) AS closeness "
+            "FROM srcs LEFT JOIN agg ON srcs.node = agg.src CROSS JOIN nn"
         ),
         "all_shortest_paths_64src": (
             # same recursive walk as harmonic_64src, streamed as pairs

@@ -141,23 +141,48 @@ def closeness_centrality(
     wf_improved: bool = True,
     max_depth: int = 10_000,
     num_partitions: int | None = None,
+    sources: np.ndarray | list | None = None,
 ) -> pa.Table:
-    """(node_id, closeness) — networkx-compatible; 0 for isolated."""
+    """(node_id, closeness) — networkx-compatible; 0 for isolated.
+
+    ``sources``: compute closeness only FOR the given nodes (exact for
+    them — distances from a source to everything come off the same
+    MSBFS wave by undirected symmetry d(s,v)=d(v,s)); the big-graph
+    estimate mode, one wave per 64 sources instead of ⌈n/64⌉ waves."""
     configure_ray_data()
     sym = symmetrize(edges, dedup=True, num_partitions=num_partitions).materialize()
     node_ids = unique_node_ids(edges)
-    _, dist, reach = _msbfs_sums(sym, node_ids, node_ids, max_depth)
     n = node_ids.shape[0]
+    if sources is None:
+        _, dist, reach = _msbfs_sums(sym, node_ids, node_ids, max_depth)
+        out_ids = node_ids
+    else:
+        srcs = np.sort(np.asarray(sources, dtype=np.int64))
+        k = srcs.shape[0]
+        dist = np.zeros(k, dtype=np.int64)
+        reach = np.zeros(k, dtype=np.int64)
+
+        def sink(depth: int, tgt_pos: np.ndarray, bits: np.ndarray, wave_src_ids: np.ndarray):
+            m = np.unpackbits(bits.view(np.uint8), bitorder="little").reshape(
+                bits.shape[0], 64
+            )[:, : wave_src_ids.shape[0]]
+            cnt = m.sum(axis=0).astype(np.int64)  # targets per source at this depth
+            idx = np.searchsorted(srcs, wave_src_ids)
+            dist[idx] += cnt * depth
+            reach[idx] += cnt
+
+        _msbfs_sums(sym, node_ids, srcs, max_depth, pair_sink=sink)
+        out_ids = srcs
     raw = np.divide(
         reach.astype(np.float64),
         dist.astype(np.float64),
-        out=np.zeros(n),
+        out=np.zeros(out_ids.shape[0]),
         where=dist > 0,
     )
     if wf_improved and n > 1:
         raw *= reach / (n - 1)
     return pa.table(
-        {"node_id": pa.array(node_ids, pa.int64()), "closeness": pa.array(raw, pa.float64())}
+        {"node_id": pa.array(out_ids, pa.int64()), "closeness": pa.array(raw, pa.float64())}
     )
 
 

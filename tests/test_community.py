@@ -916,3 +916,27 @@ def test_community_output_options():
         from_arrow(fixtures.edges_table(sp)), min_component_size=2
     )
     assert sorted(r2.node_ids.tolist()) == [0, 1, 5, 6]
+
+
+def test_closeness_sources_subset_exact():
+    """closeness(sources=S) equals full closeness restricted to S."""
+    import networkx as nx
+
+    from graph_data_science_ray.algos.msbfs import closeness_centrality
+
+    t = fixtures.er_random(80, 0.04, seed=19)
+    g = _nx_graph(t)
+    srcs = sorted(g.nodes())[:10]
+    c = closeness_centrality(from_arrow(t), sources=srcs, num_partitions=2)
+    assert c["node_id"].to_pylist() == srcs
+    got = dict(zip(c["node_id"].to_pylist(), c["closeness"].to_pylist()))
+    exp = nx.closeness_centrality(g)
+    for u in srcs:
+        assert got[u] == pytest.approx(exp[u], abs=1e-9), u
+    # non-wf variant: raw (reached)/(sum d) convention
+    c2 = closeness_centrality(from_arrow(t), sources=srcs, wf_improved=False,
+                              num_partitions=2)
+    exp2 = nx.closeness_centrality(g, wf_improved=False)
+    got2 = dict(zip(c2["node_id"].to_pylist(), c2["closeness"].to_pylist()))
+    for u in srcs:
+        assert got2[u] == pytest.approx(exp2[u], abs=1e-9), u
