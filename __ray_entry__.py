@@ -2211,7 +2211,14 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_k10": _eigenvector_sql(10),
         "label_propagation": _lpa_sql(10),
         "kcore_h8": _kcore_sql(8),
+        # full converged core numbers: the h-index iteration is monotone
+        # non-increasing from the degree init, so any round count past
+        # convergence is exact; 16 rounds converges at sf0.01 (stable by 8)
+        "kcore": _kcore_sql(16),
         "toposort_k6": _toposort_sql(6),
+        # full run: the peel reaches a fixpoint (depth < 6 at sf0.01,
+        # 12 rounds = safety margin); never-peeled cycle nodes excluded
+        "topological_sort": _toposort_sql(12),
         "dag_longest_path": _dag_longest_path_sql(),
         "bellman_ford_negative": _bellman_ford_negative_sql(),
         "modularity_mod7": _COMM_SQL_CORE + (
