@@ -32,12 +32,13 @@ from graph_data_science_ray.state.csr import CsrShard
 
 
 def _universe_partials(edges: Dataset, weighted: bool) -> tuple:
-    """ONE scan for both build inputs: per-src out-weight sums AND the
-    unique dst universe (kind 0 = src row with weight, kind 1 = dst
-    row). Worker-side tree combine before the driver merge — same
-    rationale as the split helpers it fuses (idle-worker-starved driver
-    merges, BENCH/BASELINE.md); fusing saves a full edge scan + stage
-    launch per build."""
+    """ONE scan for ALL build inputs: per-src out-weight sums, the unique
+    dst universe AND the full src∪dst universe, returned as
+    (src_ids, src_w, dst_ids, all_ids), each sorted ascending (kind 0 =
+    src row with weight, kind 1 = dst row, kind 2 = union row). Every
+    merge/sort runs worker-side via Arrow hash aggregation — the driver
+    only slices; see the combine notes below for the measured hazards
+    (idle-worker-starved driver merges, allocation-heavy numpy sorts)."""
 
     def partials(t: pa.Table) -> pa.Table:
         src = t.column("src_id").to_numpy(zero_copy_only=False)
@@ -62,56 +63,63 @@ def _universe_partials(edges: Dataset, weighted: bool) -> tuple:
             }
         )
 
+    # Merge with Arrow's C++ hash aggregation, NOT a numpy
+    # unique_inverse: radix-argsorting ~12M-row partial blocks allocates
+    # ~100 MB per sort and measured 136 s on this host (fresh-page-fault
+    # throttling; the same merge via group_by is 2.8 s — see
+    # BENCH/BASELINE.md). Grouping on (kind, node_id) is also immune to
+    # the int64-key-packing overflow for 63-bit url-hash ids.
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        ids = t.column("node_id").to_numpy(zero_copy_only=False)
-        w = t.column("w").to_numpy(zero_copy_only=False)
-        kind = t.column("kind").to_numpy(zero_copy_only=False)
-        # combine per kind separately — packing (id, kind) into one int64
-        # key would overflow for 63-bit url-hash ids
-        out_i, out_w, out_k = [], [], []
-        for kk in (0, 1):
-            m = kind == kk
-            if not m.any():
-                continue
-            u, inv = unique_inverse(ids[m])
-            sw = (
-                np.bincount(inv, weights=w[m], minlength=u.shape[0])
-                if kk == 0
-                else np.zeros(u.shape[0])
-            )
-            out_i.append(u)
-            out_w.append(sw)
-            out_k.append(np.full(u.shape[0], kk, np.int8))
+        g = t.group_by(["kind", "node_id"], use_threads=False).aggregate([("w", "sum")])
         return pa.table(
-            {
-                "node_id": pa.array(np.concatenate(out_i), pa.int64()),
-                "w": pa.array(np.concatenate(out_w), pa.float64()),
-                "kind": pa.array(np.concatenate(out_k), pa.int8()),
-            }
+            {"node_id": g.column("node_id"), "w": g.column("w_sum"), "kind": g.column("kind")}
         )
 
+    def combine_final(t: pa.Table) -> pa.Table:
+        t = combine(t)
+        if t.num_rows == 0:
+            return t
+        # kind 2 = src ∪ dst universe, computed here so the driver never
+        # sorts either (build's np.union1d is the same starvation hazard)
+        import pyarrow.compute as pc
+
+        uni = pc.unique(t.column("node_id"))
+        t = pa.concat_tables(
+            [
+                t,
+                pa.table(
+                    {
+                        "node_id": uni,
+                        "w": pa.array(np.zeros(len(uni)), pa.float64()),
+                        "kind": pa.array(np.full(len(uni), 2, np.int8), pa.int8()),
+                    }
+                ),
+            ]
+        )
+        return t.sort_by([("kind", "ascending"), ("node_id", "ascending")])
+
+    # two combine levels, the SECOND over one block: both the final merge
+    # AND the final sort run in a busy worker, so the driver only slices
+    # (a 4M-row driver lexsort right after the big scan measured 12.9 s
+    # under the same idle-worker starvation vs ~0.5 s worker-side).
     t = collect_arrow(
         edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(4)
         .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(combine_final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
     if t.num_rows == 0:
-        return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.int64))
+        e = np.empty(0, np.int64)
+        return (e, np.empty(0, np.float64), e, e)
     ids = t.column("node_id").to_numpy(zero_copy_only=False)
     w = t.column("w").to_numpy(zero_copy_only=False)
     kind = t.column("kind").to_numpy(zero_copy_only=False)
-    is_src = kind == 0
-    sub = pa.table({"src_id": pa.array(ids[is_src], pa.int64()),
-                    "w": pa.array(w[is_src], pa.float64())})
-    from graph_data_science_ray.algos.common import merge_sum
-    if sub.num_rows:
-        src_ids, src_w = merge_sum(sub, "src_id", "w")
-    else:
-        src_ids, src_w = np.empty(0, np.int64), np.empty(0, np.float64)
-    dst_ids = np.unique(ids[~is_src])
-    return src_ids, src_w, dst_ids
+    s1 = int(np.searchsorted(kind, 1))  # kind-sorted: src, dst, union rows
+    s2 = int(np.searchsorted(kind, 2))
+    return ids[:s1], w[:s1], ids[s1:s2], ids[s2:]
 
 
 class CsrEngine:
@@ -155,18 +163,12 @@ class CsrEngine:
         edges = edges.select_columns(cols).materialize()
         # out-degrees + dst universe from ONE fused scan, merged while
         # NO actor is alive (idle actors starve long driver-side numpy)
-        src_ids, src_w, dst_ids = _universe_partials(edges, weighted)
+        src_ids, src_w, dst_ids, all_ids = _universe_partials(edges, weighted)
         if hub_threshold is not None:
             hub_mask = src_w > hub_threshold
             hub_ids = src_ids[hub_mask]
         else:
             hub_ids = np.empty(0, dtype=np.int64)
-
-        all_ids = (
-            np.union1d(src_ids, dst_ids)
-            if (src_ids.shape[0] or dst_ids.shape[0])
-            else np.empty(0, np.int64)
-        )
 
         n_total_edges = int(src_w.sum()) if not weighted and src_w.shape[0] else None
         if routing == "auto":
