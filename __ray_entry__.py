@@ -2032,6 +2032,227 @@ def _kcore_sql(k: int = 8) -> str:
     return "\n".join(parts)
 
 
+_M64 = 1 << 64
+
+
+def _sql_mulmod64(e: str, c: int) -> str:
+    """uint64 modular multiply (expr * const) in DuckDB: HUGEINT can't
+    hold a full 64x64 product, so split into 32-bit limbs —
+    a*b mod 2^64 = (a_lo*b + ((a_hi*b_lo mod 2^32) << 32)) mod 2^64."""
+    lo = c & 0xFFFFFFFF
+    return (f"(((({e}) % 4294967296) * {c} + "
+            f"(((({e}) // 4294967296) * {lo}) % 4294967296) * 4294967296) % {_M64})")
+
+
+def _sql_xorshift(e: str, s: int) -> str:
+    return f"xor(CAST(({e}) AS UBIGINT), CAST(({e}) AS UBIGINT) >> {s})"
+
+
+def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
+    """Bit-exact SQL replica of algos/randomwalk._walk_key (splitmix64-
+    style mixer); the per-step ``base`` salt is a Python-computed
+    literal. Parity vs the numpy kernel verified on random inputs."""
+    base = ((seed * 0x9E3779B97F4A7C15) ^ (step * 0x85EBCA6B + 1)) % _M64
+    x = _sql_mulmod64(f"CAST({w} AS HUGEINT)", 0xC2B2AE3D27D4EB4F)
+    x = f"CAST(xor(xor(CAST({x} AS UBIGINT), CAST({d} AS UBIGINT)), CAST({base} AS UBIGINT)) AS HUGEINT)"
+    x = f"CAST({_sql_xorshift(x, 30)} AS HUGEINT)"
+    x = _sql_mulmod64(x, 0xBF58476D1CE4E5B9)
+    x = f"CAST({_sql_xorshift(x, 27)} AS HUGEINT)"
+    x = _sql_mulmod64(x, 0x94D049BB133111EB)
+    return f"CAST({_sql_xorshift(x, 31)} AS UBIGINT)"
+
+
+def _random_walks_sql(walk_length: int = 10, seed: int = 42) -> str:
+    """Step-exact replica of _q_random_walks (algos/randomwalk.
+    random_walks): 2 walks from each of the 8 smallest node ids; step t
+    moves walk w from node v to argmin over out-neighbors d of
+    _walk_key(seed, w, t, d); walks at sink nodes stop (drop out of all
+    later steps). 64-bit keys make hash ties impossible in practice;
+    dst_id is the SQL tiebreak."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_E_PS}),",
+        "ids8 AS MATERIALIZED (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS r FROM "
+        "(SELECT DISTINCT node FROM (SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0)) "
+        "ORDER BY node LIMIT 8),",
+        "p0 AS MATERIALIZED (SELECT r * 2 + j AS walk_id, node FROM ids8 CROSS JOIN (VALUES (0), (1)) t(j)),",
+    ]
+    for s in range(1, walk_length):
+        key = _sql_walk_key("p.walk_id", "e.dst_id", seed, s)
+        parts.append(
+            f"p{s} AS MATERIALIZED (SELECT walk_id, node FROM ("
+            "SELECT p.walk_id, e.dst_id AS node, ROW_NUMBER() OVER "
+            f"(PARTITION BY p.walk_id ORDER BY {key}, e.dst_id) AS rn "
+            f"FROM p{s-1} p JOIN e0 e ON p.node = e.src_id) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node AS node_id FROM p{s}"
+        for s in range(walk_length)
+    )
+    parts.append(f"SELECT * FROM ({sel})")
+    return "\n".join(parts)
+
+
+def _betweenness_sql(levels: int = 4) -> str:
+    """Level-exact Brandes replica for _q_betweenness32 (algos/
+    betweenness.betweenness_centrality, unweighted, undirected, sources
+    = 32 smallest ids): forward BFS CTEs carry (source, node, lvl,
+    sigma) with sigma = sum of predecessor sigmas (path counts are
+    integers < 2^53, so DOUBLE sums are exact in any order); backward
+    CTEs accumulate delta(v) = sum sigma(v)/sigma(w) * (1 + delta(w))
+    over SP-DAG edges one level at a time. Output = sum of deltas over
+    sources, halved (undirected), ROUND 6 on both sides. ``levels``
+    must be >= the BFS eccentricity from the sample (measured 2 at
+    sf0.01; extra levels produce empty frontiers)."""
+    L = levels
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_E_PS}),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src_id a, dst_id b FROM e0 WHERE src_id <> dst_id "
+        "UNION ALL SELECT dst_id, src_id FROM e0 WHERE src_id <> dst_id)),",
+        "allnodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0)),",
+        "v0 AS MATERIALIZED (SELECT node AS s, node, 0 AS lvl, CAST(1 AS DOUBLE) AS sigma "
+        "FROM (SELECT node FROM allnodes ORDER BY node LIMIT 32)),",
+    ]
+    for k in range(1, L + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT p.s, u.b AS node, {k} AS lvl, SUM(p.sigma) AS sigma "
+            f"FROM v{k-1} p JOIN und u ON p.node = u.a AND p.lvl = {k-1} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{k-1} q WHERE q.s = p.s AND q.node = u.b) "
+            "GROUP BY p.s, u.b),"
+        )
+        parts.append(f"v{k} AS MATERIALIZED (SELECT * FROM v{k-1} UNION ALL SELECT * FROM f{k}),")
+    parts.append(
+        f"d{L} AS MATERIALIZED (SELECT s, node, CAST(0 AS DOUBLE) AS delta FROM f{L} WHERE 1=0),"
+    )
+    for k in range(L - 1, 0, -1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT vv.s, vv.node, "
+            "SUM(vv.sigma / vy.sigma * (1 + COALESCE(dn.delta, 0))) AS delta "
+            f"FROM v{L} vv JOIN und u ON vv.node = u.a "
+            f"JOIN v{L} vy ON vy.s = vv.s AND vy.node = u.b AND vy.lvl = vv.lvl + 1 "
+            f"LEFT JOIN d{k+1} dn ON dn.s = vv.s AND dn.node = u.b "
+            f"WHERE vv.lvl = {k} GROUP BY vv.s, vv.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    uni = " UNION ALL ".join(f"SELECT node, delta FROM d{k}" for k in range(1, L))
+    parts.append(
+        "SELECT an.node AS node_id, ROUND(COALESCE(x.bsum, 0) / 2, 6) AS betweenness "
+        f"FROM allnodes an LEFT JOIN (SELECT node, SUM(delta) AS bsum FROM ({uni}) GROUP BY node) x "
+        "ON an.node = x.node"
+    )
+    return "\n".join(parts)
+
+
+def _mst_sql(rounds: int = 5, doubling: int = 5) -> str:
+    """Round-exact replica of algos/mst.minimum_spanning_forest
+    (Borůvka): each round every component picks its min cross edge by
+    the strict total order (weight, lo, hi); because the order is total,
+    the picked set is acyclic (the max-ordered edge of any would-be
+    cycle is picked by neither endpoint), so the engine's union-find
+    keeps every pick and the merged label = MIN label over the pick-
+    graph group, computed here by ``doubling`` closure-doubling steps
+    (covers merge-group diameter 2^doubling; measured max diameter 10
+    at sf0.01). Extra rounds past convergence are no-ops (no cross
+    edges -> empty pick -> labels unchanged); measured 3 rounds at
+    sf0.01."""
+    parts = [
+        f"WITH ew AS MATERIALIZED (SELECT src_id, dst_id, weight AS w, "
+        "LEAST(src_id, dst_id) AS lo, GREATEST(src_id, dst_id) AS hi "
+        f"FROM ({_E_PS_W}) WHERE src_id <> dst_id),",
+        "comp0 AS MATERIALIZED (SELECT node, node AS lab FROM (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM ew UNION ALL SELECT dst_id FROM ew))),",
+    ]
+    pick_names = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"x{r} AS MATERIALIZED (SELECT l.lab AS ca, rr.lab AS cb, e.w, e.lo, e.hi "
+            f"FROM ew e JOIN comp{p} l ON e.src_id = l.node "
+            f"JOIN comp{p} rr ON e.dst_id = rr.node WHERE l.lab <> rr.lab),"
+        )
+        parts.append(
+            f"pick{r} AS MATERIALIZED (SELECT DISTINCT lo, hi, w FROM ("
+            "SELECT c, w, lo, hi, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, lo, hi) AS rn "
+            f"FROM (SELECT ca AS c, w, lo, hi FROM x{r} UNION ALL SELECT cb, w, lo, hi FROM x{r})"
+            ") WHERE rn = 1),"
+        )
+        pick_names.append(f"pick{r}")
+        parts.append(
+            f"g{r}_0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+            f"SELECT l.lab AS a, rr.lab AS b FROM pick{r} p "
+            f"JOIN comp{p} l ON p.lo = l.node JOIN comp{p} rr ON p.hi = rr.node "
+            f"UNION ALL SELECT rr.lab, l.lab FROM pick{r} p "
+            f"JOIN comp{p} l ON p.lo = l.node JOIN comp{p} rr ON p.hi = rr.node "
+            f"UNION ALL SELECT lab, lab FROM comp{p})),"
+        )
+        for k in range(1, doubling + 1):
+            parts.append(
+                f"g{r}_{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+                f"FROM g{r}_{k-1} x JOIN g{r}_{k-1} y ON x.b = y.a),"
+            )
+        parts.append(
+            f"nl{r} AS MATERIALIZED (SELECT a AS lab, MIN(b) AS m FROM g{r}_{doubling} GROUP BY a),"
+        )
+        parts.append(
+            f"comp{r} AS MATERIALIZED (SELECT c.node, COALESCE(n.m, c.lab) AS lab "
+            f"FROM comp{p} c LEFT JOIN nl{r} n ON c.lab = n.lab),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = " UNION ALL ".join(
+        f"SELECT lo AS u, hi AS v, ROUND(w, 6) AS weight FROM {nm}" for nm in pick_names
+    )
+    parts.append(f"SELECT * FROM ({sel})")
+    return "\n".join(parts)
+
+
+def _k1coloring_sql(rounds: int = 26) -> str:
+    """Round-exact replica of algos/kcoloring.k1coloring (Gebremedhin–
+    Manne speculative coloring): per round, active nodes take the mex of
+    their neighbors' DISTINCT current colors (mex via the same window-
+    rank trick as _kcore_sql: smallest rank rn with col <> rn, else the
+    distinct-color count), then the LARGER endpoint of every
+    monochromatic edge re-enters the active set. Round 1 is the all-
+    uncolored special case (everyone takes 0). Rounds past convergence
+    are identity (empty active set), so ``rounds`` just needs to be >=
+    the convergence round — measured 22 at sf0.01 on the ps projection."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_E_PS}),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src_id a, dst_id b FROM e0 WHERE src_id <> dst_id "
+        "UNION ALL SELECT dst_id, src_id FROM e0 WHERE src_id <> dst_id)),",
+        "allnodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0)),",
+        "c1 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS col FROM allnodes),",
+        "a1 AS MATERIALIZED (SELECT DISTINCT GREATEST(u.a, u.b) AS node FROM und u "
+        "JOIN c1 cs ON u.a = cs.node JOIN c1 cd ON u.b = cd.node WHERE cs.col = cd.col),",
+    ]
+    for r in range(2, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT node, "
+            "COALESCE(MIN(CASE WHEN col <> rn THEN rn END), MIN(cnt)) AS col FROM ("
+            "SELECT f.node, f.col, ROW_NUMBER() OVER (PARTITION BY f.node ORDER BY f.col) - 1 AS rn, "
+            "COUNT(*) OVER (PARTITION BY f.node) AS cnt FROM ("
+            "SELECT DISTINCT u.a AS node, c.col FROM und u "
+            f"JOIN a{p} act ON u.a = act.node JOIN c{p} c ON u.b = c.node) f) GROUP BY node),"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT n.node, "
+            "CAST(CASE WHEN act.node IS NOT NULL THEN COALESCE(m.col, 0) ELSE c.col END AS BIGINT) AS col "
+            f"FROM allnodes n LEFT JOIN a{p} act ON n.node = act.node "
+            f"LEFT JOIN m{r} m ON n.node = m.node LEFT JOIN c{p} c ON n.node = c.node),"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT DISTINCT GREATEST(u.a, u.b) AS node FROM und u "
+            f"JOIN c{r} cs ON u.a = cs.node JOIN c{r} cd ON u.b = cd.node WHERE cs.col = cd.col),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node AS node_id, col AS color FROM c{rounds}")
+    return "\n".join(parts)
+
+
 _COMM_SQL_CORE = f"""
 WITH e0 AS ({_E_PS}),
  e1 AS (SELECT src_id s, dst_id d FROM e0 WHERE src_id <> dst_id),
@@ -2215,6 +2436,10 @@ def oracle_sql() -> dict[str, str]:
         # non-increasing from the degree init, so any round count past
         # convergence is exact; 16 rounds converges at sf0.01 (stable by 8)
         "kcore": _kcore_sql(16),
+        "k1coloring": _k1coloring_sql(),
+        "random_walks": _random_walks_sql(),
+        "mst_forest": _mst_sql(),
+        "betweenness_32src": _betweenness_sql(),
         "toposort_k6": _toposort_sql(6),
         # full run: the peel reaches a fixpoint (depth < 6 at sf0.01,
         # 12 rounds = safety margin); never-peeled cycle nodes excluded
