@@ -2048,18 +2048,31 @@ def _sql_xorshift(e: str, s: int) -> str:
     return f"xor(CAST(({e}) AS UBIGINT), CAST(({e}) AS UBIGINT) >> {s})"
 
 
-def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
-    """Bit-exact SQL replica of algos/randomwalk._walk_key (splitmix64-
-    style mixer); the per-step ``base`` salt is a Python-computed
-    literal. Parity vs the numpy kernel verified on random inputs."""
-    base = ((seed * 0x9E3779B97F4A7C15) ^ (step * 0x85EBCA6B + 1)) % _M64
-    x = _sql_mulmod64(f"CAST({w} AS HUGEINT)", 0xC2B2AE3D27D4EB4F)
-    x = f"CAST(xor(xor(CAST({x} AS UBIGINT), CAST({d} AS UBIGINT)), CAST({base} AS UBIGINT)) AS HUGEINT)"
-    x = f"CAST({_sql_xorshift(x, 30)} AS HUGEINT)"
+def _sql_mix64(e: str) -> str:
+    """Bit-exact SQL replica of the splitmix64 finalizer shared by
+    functions/joins._mix64, algos/randomwalk._mix and algos/celf._mix.
+    Parity vs the numpy kernel verified on random inputs."""
+    x = f"CAST({_sql_xorshift(e, 30)} AS HUGEINT)"
     x = _sql_mulmod64(x, 0xBF58476D1CE4E5B9)
     x = f"CAST({_sql_xorshift(x, 27)} AS HUGEINT)"
     x = _sql_mulmod64(x, 0x94D049BB133111EB)
     return f"CAST({_sql_xorshift(x, 31)} AS UBIGINT)"
+
+
+def _sql_pair_hash(lo: str, hi: str) -> str:
+    """pipelines/ml._pair_hash: mix64(mix64(lo) ^ hi) over the unordered
+    pair (callers pass LEAST/GREATEST expressions)."""
+    inner = f"CAST(xor({_sql_mix64(f'CAST({lo} AS HUGEINT)')}, CAST({hi} AS UBIGINT)) AS HUGEINT)"
+    return _sql_mix64(inner)
+
+
+def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
+    """algos/randomwalk._walk_key: mix64 of the walk/step/dst key; the
+    per-step ``base`` salt is a Python-computed literal."""
+    base = ((seed * 0x9E3779B97F4A7C15) ^ (step * 0x85EBCA6B + 1)) % _M64
+    x = _sql_mulmod64(f"CAST({w} AS HUGEINT)", 0xC2B2AE3D27D4EB4F)
+    x = f"CAST(xor(xor(CAST({x} AS UBIGINT), CAST({d} AS UBIGINT)), CAST({base} AS UBIGINT)) AS HUGEINT)"
+    return _sql_mix64(x)
 
 
 def _random_walks_sql(walk_length: int = 10, seed: int = 42) -> str:
@@ -2091,6 +2104,79 @@ def _random_walks_sql(walk_length: int = 10, seed: int = 42) -> str:
     )
     parts.append(f"SELECT * FROM ({sel})")
     return "\n".join(parts)
+
+
+def _split_relationships_sql(seed: int = 11, frac: float = 0.2) -> str:
+    """Draw-exact replica of _q_split_relationships (pipelines/ml.
+    split_relationships test output): unordered positive pairs keyed by
+    the 64-bit pair hash (lexicographically-smallest surviving
+    orientation), holdout via the hash-uniform threshold (identical
+    uint64->float64 conversion on both sides), and the cursor-based
+    rejection sampler replayed round by round — each round's draw range
+    is a scalar subquery over the previous rounds' accepted counts, with
+    per-round dedup (min draw index per pair hash) and the accumulated-
+    set exclusion. Final truncation = first n_neg in (round, hash)
+    order, exactly the sampler's accumulation order. 3 rounds generated
+    (sf0.01 converges in 2; a satisfied round has an empty window)."""
+    salt = (0x9E3779B97F4A7C15 * (seed + 13 + 1)) % _M64
+    s1, s2 = seed * 2 + 1, seed * 2 + 2
+    ph_edge = _sql_pair_hash("CAST(LEAST(src_id, dst_id) AS HUGEINT)", "GREATEST(src_id, dst_id)")
+    ph_cand = _sql_pair_hash("CAST(LEAST(ca, cb) AS HUGEINT)", "GREATEST(ca, cb)")
+    unif = (
+        f"(CAST({_sql_mix64(f'CAST(xor(CAST(h AS UBIGINT), CAST({salt} AS UBIGINT)) AS HUGEINT)')} AS DOUBLE)"
+        " + 1.0) / 18446744073709551616.0"
+    )
+    ra = _sql_mix64(f"CAST(xor(CAST(i AS UBIGINT), CAST({s1} AS UBIGINT)) AS HUGEINT)")
+    rb = _sql_mix64(f"CAST(xor(CAST(i AS UBIGINT), CAST({s2} AS UBIGINT)) AS HUGEINT)")
+    return f"""
+WITH e0 AS MATERIALIZED ({_E_PS}),
+e1 AS MATERIALIZED (SELECT src_id, dst_id, CAST({ph_edge} AS HUGEINT) AS h
+  FROM e0 WHERE src_id <> dst_id),
+pos AS MATERIALIZED (SELECT src_id, dst_id, h FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY src_id, dst_id) rn FROM e1) WHERE rn = 1),
+held AS MATERIALIZED (SELECT src_id, dst_id FROM pos WHERE {unif} < {frac}),
+nn AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT node FROM
+  (SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0))),
+nodes AS MATERIALIZED (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS r FROM
+  (SELECT DISTINCT node FROM (SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0))),
+par AS (SELECT (SELECT COUNT(*) FROM held) AS n_neg, 2 * (SELECT COUNT(*) FROM held) + 16 AS need1),
+idx AS MATERIALIZED (SELECT CAST(i AS HUGEINT) AS i FROM range(0, 4194304) t(i)
+  WHERE i < 3 * (SELECT need1 FROM par)),
+cand AS MATERIALIZED (SELECT x.i, na.node AS ca, nb.node AS cb FROM
+  (SELECT i, CAST({ra} AS HUGEINT) % (SELECT c FROM nn) AS ra,
+             CAST({rb} AS HUGEINT) % (SELECT c FROM nn) AS rb
+   FROM idx) x
+  JOIN nodes na ON na.r = x.ra JOIN nodes nb ON nb.r = x.rb),
+okf AS MATERIALIZED (SELECT i, ca, cb, h FROM (SELECT i, ca, cb,
+  CAST({ph_cand} AS HUGEINT) AS h FROM cand WHERE ca <> cb)
+  WHERE h NOT IN (SELECT h FROM pos)),
+acc1 AS MATERIALIZED (SELECT ca, cb, h FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY i) rn FROM okf
+   WHERE i < (SELECT need1 FROM par)) WHERE rn = 1),
+p2 AS (SELECT (SELECT need1 FROM par) AS start2,
+              GREATEST(((SELECT n_neg FROM par) - (SELECT COUNT(*) FROM acc1)) * 2 + 16, 0) AS need2,
+              ((SELECT n_neg FROM par) > (SELECT COUNT(*) FROM acc1)) AS more),
+acc2 AS MATERIALIZED (SELECT ca, cb, h FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY i) rn FROM okf
+   WHERE (SELECT more FROM p2)
+   AND i >= (SELECT start2 FROM p2) AND i < (SELECT start2 FROM p2) + (SELECT need2 FROM p2)
+   AND h NOT IN (SELECT h FROM acc1)) WHERE rn = 1),
+p3 AS (SELECT (SELECT start2 FROM p2) + (SELECT need2 FROM p2) AS start3,
+              GREATEST(((SELECT n_neg FROM par) - (SELECT COUNT(*) FROM acc1) - (SELECT COUNT(*) FROM acc2)) * 2 + 16, 0) AS need3,
+              ((SELECT n_neg FROM par) > (SELECT COUNT(*) FROM acc1) + (SELECT COUNT(*) FROM acc2)) AS more),
+acc3 AS MATERIALIZED (SELECT ca, cb, h FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY i) rn FROM okf
+   WHERE (SELECT more FROM p3)
+   AND i >= (SELECT start3 FROM p3) AND i < (SELECT start3 FROM p3) + (SELECT need3 FROM p3)
+   AND h NOT IN (SELECT h FROM acc1 UNION ALL SELECT h FROM acc2)) WHERE rn = 1),
+neg AS (SELECT ca, cb FROM
+  (SELECT ca, cb, ROW_NUMBER() OVER (ORDER BY rnd, h) AS pos_i FROM
+    (SELECT ca, cb, 1 AS rnd, h FROM acc1 UNION ALL SELECT ca, cb, 2, h FROM acc2
+     UNION ALL SELECT ca, cb, 3, h FROM acc3))
+  WHERE pos_i <= (SELECT n_neg FROM par))
+SELECT src_id, dst_id, CAST(1 AS BIGINT) AS label FROM held
+UNION ALL SELECT ca, cb, 0 FROM neg
+"""
 
 
 def _betweenness_sql(levels: int = 4) -> str:
@@ -2440,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(),
         "mst_forest": _mst_sql(),
         "betweenness_32src": _betweenness_sql(),
+        "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
         # full run: the peel reaches a fixpoint (depth < 6 at sf0.01,
         # 12 rounds = safety margin); never-peeled cycle nodes excluded

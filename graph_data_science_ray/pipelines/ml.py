@@ -27,6 +27,7 @@ from ray.data import Dataset
 from graph_data_science_ray.algos.common import collect_arrow
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.functions.joins import _mix64, hash_join
+from graph_data_science_ray.ml import classifier_proba, regressor_predict
 from graph_data_science_ray.ml.linreg import LinearRegression, mae, r2, rmse
 from graph_data_science_ray.ml.logreg import (
     LogisticRegression,
@@ -34,6 +35,33 @@ from graph_data_science_ray.ml.logreg import (
     auc_roc,
     macro_f1,
 )
+from graph_data_science_ray.ml.mlp import MLPClassifier
+from graph_data_science_ray.ml.tree import RandomForestClassifier, RandomForestRegressor
+
+
+def _make_classifier(model: str, model_config: dict | None, penalty: float,
+                     max_iter: int, seed: int):
+    """GDS model-candidate factory (``logisticRegression`` default;
+    ``randomForest`` / ``mlp`` per the reference's addTrainerConfig)."""
+    cfg = dict(model_config or {})
+    if model == "logisticRegression":
+        return LogisticRegression(penalty=cfg.pop("penalty", penalty),
+                                  max_iter=cfg.pop("max_iter", max_iter), **cfg)
+    if model == "randomForest":
+        return RandomForestClassifier(seed=cfg.pop("seed", seed), **cfg)
+    if model == "mlp":
+        return MLPClassifier(penalty=cfg.pop("penalty", penalty),
+                             seed=cfg.pop("seed", seed), **cfg)
+    raise ValueError(f"model must be logisticRegression | randomForest | mlp, got {model!r}")
+
+
+def _make_regressor(model: str, model_config: dict | None, penalty: float, seed: int):
+    cfg = dict(model_config or {})
+    if model == "linearRegression":
+        return LinearRegression(penalty=cfg.pop("penalty", penalty), **cfg)
+    if model == "randomForest":
+        return RandomForestRegressor(seed=cfg.pop("seed", seed), **cfg)
+    raise ValueError(f"model must be linearRegression | randomForest, got {model!r}")
 
 
 def _hash_uniform(ids: np.ndarray, seed: int) -> np.ndarray:
@@ -73,6 +101,8 @@ def node_classification(
     penalty: float = 0.0,
     max_iter: int = 200,
     seed: int = 42,
+    model: str = "logisticRegression",
+    model_config: dict | None = None,
 ) -> tuple[dict, Dataset]:
     """Train on the labeled nodes, return (metrics, predictions).
 
@@ -93,14 +123,14 @@ def node_classification(
     Xl = X[pos]
 
     test = _hash_uniform(lab_ids, seed) < holdout_fraction
-    model = LogisticRegression(penalty=penalty, max_iter=max_iter)
+    model = _make_classifier(model, model_config, penalty, max_iter, seed)
     model.fit(Xl[~test], lab_y[~test])
     pred_tr = model.predict(Xl[~test])
     pred_te = model.predict(Xl[test]) if test.any() else np.empty(0, lab_y.dtype)
     metrics = {
         "n_train": int((~test).sum()),
         "n_test": int(test.sum()),
-        "n_iter": model.n_iter_,
+        "n_iter": getattr(model, "n_iter_", 1),
         "train_accuracy": accuracy(lab_y[~test], pred_tr),
         "test_accuracy": accuracy(lab_y[test], pred_te),
         "test_f1_macro": macro_f1(lab_y[test], pred_te),
@@ -117,7 +147,7 @@ def node_classification(
                  "predicted_label": pa.array([], pa.int64()),
                  "probability": pa.array([], pa.float64())}
             )
-        proba = LogisticRegression.proba_from_params(p, Xb)
+        proba = classifier_proba(p, Xb)
         am = np.argmax(proba, axis=1)
         return pa.table(
             {
@@ -139,8 +169,10 @@ def node_regression(
     holdout_fraction: float = 0.3,
     penalty: float = 0.0,
     seed: int = 42,
+    model: str = "linearRegression",
+    model_config: dict | None = None,
 ) -> tuple[dict, Dataset]:
-    """Train a linear-regression model on the target-labeled nodes,
+    """Train a regression model on the target-labeled nodes,
     return (metrics, predictions) — the ``gds.alpha.pipeline.
     nodeRegression`` surface [GDS-pub: proc/ml + public docs].
 
@@ -158,7 +190,7 @@ def node_regression(
     Xl = X[pos]
 
     test = _hash_uniform(lab_ids, seed) < holdout_fraction
-    model = LinearRegression(penalty=penalty)
+    model = _make_regressor(model, model_config, penalty, seed)
     model.fit(Xl[~test], lab_y[~test])
     pred_tr = model.predict(Xl[~test])
     pred_te = model.predict(Xl[test]) if test.any() else np.empty(0)
@@ -183,8 +215,7 @@ def node_regression(
             )
         return pa.table(
             {"node_id": t.column("node_id"),
-             "prediction": pa.array(
-                 LinearRegression.predict_from_params(p, Xb), pa.float64())}
+             "prediction": pa.array(regressor_predict(p, Xb), pa.float64())}
         )
 
     return metrics, features.map_batches(score, batch_format="pyarrow",
@@ -219,9 +250,13 @@ def _sample_non_edges(nodes: np.ndarray, edge_hash: np.ndarray, n_neg: int,
     neg_a = np.empty(0, np.int64)
     neg_b = np.empty(0, np.int64)
     draw = 0
+    cursor = 0  # global draw position: every round sees FRESH indices
+    # (the old draw*need indexing re-drew round-1 indices for ~35 rounds
+    # whenever round 1 came up short, adding nothing each time)
     while neg_a.shape[0] < n_neg and draw < 50:
         need = (n_neg - neg_a.shape[0]) * 2 + 16
-        idx = np.arange(draw * need, (draw + 1) * need, dtype=np.int64)
+        idx = np.arange(cursor, cursor + need, dtype=np.int64)
+        cursor += need
         ca = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 1))
                     % np.uint64(nodes.shape[0])).astype(np.int64)]
         cb = nodes[(_mix64(idx.astype(np.uint64) ^ np.uint64(seed * 2 + 2))
@@ -264,8 +299,15 @@ def split_relationships(
     dst = et.column("dst_id").to_numpy(zero_copy_only=False)
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    edge_hash = np.unique(_pair_hash(src, dst))
-    _, first = np.unique(_pair_hash(src, dst), return_index=True)
+    ph = _pair_hash(src, dst)
+    # per unordered pair keep the lexicographically-smallest surviving
+    # (src, dst) orientation — NOT first-in-collection-order, which
+    # varies run to run under preserve_order=False and broke the
+    # "deterministic in seed" contract when both orientations exist
+    order = np.lexsort((dst, src, ph))
+    ph, src, dst = ph[order], src[order], dst[order]
+    first = np.r_[True, ph[1:] != ph[:-1]]
+    edge_hash = ph[first]
     psrc, pdst = src[first], dst[first]
 
     held = _hash_uniform(_pair_hash(psrc, pdst).astype(np.int64), seed + 13) < holdout_fraction
@@ -301,6 +343,8 @@ def link_prediction_pipeline(
     penalty: float = 1e-4,
     max_iter: int = 200,
     seed: int = 42,
+    model: str = "logisticRegression",
+    model_config: dict | None = None,
 ) -> tuple[dict, "LinkPredictionModel"]:
     """Train a link classifier from positive edges + hash-sampled
     non-edges; returns (metrics, model). Metrics: test AUC + accuracy.
@@ -350,7 +394,7 @@ def link_prediction_pipeline(
     F = _pair_features(X[ia], X[ib], combiner)
 
     test = _hash_uniform(_pair_hash(pa_all, pb_all).astype(np.int64), seed + 13) < holdout_fraction
-    model = LogisticRegression(penalty=penalty, max_iter=max_iter)
+    model = _make_classifier(model, model_config, penalty, max_iter, seed)
     model.fit(F[~test], y[~test])
     proba_te = (model.predict_proba(F[test])[:, list(model.classes_).index(1)]
                 if test.any() else np.empty(0))
@@ -359,7 +403,7 @@ def link_prediction_pipeline(
         "n_train": int((~test).sum()),
         "n_test": int(test.sum()),
         "n_positive": int(y.sum()),
-        "n_iter": model.n_iter_,
+        "n_iter": getattr(model, "n_iter_", 1),
         "test_accuracy": accuracy(y[test], pred_te),
         "test_auc": auc_roc(y[test], proba_te),
     }
@@ -369,7 +413,7 @@ def link_prediction_pipeline(
 class LinkPredictionModel:
     """Broadcastable trained pair classifier with distributed scoring."""
 
-    def __init__(self, model: LogisticRegression, combiner: str, feature_col: str):
+    def __init__(self, model, combiner: str, feature_col: str):
         self.model = model
         self.combiner = combiner
         self.feature_col = feature_col
@@ -413,7 +457,7 @@ class LinkPredictionModel:
             E2 = np.vstack([np.frombuffer(b, dtype=np.float64)
                             for b in t.column("emb2").to_pylist()])
             F = _pair_features(E1, E2, combiner)
-            proba = LogisticRegression.proba_from_params(p, F)
+            proba = classifier_proba(p, F)
             pos_col = int(np.flatnonzero(p["classes"] == 1)[0])
             return pa.table(
                 {"node1": t.column("node1"), "node2": t.column("node2"),
