@@ -1608,6 +1608,75 @@ def _q_nodereg(sf_dir: str):
     )
 
 
+def _q_nodeclass_rf(sf_dir: str):
+    """nodeclass_pipeline with the randomForest model candidate — same
+    FastRP features/labels, splitmix64-deterministic forest (rows-only:
+    leaf distributions are data-order-free but float)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.algos.fastrp import fastrp_table
+    from graph_data_science_ray.pipelines.ml import node_classification
+
+    edges = _edges_ps(sf_dir)
+    emb_t = fastrp_table(edges, embedding_dimension=16)
+    srcs = set(edges.select_columns(["src_id"]).unique("src_id"))
+    nid = emb_t.column("node_id").to_numpy(zero_copy_only=False)
+    labels = pa.table(
+        {"node_id": pa.array(nid, pa.int64()),
+         "label": pa.array(np.isin(nid, np.array(sorted(srcs), dtype=np.int64)).astype(np.int64), pa.int64())}
+    )
+    _, preds = node_classification(
+        ray.data.from_arrow(emb_t), labels, seed=42, model="randomForest",
+        model_config={"n_trees": 10, "max_depth": 8})
+    t = collect_arrow(preds)
+    o = np.argsort(t.column("node_id").to_numpy(zero_copy_only=False), kind="stable")
+    return _round6(t.take(pa.array(o, pa.int64())), "probability")
+
+
+def _q_nodereg_rf(sf_dir: str):
+    """nodereg_pipeline with the randomForest regressor — step-function
+    fit of p_retailprice from p_size (rows-only; the OLS twin
+    nodereg_pipeline carries the SQL oracle)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.pipelines.ml import node_regression
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def featurize(t: pa.Table) -> pa.Table:
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"node_id": t.column("p_partkey").cast(pa.int64()),
+             "embedding": pa.array([[s] for s in size], pa.list_(pa.float64()))}
+        )
+
+    feats = part.map_batches(featurize, batch_format="pyarrow", zero_copy_batch=True)
+    targ_t = collect_arrow(
+        part.map_batches(
+            lambda t: pa.table(
+                {"node_id": t.column("p_partkey").cast(pa.int64()),
+                 "target": t.column("p_retailprice")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    )
+    _, preds = node_regression(feats, targ_t, holdout_fraction=0.3, seed=42,
+                               model="randomForest",
+                               model_config={"n_trees": 10, "max_depth": 6})
+    t = collect_arrow(preds)
+    p = t.column("prediction").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"node_id": t.column("node_id"),
+         "prediction_c": pa.array(np.rint(p * 100).astype(np.int64), pa.int64())}
+    )
+
+
 def _q_dfs(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.traversal import dfs
@@ -1758,6 +1827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfs_order": _q_dfs,
         "linkpred_top20": _q_linkpred,
         "nodeclass_pipeline": _q_nodeclass,
+        "nodeclass_rf_pipeline": _q_nodeclass_rf,
+        "nodereg_rf_pipeline": _q_nodereg_rf,
         "linkpred_pipeline": _q_linkpred_pipeline,
         "split_relationships": _q_split_relationships,
         "nodereg_pipeline": _q_nodereg,
