@@ -1168,6 +1168,28 @@ def _q_ann_topk(sf_dir: str):
     return _round6(t, "score")
 
 
+def _q_kge(sf_dir: str, scoring: str):
+    """gds.ml.kge.predict (algos/kge.kge_predict): top-10 targets per
+    source for the 6 smallest vec_ids. Relation vector = zeros (transe
+    ⇒ score −‖h−t‖) / ones (distmult ⇒ score h·t) so the DuckDB twin is
+    list_distance / list_inner_product — the scorer code path is
+    identical for any relation value."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from graph_data_science_ray.algos.kge import kge_predict
+
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rel = np.zeros(dim) if scoring == "transe" else np.ones(dim)
+    t = kge_predict(ds, np.arange(6, dtype=np.int64), rel, top_k=10,
+                    scoring_function=scoring, id_col="vec_id")
+    return _round6(t, "score")
+
+
 def _q_embedding_label_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
@@ -1786,6 +1808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scaled": _q_scale_events,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
+        "kge_transe_topk": lambda sf: _q_kge(sf, "transe"),
+        "kge_distmult_topk": lambda sf: _q_kge(sf, "distmult"),
         "embedding_label_counts": _q_embedding_label_counts,
         # rows-only (non-SQL-expressible) operators
         "kcore": _q_kcore,
@@ -2755,6 +2779,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10"
         ),
         "embedding_label_counts": "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label",
+        "kge_transe_topk": (
+            "WITH src AS (SELECT vec_id AS source_id, CAST(embedding AS DOUBLE[]) AS h "
+            "FROM embeddings ORDER BY vec_id LIMIT 6), "
+            "scored AS (SELECT s.source_id, t.vec_id AS target_id, "
+            "-list_distance(s.h, CAST(t.embedding AS DOUBLE[])) AS sc "
+            "FROM src s JOIN embeddings t ON t.vec_id <> s.source_id), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source_id "
+            "ORDER BY sc DESC, target_id) AS rank FROM scored) "
+            "SELECT source_id, target_id, ROUND(sc, 6) AS score, rank "
+            "FROM r WHERE rank <= 10"
+        ),
+        "kge_distmult_topk": (
+            "WITH src AS (SELECT vec_id AS source_id, CAST(embedding AS DOUBLE[]) AS h "
+            "FROM embeddings ORDER BY vec_id LIMIT 6), "
+            "scored AS (SELECT s.source_id, t.vec_id AS target_id, "
+            "list_inner_product(s.h, CAST(t.embedding AS DOUBLE[])) AS sc "
+            "FROM src s JOIN embeddings t ON t.vec_id <> s.source_id), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source_id "
+            "ORDER BY sc DESC, target_id) AS rank FROM scored) "
+            "SELECT source_id, target_id, ROUND(sc, 6) AS score, rank "
+            "FROM r WHERE rank <= 10"
+        ),
         "scc": (
             # transitive-closure SCC: component = min node mutually
             # reachable; feasible at sf0.01 (2k nodes / 52k edges, ~3 s)
