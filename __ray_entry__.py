@@ -1190,6 +1190,21 @@ def _q_kge(sf_dir: str, scoring: str):
     return _round6(t, "score")
 
 
+def _q_knn_nndescent(sf_dir: str):
+    """gds.knn's real algorithm (algos/nndescent.knn_nndescent, Dong et
+    al. WWW'11): hash-deterministic NN-Descent over the embeddings
+    table. Rows-only: approximate by design (recall floors are pytest
+    territory; exact twin = knn_fastrp / ann_topk)."""
+    import ray.data
+
+    from graph_data_science_ray.algos.nndescent import knn_nndescent
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    res, _ = knn_nndescent(ds, k=5, max_iterations=3, seed=42,
+                           id_col="vec_id", num_partitions=4)
+    return res.sort(["node_id", "neighbour_id"])
+
+
 def _q_embedding_label_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
@@ -1808,6 +1823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scaled": _q_scale_events,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
+        "knn_nndescent": _q_knn_nndescent,
         "kge_transe_topk": lambda sf: _q_kge(sf, "transe"),
         "kge_distmult_topk": lambda sf: _q_kge(sf, "distmult"),
         "embedding_label_counts": _q_embedding_label_counts,
