@@ -529,6 +529,32 @@ def _q_prize_steiner(sf_dir: str):
     return prize_steiner_tree(small, prizes).to_table()
 
 
+def _q_allsp_weighted8(sf_dir: str):
+    """gds.allShortestPaths weighted stream (algos/paths.
+    all_shortest_paths_weighted): 8 smallest source ids over the ps
+    MIN-weight projection, 8 relaxation rounds — round-exact vs the
+    chained-CTE oracle (_allsp_weighted_sql), hop-bounded contract."""
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.algos.paths import all_shortest_paths_weighted
+
+    edges = _edges_ps_weighted(sf_dir)
+    srcs = np.sort(
+        collect_arrow(edges.select_columns(["src_id"]))
+        .column("src_id").to_numpy(zero_copy_only=False)
+    )
+    srcs = np.unique(srcs)[:8]
+    pairs, _, _ = all_shortest_paths_weighted(edges, srcs, max_iterations=8)
+    c = pairs.column("cost").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "source_id": pairs.column("source_id"),
+            "target_id": pairs.column("target_id"),
+            # l_quantity is integral ⇒ costs are exact integers
+            "cost_i": pa.array(np.round(c).astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _q_sssp(sf_dir: str):
     from graph_data_science_ray.algos.paths import bellman_ford
 
@@ -1190,6 +1216,40 @@ def _q_kge(sf_dir: str, scoring: str):
     return _round6(t, "score")
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard verify stage (stages/dedup.
+    ngram_jaccard_pairs): all pairs of the 25 smallest doc ids, raw
+    5-gram sets — integer-exact ppm (no crc32, so a DuckDB twin exists
+    unlike the minhash sketches)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from graph_data_science_ray.stages.dedup import ngram_jaccard_pairs
+
+    ids = np.sort(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_numpy(zero_copy_only=False)
+    )[:25].astype(np.int64)
+    a, b = np.meshgrid(ids, ids, indexing="ij")
+    m = a < b
+    pairs = pa.table({"doc_a": pa.array(a[m], pa.int64()),
+                      "doc_b": pa.array(b[m], pa.int64())})
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, pairs, k=5)
+
+
+def _q_top_similar_pairs(sf_dir: str):
+    """Exact global top-50 most-similar embedding pairs (stages/embed.
+    top_similar_pairs) — the no-threshold near-dup primitive; cosine
+    round-6, ties by (id_a, id_b), same kernel family as ann_topk."""
+    import ray.data
+
+    from graph_data_science_ray.stages.embed import top_similar_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return top_similar_pairs(ds, n=50, id_col="vec_id")
+
+
 def _q_knn_nndescent(sf_dir: str):
     """gds.knn's real algorithm (algos/nndescent.knn_nndescent, Dong et
     al. WWW'11): hash-deterministic NN-Descent over the embeddings
@@ -1803,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_k5": _q_hits,
         "bfs_hops8": _q_bfs_hops,
         "sssp_bf8": _q_sssp,
+        "allsp_weighted8": _q_allsp_weighted8,
         "prize_steiner_tree": _q_prize_steiner,
         "modularity_mod7": _q_modularity,
         "conductance_mod7": _q_conductance,
@@ -1823,6 +1884,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scaled": _q_scale_events,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
+        "ngram_jaccard_25": _q_ngram_jaccard,
+        "top_similar_pairs": _q_top_similar_pairs,
         "knn_nndescent": _q_knn_nndescent,
         "kge_transe_topk": lambda sf: _q_kge(sf, "transe"),
         "kge_distmult_topk": lambda sf: _q_kge(sf, "distmult"),
@@ -2013,6 +2076,31 @@ def _hits_sql(k: int = PR_ITERS) -> str:
     return sql + (
         f"\nSELECT h{k}.node AS node_id, ROUND(h{k}.v, 6) AS hub, ROUND(a{k}.v, 6) AS auth "
         f"FROM h{k} JOIN a{k} ON h{k}.node = a{k}.node"
+    )
+
+
+def _allsp_weighted_sql(k: int = 8, n_src: int = 8) -> str:
+    """k-round multi-source relaxation replica of _q_allsp_weighted8:
+    same chained CTEs as _relax_sql(weighted=True) with the source id
+    carried as a column (one fixpoint per source in a single table)."""
+    e = ("SELECT l_partkey AS src_id, l_suppkey AS dst_id, MIN(l_quantity) AS w "
+         "FROM lineitem GROUP BY 1, 2")
+    parts = [
+        f"WITH e AS MATERIALIZED ({e}),",
+        f"srcs AS MATERIALIZED (SELECT DISTINCT src_id AS v FROM e ORDER BY v LIMIT {n_src}),",
+        "d0 AS MATERIALIZED (SELECT v AS s, v AS node, CAST(0 AS DOUBLE) AS val FROM srcs),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT s, node, MIN(val) AS val FROM ("
+            f"SELECT s, node, val FROM d{i-1} UNION ALL "
+            f"SELECT d.s, e.dst_id, d.val + e.w FROM e JOIN d{i-1} d ON e.src_id = d.node"
+            f") GROUP BY s, node),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + (
+        f"\nSELECT s AS source_id, node AS target_id, "
+        f"CAST(ROUND(val) AS BIGINT) AS cost_i FROM d{k}"
     )
 
 
@@ -2626,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_k5": _hits_sql(),
         "bfs_hops8": _relax_sql(8, weighted=False),
         "sssp_bf8": _relax_sql(8, weighted=True),
+        "allsp_weighted8": _allsp_weighted_sql(8, 8),
         "eigenvector_k10": _eigenvector_sql(10),
         "label_propagation": _lpa_sql(10),
         "kcore_h8": _kcore_sql(8),
@@ -2795,6 +2884,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10"
         ),
         "embedding_label_counts": "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label",
+        "ngram_jaccard_25": (
+            "WITH d AS (SELECT doc_id, lower(text) AS t FROM documents ORDER BY doc_id LIMIT 25), "
+            "g AS (SELECT DISTINCT doc_id, unnest([substr(t, CAST(i AS INT), 5) "
+            "for i in generate_series(1, greatest(length(t) - 4, 1))]) AS gram FROM d), "
+            "sz AS (SELECT doc_id, COUNT(*) AS sn FROM g GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db FROM d a JOIN d b ON a.doc_id < b.doc_id), "
+            "inter AS (SELECT ga.doc_id AS da, gb.doc_id AS db, COUNT(*) AS c FROM g ga "
+            "JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2) "
+            "SELECT p.da AS doc_a, p.db AS doc_b, "
+            "CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common, "
+            "CAST((1000000 * COALESCE(i.c, 0)) // GREATEST(sa.sn + sb.sn - COALESCE(i.c, 0), 1) AS BIGINT) AS jaccard_ppm "
+            "FROM p LEFT JOIN inter i ON i.da = p.da AND i.db = p.db "
+            "JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db "
+            "ORDER BY doc_a, doc_b"
+        ),
+        "top_similar_pairs": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.v, b.v), 6) AS score "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "ORDER BY score DESC, id_a, id_b LIMIT 50"
+        ),
         "kge_transe_topk": (
             "WITH src AS (SELECT vec_id AS source_id, CAST(embedding AS DOUBLE[]) AS h "
             "FROM embeddings ORDER BY vec_id LIMIT 6), "

@@ -260,3 +260,115 @@ def simhash_signatures(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    pairs: pa.Table,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Exact k-gram Jaccard for the given candidate pairs — the VERIFY
+    stage after MinHash-LSH candidate generation (raw character grams,
+    not crc32 sketches, so the result is collision-free and has an exact
+    DuckDB twin).
+
+    ``pairs``: in-memory (doc_a, doc_b) table (candidate batches are
+    driver-sized by construction — LSH output per band bucket). Docs are
+    pre-filtered to the pair membership via one broadcast set, so only
+    needed documents explode; the intersection is two partitioned hash
+    joins on (doc, gram) — gram rows never collect centrally. Returns
+    (doc_a, doc_b, n_common, jaccard_ppm) sorted by (doc_a, doc_b);
+    jaccard_ppm = (10^6 · |∩|) // |∪| in exact integer arithmetic.
+
+    Gram convention (mirrors shingle_hashes): lowercased text, k-char
+    windows over codepoints, whole text as the single gram when shorter
+    than k, DISTINCT per document."""
+    import ray
+
+    from graph_data_science_ray.functions.joins import hash_join
+
+    configure_ray_data()
+    num_partitions = num_partitions or shuffle_partitions_for()
+    a_ids = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b_ids = pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    need = np.unique(np.concatenate([a_ids, b_ids]))
+    need_ref = ray.put(need)
+
+    def explode(t: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < want.shape[0]) & (want[np.minimum(pos, want.shape[0] - 1)] == ids)
+        ids = ids[hit]
+        texts = t.filter(pa.array(hit)).column(text_col).to_pylist()
+        out_id, out_g = [], []
+        for i, txt in zip(ids, texts):
+            tl = (txt or "").lower()
+            grams = {tl[j:j + k] for j in range(len(tl) - k + 1)} if len(tl) >= k else {tl}
+            out_id.extend([i] * len(grams))
+            out_g.extend(sorted(grams))
+        return pa.table({"doc": pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.string())})
+
+    import ray.data
+
+    grams = docs.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    # per-doc gram counts (bounded by the pair membership) — driver merge
+    from graph_data_science_ray.algos.common import collect_arrow, merge_sum
+
+    cnt_part = collect_arrow(grams.map_batches(
+        lambda t: pa.table({"doc": t.column("doc"),
+                            "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True))
+    sizes = np.zeros(need.shape[0], dtype=np.int64)
+    if cnt_part.num_rows:
+        ids_, c_ = merge_sum(cnt_part, "doc", "c")
+        sizes[np.searchsorted(need, ids_)] = c_.astype(np.int64)
+
+    cand = ray.data.from_arrow(pa.table({"doc_a": pa.array(a_ids, pa.int64()),
+                                         "doc_b": pa.array(b_ids, pa.int64())}))
+    ga = grams.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc"), "gram": t.column("gram")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    gb = grams.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc"), "gram": t.column("gram")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(cand, ga, on=("doc_a",), num_partitions=num_partitions)
+    j2 = hash_join(j1, gb, on=("doc_b", "gram"), num_partitions=num_partitions)
+    nn = np.int64(need.shape[0])
+
+    def pack_pairs(t: pa.Table) -> pa.Table:
+        # pack POSITIONS in the broadcast membership (dense, so the
+        # int64 key never overflows regardless of raw id magnitude)
+        w = ray.get(need_ref)
+        ap = np.searchsorted(w, t.column("doc_a").to_numpy(zero_copy_only=False))
+        bp = np.searchsorted(w, t.column("doc_b").to_numpy(zero_copy_only=False))
+        return pa.table({"key": pa.array(ap * nn + bp, pa.int64()),
+                         "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+
+    inter_part = collect_arrow(j2.map_batches(pack_pairs, batch_format="pyarrow",
+                                              zero_copy_batch=True))
+
+    inter = np.zeros(a_ids.shape[0], dtype=np.int64)
+    pk = np.searchsorted(need, a_ids) * nn + np.searchsorted(need, b_ids)
+    order = np.argsort(pk, kind="stable")
+    if inter_part.num_rows:
+        ik, ic = merge_sum(inter_part, "key", "c")
+        pos = np.searchsorted(pk[order], ik)
+        ok = (pos < pk.shape[0]) & (pk[order][np.minimum(pos, pk.shape[0] - 1)] == ik)
+        inter[order[pos[ok]]] = ic[ok].astype(np.int64)
+
+    na = sizes[np.searchsorted(need, a_ids)]
+    nb = sizes[np.searchsorted(need, b_ids)]
+    union = np.maximum(na + nb - inter, 1)
+    ppm = (np.int64(1_000_000) * inter) // union
+    out = np.lexsort((b_ids, a_ids))
+    return pa.table({"doc_a": pa.array(a_ids[out], pa.int64()),
+                     "doc_b": pa.array(b_ids[out], pa.int64()),
+                     "n_common": pa.array(inter[out], pa.int64()),
+                     "jaccard_ppm": pa.array(ppm[out], pa.int64())})

@@ -268,3 +268,54 @@ def ivf_topk(
             "score": pa.array(sc[keep], pa.float64()),
         }
     )
+
+
+def top_similar_pairs(
+    ds: Dataset,
+    n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    similarity_cutoff: float = -1.0,
+) -> pa.Table:
+    """Exact global top-N most-similar pairs by cosine (id_a < id_b) —
+    the embedding near-dup primitive when no threshold is known a priori
+    (``similarity_cutoff`` turns it into threshold near-dup). Same
+    broadcast + per-batch-combiner shape as brute_force_topk: each batch
+    scores its rows against the broadcast matrix, masks j ≤ i, keeps the
+    batch-local top-N; the driver merges |blocks|·N partial rows.
+    Returns (id_a, id_b, score) by (-score, id_a, id_b), score round-6."""
+    configure_ray_data()
+    from graph_data_science_ray.algos.common import collect_arrow
+
+    full = collect_arrow(ds.select_columns([id_col, vec_col]))
+    ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    M = _normalize(_batch_matrix(full, vec_col))[order]
+    ids = ids[order]
+    mat_ref = ray.put((ids, M))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        all_ids, Mm = ray.get(mat_ref)
+        bid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(all_ids, bid)
+        sims = Mm[pos] @ Mm.T  # (b, N)
+        sims = np.where(bid[:, None] < all_ids[None, :], sims, -np.inf)
+        flat = sims.ravel()
+        kk = min(n, flat.shape[0])
+        top = np.argpartition(-flat, kk - 1)[:kk]
+        r, c = np.unravel_index(top, sims.shape)
+        sc = sims[r, c]
+        ok = np.isfinite(sc) & (np.round(sc, 6) >= similarity_cutoff)
+        return pa.table({"id_a": pa.array(bid[r[ok]], pa.int64()),
+                         "id_b": pa.array(all_ids[c[ok]], pa.int64()),
+                         "score": pa.array(sc[ok], pa.float64())})
+
+    part = collect_arrow(ds.map_batches(local_top, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    a = part.column("id_a").to_numpy(zero_copy_only=False)
+    b = part.column("id_b").to_numpy(zero_copy_only=False)
+    sc = np.round(part.column("score").to_numpy(zero_copy_only=False), 6)
+    o = np.lexsort((b, a, -sc))[:n]
+    return pa.table({"id_a": pa.array(a[o], pa.int64()),
+                     "id_b": pa.array(b[o], pa.int64()),
+                     "score": pa.array(sc[o], pa.float64())})

@@ -645,3 +645,53 @@ def test_random_walks_pq_bias_delegates():
     assert set(w.column_names) == {"walk_id", "step", "node_id"}
     with pytest.raises(ValueError):
         random_walks(from_arrow(t), starts, restart_prob=0.2, return_factor=2.0)
+
+
+def test_all_shortest_paths_weighted_vs_nx():
+    from graph_data_science_ray.algos.paths import all_shortest_paths_weighted
+
+    rng = np.random.default_rng(11)
+    t = fixtures.er_random(120, 0.03, seed=9)
+    w = rng.integers(1, 9, size=t.num_rows).astype(np.float64)
+    t = t.append_column("weight", __import__("pyarrow").array(w))
+    g = _nx_digraph(t, weighted=True)
+    nodes = sorted(set(t.column("src_id").to_pylist()) | set(t.column("dst_id").to_pylist()))
+    srcs = nodes[:5]
+    pairs, rounds, converged = all_shortest_paths_weighted(
+        from_arrow(t), srcs, num_partitions=NP)
+    assert converged
+    got = {(s, d): c for s, d, c in zip(pairs.column("source_id").to_pylist(),
+                                        pairs.column("target_id").to_pylist(),
+                                        pairs.column("cost").to_pylist())}
+    for s in srcs:
+        want = nx.single_source_dijkstra_path_length(g, s, weight="weight")
+        for d, c in want.items():
+            assert got[(s, d)] == pytest.approx(c, abs=1e-9), (s, d)
+        assert {d for (ss, d) in got if ss == s} == set(want)
+    # sorted output, partitioning-invariant
+    p2, _, _ = all_shortest_paths_weighted(from_arrow(t).repartition(5), srcs,
+                                           num_partitions=3)
+    assert pairs.equals(p2)
+
+
+def test_all_shortest_paths_weighted_hop_bound_and_undirected():
+    from graph_data_science_ray.algos.paths import all_shortest_paths_weighted
+
+    pa_ = __import__("pyarrow")
+    t = fixtures.edges_table([(1, 2), (2, 3), (3, 4)])
+    t = t.append_column("weight", pa_.array([5.0, 1.0, 2.0]))
+    # 2 rounds: costs over paths of <= 2 edges only
+    pairs, rounds, converged = all_shortest_paths_weighted(
+        from_arrow(t), [1], max_iterations=2, num_partitions=NP)
+    got = {(s, d): c for s, d, c in zip(pairs.column("source_id").to_pylist(),
+                                        pairs.column("target_id").to_pylist(),
+                                        pairs.column("cost").to_pylist())}
+    assert got == {(1, 1): 0.0, (1, 2): 5.0, (1, 3): 6.0}
+    assert rounds == 2 and not converged
+    # undirected view reaches backwards
+    pairs_u, _, conv_u = all_shortest_paths_weighted(
+        from_arrow(t), [4], undirected=True, num_partitions=NP)
+    gu = {(s, d): c for s, d, c in zip(pairs_u.column("source_id").to_pylist(),
+                                       pairs_u.column("target_id").to_pylist(),
+                                       pairs_u.column("cost").to_pylist())}
+    assert conv_u and gu == {(4, 4): 0.0, (4, 3): 2.0, (4, 2): 3.0, (4, 1): 8.0}

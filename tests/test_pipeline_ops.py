@@ -341,3 +341,69 @@ def test_ivf_topk_exact_when_full_probe_and_recall():
         assert got[qi][0] == self_id
         recall = len(set(got[qi]) & set(want[qi])) / len(want[qi])
         assert recall >= 0.5, (qi, recall)
+
+
+def test_ngram_jaccard_pairs_exact():
+    from graph_data_science_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "completely different content here",
+        4: "tiny",  # shorter than k -> whole text is the single gram
+        5: "tiny",
+    }
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(list(texts), pa.int64()),
+         "text": pa.array(list(texts.values()), pa.string())}))
+    pairs = pa.table({"doc_a": pa.array([1, 1, 4], pa.int64()),
+                      "doc_b": pa.array([2, 3, 5], pa.int64())})
+    got = ngram_jaccard_pairs(docs, pairs, k=5)
+    rows = {(a, b): (c, j) for a, b, c, j in zip(
+        got.column("doc_a").to_pylist(), got.column("doc_b").to_pylist(),
+        got.column("n_common").to_pylist(), got.column("jaccard_ppm").to_pylist())}
+
+    def ref(x, y, k=5):
+        gx = {x[i:i+k] for i in range(len(x)-k+1)} if len(x) >= k else {x}
+        gy = {y[i:i+k] for i in range(len(y)-k+1)} if len(y) >= k else {y}
+        inter = len(gx & gy)
+        return inter, (1_000_000 * inter) // max(len(gx | gy), 1)
+
+    for (a, b), want in ((p, ref(texts[p[0]], texts[p[1]])) for p in [(1, 2), (1, 3), (4, 5)]):
+        assert rows[(a, b)] == want, (a, b, rows[(a, b)], want)
+    assert rows[(4, 5)] == (1, 1_000_000)  # identical short docs
+    assert rows[(1, 3)][0] == 0
+    # partition invariance
+    got2 = ngram_jaccard_pairs(docs.repartition(3), pairs, k=5, num_partitions=3)
+    assert got.equals(got2)
+
+
+def test_top_similar_pairs_exact_and_cutoff():
+    from graph_data_science_ray.stages.embed import top_similar_pairs
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 1, (60, 8))
+    X[7] = X[3] * 2.0          # exact cosine duplicate (scaled)
+    X[11] = X[5] + 0.01 * rng.normal(0, 1, 8)  # near duplicate
+    ids = np.arange(60, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float64()))}))
+    got = top_similar_pairs(ds, n=10)
+    top = (got.column("id_a")[0].as_py(), got.column("id_b")[0].as_py())
+    assert top == (3, 7)
+    assert got.column("score")[0].as_py() == 1.0
+    assert (got.column("id_a")[1].as_py(), got.column("id_b")[1].as_py()) == (5, 11)
+    # exact vs numpy oracle
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    cand = [(S[i, j], i, j) for i in range(60) for j in range(i + 1, 60)]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(i, j, s) for s, i, j in cand[:10]]
+    have = list(zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist(),
+                    got.column("score").to_pylist()))
+    assert have == [(i, j, pytest.approx(s, abs=2e-6)) for i, j, s in want]
+    # cutoff keeps only the two planted duplicates
+    cut = top_similar_pairs(ds, n=10, similarity_cutoff=0.95)
+    assert {(a, b) for a, b in zip(cut.column("id_a").to_pylist(),
+                                   cut.column("id_b").to_pylist())} == {(3, 7), (5, 11)}
