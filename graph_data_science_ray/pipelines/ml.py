@@ -64,6 +64,33 @@ def _make_regressor(model: str, model_config: dict | None, penalty: float, seed:
     raise ValueError(f"model must be linearRegression | randomForest, got {model!r}")
 
 
+def _select_candidate(X, y, ids, candidates, make, score_fn, folds, seed):
+    """GDS pipeline model selection ([GDS-pub: ml/ml-core training
+    RandomSearch/CrossValidation; public docs: train with multiple
+    addXxx candidates + validationFolds]): k-fold cross-validation on
+    the TRAIN split, winner = highest mean validation score (ties →
+    first-listed, the reference's registration order). Fold assignment
+    is hash-of-node-id — deterministic and partitioning-invariant.
+
+    Returns (winner_index, [per-candidate mean scores])."""
+    fold = (_mix64(ids.astype(np.uint64)
+                   ^ np.uint64((0x94D049BB133111EB * (seed + 3)) & 0xFFFFFFFFFFFFFFFF))
+            % np.uint64(folds)).astype(np.int64)
+    scores = []
+    for cand in candidates:
+        vals = []
+        for f in range(folds):
+            va = fold == f
+            if not va.any() or va.all():
+                continue
+            m = make(cand)
+            m.fit(X[~va], y[~va])
+            vals.append(score_fn(y[va], m, X[va]))
+        scores.append(float(np.mean(vals)) if vals else float("-inf"))
+    best = int(np.argmax(scores))  # argmax keeps the FIRST max (tie rule)
+    return best, scores
+
+
 def _hash_uniform(ids: np.ndarray, seed: int) -> np.ndarray:
     """Deterministic uniform(0,1) per id."""
     salt = np.uint64((0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF)
@@ -103,8 +130,16 @@ def node_classification(
     seed: int = 42,
     model: str = "logisticRegression",
     model_config: dict | None = None,
+    model_candidates: list[dict] | None = None,
+    validation_folds: int = 3,
 ) -> tuple[dict, Dataset]:
     """Train on the labeled nodes, return (metrics, predictions).
+
+    ``model_candidates``: optional list of {"model": name, **config}
+    dicts — when given, the GDS train-mode selection runs: k-fold
+    cross-validation (``validation_folds``) on the train split picks the
+    winner by mean validation accuracy, which is then refit on the full
+    train split; metrics gain ``selected_model`` + ``candidate_scores``.
 
     ``features``: Dataset (node_id, <feature_col>: list<double>).
     ``labels``: in-memory table (node_id, <label_col>: int) — the
@@ -123,6 +158,19 @@ def node_classification(
     Xl = X[pos]
 
     test = _hash_uniform(lab_ids, seed) < holdout_fraction
+    extra = {}
+    if model_candidates:
+        def mk(c):
+            c = dict(c)
+            return _make_classifier(c.pop("model"), c, penalty, max_iter, seed)
+
+        best, scores = _select_candidate(
+            Xl[~test], lab_y[~test], lab_ids[~test], model_candidates, mk,
+            lambda yv, m, Xv: accuracy(yv, m.predict(Xv)),
+            validation_folds, seed)
+        cand = dict(model_candidates[best])
+        model, model_config = cand.pop("model"), cand
+        extra = {"selected_model": model, "candidate_scores": scores}
     model = _make_classifier(model, model_config, penalty, max_iter, seed)
     model.fit(Xl[~test], lab_y[~test])
     pred_tr = model.predict(Xl[~test])
@@ -134,6 +182,7 @@ def node_classification(
         "train_accuracy": accuracy(lab_y[~test], pred_tr),
         "test_accuracy": accuracy(lab_y[test], pred_te),
         "test_f1_macro": macro_f1(lab_y[test], pred_te),
+        **extra,
     }
 
     params_ref = ray.put(model.params())
@@ -171,6 +220,8 @@ def node_regression(
     seed: int = 42,
     model: str = "linearRegression",
     model_config: dict | None = None,
+    model_candidates: list[dict] | None = None,
+    validation_folds: int = 3,
 ) -> tuple[dict, Dataset]:
     """Train a regression model on the target-labeled nodes,
     return (metrics, predictions) — the ``gds.alpha.pipeline.
@@ -190,6 +241,19 @@ def node_regression(
     Xl = X[pos]
 
     test = _hash_uniform(lab_ids, seed) < holdout_fraction
+    extra = {}
+    if model_candidates:
+        def mk(c):
+            c = dict(c)
+            return _make_regressor(c.pop("model"), c, penalty, seed)
+
+        best, scores = _select_candidate(
+            Xl[~test], lab_y[~test], lab_ids[~test], model_candidates, mk,
+            lambda yv, m, Xv: -rmse(yv, m.predict(Xv)),  # higher = better
+            validation_folds, seed)
+        cand = dict(model_candidates[best])
+        model, model_config = cand.pop("model"), cand
+        extra = {"selected_model": model, "candidate_scores": scores}
     model = _make_regressor(model, model_config, penalty, seed)
     model.fit(Xl[~test], lab_y[~test])
     pred_tr = model.predict(Xl[~test])
@@ -201,6 +265,7 @@ def node_regression(
         "test_rmse": rmse(lab_y[test], pred_te),
         "test_mae": mae(lab_y[test], pred_te),
         "test_r2": r2(lab_y[test], pred_te),
+        **extra,
     }
 
     params_ref = ray.put(model.params())

@@ -148,3 +148,40 @@ def test_link_prediction_rf_pipeline():
     assert 0.0 <= min(scored.values()) and max(scored.values()) <= 1.0
     # same-cluster pair scores at least as high as cross-cluster
     assert scored[(0, 1)] >= scored[(0, n + 1)]
+
+
+def test_model_candidate_selection_classification():
+    # XOR labels: logistic regression cannot separate, a tree forest can
+    rng = np.random.default_rng(17)
+    X = np.array([[0, 0], [0, 1], [1, 0], [1, 1]] * 50, float) + rng.normal(0, 0.05, (200, 2))
+    y = (X[:, 0].round() != X[:, 1].round()).astype(np.int64)
+    feats, ids = _feature_ds(X)
+    labels = pa.table({"node_id": pa.array(ids, pa.int64()),
+                       "label": pa.array(y, pa.int64())})
+    cands = [{"model": "logisticRegression"},
+             {"model": "randomForest", "n_trees": 8, "max_depth": 6,
+              "max_features_ratio": 1.0}]
+    metrics, _ = node_classification(feats, labels, seed=5,
+                                     model_candidates=cands)
+    assert metrics["selected_model"] == "randomForest", metrics
+    assert metrics["candidate_scores"][1] > metrics["candidate_scores"][0]
+    assert metrics["test_accuracy"] > 0.9
+    # deterministic selection
+    m2, _ = node_classification(feats, labels, seed=5, model_candidates=cands)
+    assert m2["candidate_scores"] == metrics["candidate_scores"]
+
+
+def test_model_candidate_selection_regression():
+    # pure linear target: OLS beats a depth-2 forest
+    rng = np.random.default_rng(23)
+    X = rng.normal(0, 1, (200, 3))
+    t = 3 * X[:, 0] - 2 * X[:, 1] + 0.5 * X[:, 2]
+    feats, ids = _feature_ds(X)
+    targets = pa.table({"node_id": pa.array(ids, pa.int64()),
+                        "target": pa.array(t, pa.float64())})
+    cands = [{"model": "randomForest", "n_trees": 4, "max_depth": 2},
+             {"model": "linearRegression"}]
+    metrics, _ = node_regression(feats, targets, seed=9,
+                                 model_candidates=cands)
+    assert metrics["selected_model"] == "linearRegression", metrics
+    assert metrics["test_r2"] > 0.99
