@@ -1563,8 +1563,9 @@ def _q_ivf_ann_topk(sf_dir: str):
 
 def _q_split_relationships(sf_dir: str):
     """gds.alpha.ml.splitRelationships: labeled holdout + negatives.
-    Rows-only (the split hash is splitmix64 — not SQL-mirrorable);
-    partition/determinism invariants are pytest-covered."""
+    DuckDB-matched via _split_relationships_sql (the splitmix64 mixer and
+    the rejection-sampler rounds are replayed bit-exactly in SQL);
+    partition/determinism invariants are also pytest-covered."""
     from graph_data_science_ray.pipelines.ml import split_relationships
 
     out = split_relationships(_edges_ps(sf_dir), holdout_fraction=0.2, seed=11)
@@ -2335,9 +2336,9 @@ pos AS MATERIALIZED (SELECT src_id, dst_id, h FROM
   (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY src_id, dst_id) rn FROM e1) WHERE rn = 1),
 held AS MATERIALIZED (SELECT src_id, dst_id FROM pos WHERE {unif} < {frac}),
 nn AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT node FROM
-  (SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0))),
+  (SELECT src_id AS node FROM e1 UNION ALL SELECT dst_id FROM e1))),
 nodes AS MATERIALIZED (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS r FROM
-  (SELECT DISTINCT node FROM (SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0))),
+  (SELECT DISTINCT node FROM (SELECT src_id AS node FROM e1 UNION ALL SELECT dst_id FROM e1))),
 par AS (SELECT (SELECT COUNT(*) FROM held) AS n_neg, 2 * (SELECT COUNT(*) FROM held) + 16 AS need1),
 idx AS MATERIALIZED (SELECT CAST(i AS HUGEINT) AS i FROM range(0, 4194304) t(i)
   WHERE i < 3 * (SELECT need1 FROM par)),

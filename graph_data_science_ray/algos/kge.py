@@ -105,10 +105,15 @@ def kge_predict(
         self_hit = s_ids[:, None] == tid[None, :]
         scores = np.where(self_hit, -np.inf, scores)
         kk = min(k, scores.shape[1])
-        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        si = np.repeat(s_ids, kk)
-        ti = tid[part.ravel()]
-        sc = np.take_along_axis(scores, part, axis=1).ravel()
+        # keep EVERY target tied with the k-th best per source (ties at
+        # the boundary must all reach the driver merge, which breaks
+        # them by smallest target id like the oracle)
+        kth = -np.partition(-scores, kk - 1, axis=1)[:, kk - 1]
+        mask = scores >= kth[:, None]
+        rows, cols = np.nonzero(mask)
+        si = s_ids[rows]
+        ti = tid[cols]
+        sc = scores[rows, cols]
         ok = np.isfinite(sc)
         return pa.table({"source_id": pa.array(si[ok], pa.int64()),
                          "target_id": pa.array(ti[ok], pa.int64()),
@@ -116,6 +121,12 @@ def kge_predict(
 
     part = collect_arrow(embeddings.map_batches(local_topk, batch_format="pyarrow",
                                                 zero_copy_batch=True))
+    if part.num_rows == 0 or "source_id" not in part.column_names:
+        # collect_arrow drops all-empty partials schema-lessly
+        return pa.table({"source_id": pa.array([], pa.int64()),
+                         "target_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
     si = part.column("source_id").to_numpy(zero_copy_only=False)
     ti = part.column("target_id").to_numpy(zero_copy_only=False)
     sc = part.column("score").to_numpy(zero_copy_only=False)

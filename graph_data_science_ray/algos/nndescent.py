@@ -82,7 +82,7 @@ def knn_nndescent(
     vec_col: str = "embedding",
     num_partitions: int | None = None,
     vector_mode: str = "auto",  # auto | broadcast | join
-    broadcast_threshold: int = 5_000_000,
+    broadcast_threshold: int = 400_000_000,  # max n·d matrix ENTRIES (~3.2 GB f64)
 ) -> tuple[Dataset, int]:
     """Approximate per-node cosine top-k. Returns (Dataset (node_id,
     neighbour_id, similarity) sorted per node by (-sim, nbr), rounds
@@ -110,9 +110,11 @@ def knn_nndescent(
     s = max(1, int(round(sample_rate * kk)))
     node_ref = ray.put(node_arr)
 
-    if vector_mode == "auto":
-        vector_mode = "broadcast" if n <= broadcast_threshold else "join"
     d = len(embeddings.limit(1).take(1)[0][vec_col])
+    if vector_mode == "auto":
+        # gate on MATRIX ENTRIES (n·d), not rows — n=4M at d=512 is a
+        # 16 GB ray.put, exactly what join mode exists to avoid
+        vector_mode = "broadcast" if n * d <= broadcast_threshold else "join"
     if vector_mode == "broadcast":
         emb_t = collect_arrow(embeddings.select_columns([id_col, vec_col]))
         eid = emb_t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -125,7 +127,11 @@ def knn_nndescent(
     else:
         mat_ref = None
         packed_a = _pack_vectors(embeddings, id_col, vec_col, "pa_", "ea_").materialize()
-        packed_b = _pack_vectors(embeddings, id_col, vec_col, "pb_", "eb_").materialize()
+        # second join side: lazy column rename over the SAME materialized
+        # blocks — no second pack pass, no second object-store copy
+        packed_b = packed_a.map_batches(
+            lambda t: pa.table({"pb_": t.column("pa_"), "eb_": t.column("ea_")}),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     def init_candidates(t: pa.Table) -> pa.Table:
         ids_sorted = ray.get(node_ref)

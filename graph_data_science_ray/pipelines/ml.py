@@ -51,6 +51,7 @@ def _make_classifier(model: str, model_config: dict | None, penalty: float,
         return RandomForestClassifier(seed=cfg.pop("seed", seed), **cfg)
     if model == "mlp":
         return MLPClassifier(penalty=cfg.pop("penalty", penalty),
+                             max_epochs=cfg.pop("max_epochs", max_iter),
                              seed=cfg.pop("seed", seed), **cfg)
     raise ValueError(f"model must be logisticRegression | randomForest | mlp, got {model!r}")
 

@@ -300,21 +300,31 @@ def top_similar_pairs(
         pos = np.searchsorted(all_ids, bid)
         sims = Mm[pos] @ Mm.T  # (b, N)
         sims = np.where(bid[:, None] < all_ids[None, :], sims, -np.inf)
-        flat = sims.ravel()
+        # select on ROUND-6 scores and keep every pair tied with the
+        # n-th best — the global merge (and the SQL oracle) rank by
+        # rounded score with id tie-breaks, so boundary ties must all
+        # survive the batch-local cut
+        flat = np.round(sims.ravel(), 6)
         kk = min(n, flat.shape[0])
-        top = np.argpartition(-flat, kk - 1)[:kk]
+        kth = -np.partition(-flat, kk - 1)[kk - 1]
+        top = np.flatnonzero(flat >= kth)
         r, c = np.unravel_index(top, sims.shape)
-        sc = sims[r, c]
-        ok = np.isfinite(sc) & (np.round(sc, 6) >= similarity_cutoff)
+        sc = flat[top]
+        ok = np.isfinite(sc) & (sc >= similarity_cutoff)
         return pa.table({"id_a": pa.array(bid[r[ok]], pa.int64()),
                          "id_b": pa.array(all_ids[c[ok]], pa.int64()),
                          "score": pa.array(sc[ok], pa.float64())})
 
     part = collect_arrow(ds.map_batches(local_top, batch_format="pyarrow",
                                         zero_copy_batch=True))
+    if part.num_rows == 0 or "id_a" not in part.column_names:
+        # collect_arrow drops all-empty partials schema-lessly
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     a = part.column("id_a").to_numpy(zero_copy_only=False)
     b = part.column("id_b").to_numpy(zero_copy_only=False)
-    sc = np.round(part.column("score").to_numpy(zero_copy_only=False), 6)
+    sc = part.column("score").to_numpy(zero_copy_only=False)  # already round-6
     o = np.lexsort((b, a, -sc))[:n]
     return pa.table({"id_a": pa.array(a[o], pa.int64()),
                      "id_b": pa.array(b[o], pa.int64()),

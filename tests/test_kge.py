@@ -70,3 +70,24 @@ def test_kge_validates_inputs():
         kge_predict(ds, [0], np.zeros(X.shape[1] + 1))
     with pytest.raises(ValueError, match="missing embeddings"):
         kge_predict(ds, [9999], np.zeros(X.shape[1]))
+
+
+def test_kge_single_row_returns_empty():
+    t = pa.table({"node_id": pa.array([5], pa.int64()),
+                  "embedding": pa.array([[1.0, 2.0]], pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t)
+    got = kge_predict(ds, [5], np.zeros(2), top_k=3)
+    assert got.num_rows == 0
+    assert got.column_names == ["source_id", "target_id", "score", "rank"]
+
+
+def test_kge_duplicate_embeddings_tie_by_target_id():
+    # 4 identical vectors: every score ties — top-k must pick smallest ids
+    X = np.tile(np.array([1.0, 1.0, 0.0]), (5, 1))
+    X[4] = [0.0, 0.0, 1.0]
+    t = pa.table({"node_id": pa.array([10, 20, 30, 40, 50], pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = kge_predict(ds, [10], np.zeros(3), top_k=2, scoring_function="transe")
+    assert got.column("target_id").to_pylist() == [20, 30]
+    assert got.column("rank").to_pylist() == [1, 2]

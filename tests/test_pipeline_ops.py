@@ -407,3 +407,17 @@ def test_top_similar_pairs_exact_and_cutoff():
     cut = top_similar_pairs(ds, n=10, similarity_cutoff=0.95)
     assert {(a, b) for a, b in zip(cut.column("id_a").to_pylist(),
                                    cut.column("id_b").to_pylist())} == {(3, 7), (5, 11)}
+
+
+def test_top_similar_pairs_degenerate_inputs():
+    from graph_data_science_ray.stages.embed import top_similar_pairs
+
+    one = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array([1], pa.int64()),
+         "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float64()))}))
+    got = top_similar_pairs(one, n=5)
+    assert got.num_rows == 0 and got.column_names == ["id_a", "id_b", "score"]
+    two = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array([1, 2], pa.int64()),
+         "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64()))}))
+    assert top_similar_pairs(two, n=5, similarity_cutoff=1.1).num_rows == 0
