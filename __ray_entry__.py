@@ -1816,6 +1816,18 @@ def _q_media_features(sf_dir: str):
     return image_features(imgs, concurrency=2)
 
 
+def _q_media_audio(sf_dir: str):
+    """Audio branch of the multimodal plumbing (stages/multimodal.
+    audio_features): deterministic fake waveform decode → vectorized
+    RMS / zero-crossing features."""
+    import ray.data
+
+    from graph_data_science_ray.stages.multimodal import audio_features, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200))
+    return audio_features(media.filter(expr="kind == 'audio'"), concurrency=2)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1937,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_relationships": _q_split_relationships,
         "nodereg_pipeline": _q_nodereg,
         "media_features": _q_media_features,
+        "media_audio_features": _q_media_audio,
         "kmeans_embeddings": _q_kmeans,
         "filtered_knn": _q_filtered_knn,
         "astar_cost": _q_astar_cost,

@@ -139,3 +139,112 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
         rows["height"].append(int(rng.integers(8, 64)) if kind == "image" else -1)
         rows["duration_ms"].append(int(rng.integers(500, 10_000)) if kind != "image" else -1)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class ImageResizer:
+    """Actor-pool stage: (media_id, payload, width, height) → resized
+    raw-RGB rows (media_id, pixels: binary HWC uint8, width, height).
+    Decode is injected (fake by default); the RESIZE itself is a real
+    vectorized nearest-neighbor kernel over the decoded array — swapping
+    in a real decoder makes this a production resize stage unchanged."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, decoder=None):
+        self.out_w, self.out_h = out_w, out_h
+        self.decode = decoder or fake_decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        out = []
+        yi = None
+        for p, w, h in zip(payloads, widths, heights):
+            img = self.decode(p or b"", w, h)
+            ih, iw = img.shape[0], img.shape[1]
+            yi = (np.arange(self.out_h) * ih) // self.out_h
+            xi = (np.arange(self.out_w) * iw) // self.out_w
+            out.append(img[yi][:, xi].tobytes())
+        return pa.table(
+            {
+                "media_id": ids,
+                "pixels": pa.array(out, pa.binary()),
+                "width": pa.array([self.out_w] * len(out), pa.int32()),
+                "height": pa.array([self.out_h] * len(out), pa.int32()),
+            }
+        )
+
+
+def real_decode_audio(payload: bytes) -> np.ndarray:
+    """Decode encoded audio to a float32 mono waveform. Requires an audio
+    codec library (soundfile / librosa) NOT present in this environment."""
+    raise NotImplementedError(
+        "audio codecs unavailable in this environment — wire soundfile here"
+    )
+
+
+def fake_decode_audio(payload: bytes, duration_ms: int, rate: int = 8000) -> np.ndarray:
+    """Deterministic stand-in: bytes → pseudo-waveform in [-1, 1] via
+    sha256 expansion (same payload → same samples on every worker)."""
+    n = max(1, (max(int(duration_ms), 1) * rate) // 1000)
+    n = min(n, 80_000)  # cap fake decode size
+    seed = hashlib.sha256(payload).digest()
+    reps = (n // len(seed)) + 1
+    buf = (seed * reps)[:n]
+    return (np.frombuffer(buf, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
+
+
+class AudioFeatures:
+    """Actor-pool stage: (media_id, payload, duration_ms) →
+    (media_id, rms, zero_crossing_rate, n_samples, payload_sha256).
+    Feature math is real vectorized numpy over the decoded waveform."""
+
+    def __init__(self, decoder=None, rate: int = 8000):
+        self.decode = decoder or fake_decode_audio
+        self.rate = rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        rms = np.empty(len(payloads))
+        zcr = np.empty(len(payloads))
+        ns = np.empty(len(payloads), dtype=np.int64)
+        shas = []
+        for i, (p, d) in enumerate(zip(payloads, durs)):
+            w = self.decode(p or b"", d, self.rate)
+            rms[i] = float(np.sqrt((w * w).mean()))
+            zcr[i] = float((np.signbit(w[1:]) != np.signbit(w[:-1])).mean()) if w.shape[0] > 1 else 0.0
+            ns[i] = w.shape[0]
+            shas.append(hashlib.sha256(p or b"").hexdigest())
+        return pa.table(
+            {
+                "media_id": ids,
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "payload_sha256": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def resize_images(ds: Dataset, out_w: int = 32, out_h: int = 32,
+                  concurrency=(1, 4), batch_size: int = 32) -> Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def audio_features(ds: Dataset, concurrency=(1, 4), batch_size: int = 32) -> Dataset:
+    return ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

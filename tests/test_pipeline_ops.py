@@ -421,3 +421,30 @@ def test_top_similar_pairs_degenerate_inputs():
         {"vec_id": pa.array([1, 2], pa.int64()),
          "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64()))}))
     assert top_similar_pairs(two, n=5, similarity_cutoff=1.1).num_rows == 0
+
+
+def test_multimodal_resize_and_audio_features():
+    from graph_data_science_ray.stages.multimodal import (
+        audio_features, fake_decode_audio, real_decode_audio,
+        resize_images, synthetic_media_table,
+    )
+
+    media = synthetic_media_table(30)
+    ds = ray.data.from_arrow(media)
+    imgs = ds.filter(lambda r: r["kind"] == "image")
+    rows = resize_images(imgs, out_w=16, out_h=16, batch_size=4).take_all()
+    assert rows and all(len(r["pixels"]) == 16 * 16 * 3 for r in rows)
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
+    # deterministic across runs
+    rows2 = resize_images(imgs, out_w=16, out_h=16, batch_size=7).take_all()
+    assert {r["media_id"]: r["pixels"] for r in rows} == \
+           {r["media_id"]: r["pixels"] for r in rows2}
+
+    auds = ds.filter(lambda r: r["kind"] == "audio")
+    feats = audio_features(auds, batch_size=4).take_all()
+    assert feats and all(0.0 <= r["zero_crossing_rate"] <= 1.0 for r in feats)
+    assert all(r["rms"] > 0 and r["n_samples"] > 0 for r in feats)
+    w = fake_decode_audio(b"x", 1000)
+    assert w.shape[0] == 8000 and np.abs(w).max() <= 1.0
+    with pytest.raises(NotImplementedError):
+        real_decode_audio(b"")
