@@ -95,12 +95,18 @@ def kge_predict(
             return pa.table({"source_id": pa.array([], pa.int64()),
                              "target_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
+        # einsum (optimize=False) instead of BLAS gemm: gemm picks
+        # blocking/reduction order by matrix SHAPE, so the same (s, t)
+        # pair can score differently (~1 ulp) under different batch
+        # boundaries — einsum's fixed C loop keeps scores bit-identical
+        # across partitionings (the invariance the merge relies on).
+        dots = np.einsum("sd,nd->sn", Qm, T)
         if fn == "transe":
-            # -||q - t|| via the expanded form: one matmul, no (S,n,d) temp
+            # -||q - t|| via the expanded form: no (S,n,d) temp
             sq = (Qm * Qm).sum(axis=1)[:, None] + (T * T).sum(axis=1)[None, :]
-            scores = -np.sqrt(np.maximum(sq - 2.0 * (Qm @ T.T), 0.0))
+            scores = -np.sqrt(np.maximum(sq - 2.0 * dots, 0.0))
         else:
-            scores = Qm @ T.T  # (S, n)
+            scores = dots  # (S, n)
         # mask self-targets
         self_hit = s_ids[:, None] == tid[None, :]
         scores = np.where(self_hit, -np.inf, scores)
