@@ -121,6 +121,19 @@ def run_bench(scaling_only: bool = False) -> dict:
     extras["pagerank_edges_per_sec"] = round(n_edges * PR_ITERS / pr_s, 1)
     extras["pagerank_iters_per_hour"] = round(3600.0 / (pr_s / PR_ITERS), 1)
 
+    def timed_min(fn, n: int = 2) -> float:
+        """Min-of-n wall time: the host has multi-minute 5–20× stolen-CPU
+        phases and leftover-worker interference between stages, so a
+        single-shot reading per stage is noise (measured: minhash 8 s
+        standalone vs 62 s single-shot in-bench). The first rep also
+        absorbs worker startup for the stage."""
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
     if not scaling_only:
         # sf-dir edge projection + dataflow pagerank for comparison
         t0 = time.time()
@@ -129,29 +142,33 @@ def run_bench(scaling_only: bool = False) -> dict:
         extras["n_edges_sf"] = edges_sf.count()
         from graph_data_science_ray.algos.pagerank import pagerank
 
-        t0 = time.time()
-        pagerank(edges_sf, max_iterations=5, tolerance=0.0)
-        queries["pagerank5_dataflow_sf"] = round(time.time() - t0, 3)
+        queries["pagerank5_dataflow_sf"] = round(
+            timed_min(lambda: pagerank(edges_sf, max_iterations=5, tolerance=0.0)), 3
+        )
 
         # WCC on the ps projection — CSR engine (symmetrize + build + iterate)
         from graph_data_science_ray.sources.edges import symmetrize
 
-        t0 = time.time()
-        und = symmetrize(harness._edges_ps_raw(SF_DIR), dedup=False)
-        eng_w = CsrEngine.build(und, num_shards=min(NUM_CPUS, 16))
-        eng_w.wcc()
-        eng_w.shutdown()
-        queries["wcc_csr"] = round(time.time() - t0, 3)
+        def _wcc():
+            und = symmetrize(harness._edges_ps_raw(SF_DIR), dedup=False)
+            eng_w = CsrEngine.build(und, num_shards=min(NUM_CPUS, 16))
+            eng_w.wcc()
+            eng_w.shutdown()
+
+        queries["wcc_csr"] = round(timed_min(_wcc), 3)
 
         # minhash-LSH candidates over documents
         import ray.data
 
         from graph_data_science_ray.stages.dedup import minhash_candidates
 
-        t0 = time.time()
-        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-        minhash_candidates(docs).count()
-        queries["minhash_lsh"] = round(time.time() - t0, 3)
+        def _minhash():
+            docs = ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+            minhash_candidates(docs).count()
+
+        queries["minhash_lsh"] = round(timed_min(_minhash), 3)
 
         # brute-force ANN over embeddings (64 queries)
         import numpy as np
@@ -161,32 +178,40 @@ def run_bench(scaling_only: bool = False) -> dict:
 
         emb = pq_.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
         qm = np.stack(emb.column("embedding").to_pylist()[:64]).astype(np.float64)
-        t0 = time.time()
-        brute_force_topk(
-            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
-            qm,
-            k=10,
+        queries["ann_bruteforce_64q"] = round(
+            timed_min(
+                lambda: brute_force_topk(
+                    ray.data.read_parquet(
+                        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+                    ),
+                    qm,
+                    k=10,
+                )
+            ),
+            3,
         )
-        queries["ann_bruteforce_64q"] = round(time.time() - t0, 3)
 
         # triangle count on the ps projection
         from graph_data_science_ray.algos.triangles import triangle_count
 
-        t0 = time.time()
-        triangle_count(harness._edges_ps_raw(SF_DIR))
-        queries["triangles"] = round(time.time() - t0, 3)
+        queries["triangles"] = round(
+            timed_min(lambda: triangle_count(harness._edges_ps_raw(SF_DIR))), 3
+        )
 
         # ingest: pages html → extracted → deduped bucketed edges
         import shutil
 
         pages = _pages_parquet(N_PAGES)
         out = f"/tmp/bench_ingest_{N_PAGES}"
-        shutil.rmtree(out, ignore_errors=True)
         from graph_data_science_ray.pipelines.ingest import ingest_pages
 
-        t0 = time.time()
-        stats = ingest_pages(pages, out, num_buckets=32, concurrency=(4, NUM_CPUS // 2))
-        ing_s = time.time() - t0
+        stats = {}
+
+        def _ingest():
+            shutil.rmtree(out, ignore_errors=True)
+            stats.update(ingest_pages(pages, out, num_buckets=32, concurrency=(4, NUM_CPUS // 2)))
+
+        ing_s = timed_min(_ingest)
         queries["ingest_pages"] = round(ing_s, 3)
         extras["ingest_pages_per_sec"] = round(N_PAGES / ing_s, 1)
         extras["ingest_edges_out"] = stats["edges"]
