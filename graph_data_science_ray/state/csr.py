@@ -54,6 +54,10 @@ class CsrShard:
     """One bucket's edges + the node state this shard owns."""
 
     def __init__(self, shard_id: int, num_shards: int, weighted: bool = False):
+        # P actors each default to Arrow's full thread pool (= all host
+        # cores) — concurrent build-time sort_by oversubscribes P × cores.
+        # Each shard actor holds one CPU slot, so cap its Arrow pool.
+        pa.set_cpu_count(2)
         self.shard_id = shard_id
         self.P = num_shards
         self.weighted = weighted
