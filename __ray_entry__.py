@@ -1966,6 +1966,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _E_OP = "SELECT DISTINCT l_orderkey AS src_id, l_partkey AS dst_id FROM lineitem"
 _E_PS = "SELECT DISTINCT l_partkey AS src_id, l_suppkey AS dst_id FROM lineitem"
 
+# SCC oracle: componentId(v) = min node of v's strongly connected
+# component = LEAST(v, min u with v→u AND u→v in the reachability
+# closure). The closure stays small on the ps projection (dst ids form
+# a small core, ~200k pairs at sf0.01). Mirrors algos/scc.py exactly:
+# self-loops dropped first, node universe from the remaining edges.
+_SCC_SQL = (
+    f"WITH eraw AS ({_E_PS}), "
+    "e AS (SELECT CAST(src_id AS BIGINT) AS src, CAST(dst_id AS BIGINT) AS dst "
+    "      FROM eraw WHERE src_id <> dst_id), "
+    "nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e), "
+    "reach AS (WITH RECURSIVE r(a, b) AS ("
+    "  SELECT src, dst FROM e"
+    "  UNION"
+    "  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b"
+    ") SELECT a, b FROM r), "
+    "mutual AS (SELECT f.a AS v, f.b AS u FROM reach f "
+    "           JOIN reach g ON g.a = f.b AND g.b = f.a) "
+    "SELECT n.node_id AS node_id, "
+    "LEAST(n.node_id, COALESCE(MIN(m.u), n.node_id)) AS component "
+    "FROM nodes n LEFT JOIN mutual m ON m.v = n.node_id "
+    "GROUP BY n.node_id"
+)
+
+# DFS visit-order oracle: single-row stack-machine recursive CTE (the
+# docs_packed pattern). State = explicit stack of (node, depth) encoded
+# as node*16+depth (max_depth=6 < 16) plus the visited list; each
+# recursive step pops one entry, replicating algos/traversal.py's loop
+# bit-for-bit: neighbours pushed dst-DESC (so they pop ascending),
+# visited checked at push AND pop, depth recorded at push time.
+_DFS_SQL = (
+    f"WITH RECURSIVE eraw AS ({_E_PS}), "
+    "e AS (SELECT CAST(src_id AS BIGINT) AS src, CAST(dst_id AS BIGINT) AS dst FROM eraw), "
+    "nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e), "
+    "adj AS (SELECT src AS node, list(dst ORDER BY dst DESC) AS nb FROM e GROUP BY src), "
+    "params AS (SELECT MIN(node_id) AS source FROM nodes), "
+    "walk(stack, visited, step, node, depth) AS ("
+    "  SELECT [source * 16], CAST([] AS BIGINT[]), CAST(-1 AS BIGINT), "
+    "         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM params"
+    "  UNION ALL"
+    "  SELECT"
+    "    CASE WHEN vis THEN rest"
+    "         ELSE list_concat(rest,"
+    "                list_transform("
+    "                  list_filter(COALESCE(a.nb, CAST([] AS BIGINT[])),"
+    "                              x -> d < 6 AND NOT list_contains(list_append(w.visited, pos), x)),"
+    "                  x -> x * 16 + d + 1)) END,"
+    "    CASE WHEN vis THEN w.visited ELSE list_append(w.visited, pos) END,"
+    "    CASE WHEN vis THEN w.step ELSE w.step + 1 END,"
+    "    CASE WHEN vis THEN NULL ELSE pos END,"
+    "    CASE WHEN vis THEN NULL ELSE d END"
+    "  FROM ("
+    "    SELECT *,"
+    "      stack[len(stack)] // 16 AS pos,"
+    "      stack[len(stack)] % 16  AS d,"
+    "      array_slice(stack, 1, len(stack) - 1) AS rest,"
+    "      list_contains(visited, stack[len(stack)] // 16) AS vis"
+    "    FROM walk WHERE len(stack) > 0"
+    "  ) w"
+    "  LEFT JOIN adj a ON a.node = w.pos"
+    ") "
+    "SELECT step AS index, node AS node_id, depth "
+    "FROM walk WHERE node IS NOT NULL"
+)
+
 
 def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING, denom: str = "deg.outdeg") -> str:
     """Fixed-iteration GDS-convention PageRank as a chain of MATERIALIZED
@@ -2617,6 +2681,8 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)) END, 6) AS lcc "
             "FROM deg LEFT JOIN tcnt ON deg.node_id = tcnt.node_id"
         ),
+        "scc": _SCC_SQL,
+        "dfs_order": _DFS_SQL,
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
