@@ -84,9 +84,12 @@ def article_rank(
     max_iterations: int = 20,
     tolerance: float = 1e-7,
     weighted: bool = False,
+    scaler: str | None = None,
 ) -> IterativeResult:
     """``weighted`` = GDS relationshipWeightProperty: contributions are
-    w/(sum_out_w + avg), with avg the mean positive out-weight."""
+    w/(sum_out_w + avg), with avg the mean positive out-weight.
+    ``scaler``: GDS scaler config — post-scales the converged scores
+    (minmax/l1norm/l2norm/mean/log/stdscore/center)."""
     configure_ray_data()
     edges = edges.materialize()
     node_arr = unique_node_ids(edges)
@@ -102,10 +105,15 @@ def article_rank(
         new = (1.0 - damping) + damping * in_sum
         return new, float(np.abs(new - state).max()) if state.shape[0] else 0.0
 
-    return _iterate_scaled(
+    res = _iterate_scaled(
         edges, node_arr, scale, apply, max_iterations, tolerance, "article_rank",
         np.ones(node_arr.shape[0]), weighted=weighted,
     )
+    if scaler is not None:
+        from graph_data_science_ray.functions.scalers import scale_values
+
+        res.values = scale_values(res.values, scaler)
+    return res
 
 
 def eigenvector(
@@ -114,12 +122,14 @@ def eigenvector(
     tolerance: float = 1e-7,
     weighted: bool = False,
     source_nodes: "np.ndarray | list | None" = None,
+    scaler: str | None = None,
 ) -> IterativeResult:
     """``weighted`` = GDS relationshipWeightProperty: power iteration on
     the weighted adjacency. ``source_nodes`` = GDS sourceNodes: start the
     power iteration from the uniform unit vector restricted to the given
     nodes (the converged direction is unchanged on the reachable strongly
-    connected core, but partial runs and disconnected parts differ)."""
+    connected core, but partial runs and disconnected parts differ).
+    ``scaler``: GDS scaler config — post-scales the converged scores."""
     configure_ray_data()
     edges = edges.materialize()
     node_arr = unique_node_ids(edges)
@@ -143,10 +153,15 @@ def eigenvector(
         init = init / nrm if nrm > 0 else np.full(n, 1.0 / np.sqrt(n))
     else:
         init = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
-    return _iterate_scaled(
+    res = _iterate_scaled(
         edges, node_arr, scale, apply, max_iterations, tolerance, "eigenvector", init,
         weighted=weighted,
     )
+    if scaler is not None:
+        from graph_data_science_ray.functions.scalers import scale_values
+
+        res.values = scale_values(res.values, scaler)
+    return res
 
 
 def local_clustering_coefficient(

@@ -254,3 +254,20 @@ def test_eigenvector_source_nodes():
     one_s = eigenvector(from_arrow(t), max_iterations=1, tolerance=0.0,
                         source_nodes=ids[:1])
     assert not np.allclose(one_u.values, one_s.values)
+
+
+def test_centrality_scaler_option():
+    """GDS `scaler` config on ArticleRank / Eigenvector: post-scales the
+    converged scores with the shared scaler kernels (same contract as
+    PageRank's scaler, test_algos.test_wcc_consecutive_ids_and_pagerank_scaler)."""
+    from graph_data_science_ray.algos.centrality import article_rank, eigenvector
+
+    t = fixtures.er_random(60, 0.08, seed=21)
+    raw = article_rank(from_arrow(t), max_iterations=8)
+    mm = article_rank(from_arrow(t), max_iterations=8, scaler="minmax")
+    lo, hi = raw.values.min(), raw.values.max()
+    np.testing.assert_allclose(mm.values, (raw.values - lo) / (hi - lo))
+
+    raw_e = eigenvector(from_arrow(t), max_iterations=8)
+    l1 = eigenvector(from_arrow(t), max_iterations=8, scaler="l1norm")
+    np.testing.assert_allclose(l1.values, raw_e.values / np.abs(raw_e.values).sum())
