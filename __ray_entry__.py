@@ -2343,6 +2343,61 @@ def _sql_pair_hash(lo: str, hi: str) -> str:
     return _sql_mix64(inner)
 
 
+def _minhash_candidates_sql(num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42) -> str:
+    """Bit-exact replica of stages/dedup.minhash_candidates: shingle
+    hash = chained mix64 fold over the k-char window's codepoints
+    (h ← mix64(h ⊕ c), h₀=0; ascii() = ord() on this corpus), permutation
+    i = mix64(x ⊕ salt_i), band hash = mix64 fold over the band's
+    signature values, candidates = per-(band,hash)-bucket star pairing
+    against the bucket minimum, DISTINCT. Salts are inlined literals from
+    the same seeded _perm_salts the engine uses. Fold steps are chained
+    MATERIALIZED CTEs because one inlined mix64 grows 32× per nesting."""
+    from graph_data_science_ray.stages.dedup import _perm_salts
+
+    rpb = num_perm // bands
+    salts = _perm_salts(num_perm, seed)
+    perm_rows = ", ".join(f"({i}, CAST({int(g)} AS UBIGINT))" for i, g in enumerate(salts.tolist()))
+    parts = [
+        "WITH docs AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents),",
+        f"pos AS MATERIALIZED (SELECT doc_id, t, "
+        f"unnest(generate_series(1, length(t) - {k - 1})) AS p FROM docs),",
+        "g0 AS MATERIALIZED (SELECT doc_id, t, p, CAST(0 AS UBIGINT) AS h FROM pos),",
+    ]
+    for j in range(1, k + 1):
+        code = f"CAST(ascii(substr(t, p + {j - 1}, 1)) AS UBIGINT)"
+        parts.append(
+            f"g{j} AS MATERIALIZED (SELECT doc_id, t, p, "
+            f"{_sql_mix64(f'xor(h, {code})')} AS h FROM g{j - 1}),"
+        )
+    parts.append(f"grams AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g{k}),")
+    parts.append(f"perms(i, salt) AS (VALUES {perm_rows}),")
+    parts.append(
+        "mh AS MATERIALIZED (SELECT doc_id, i, "
+        f"MIN({_sql_mix64('xor(h, salt)')}) AS v FROM grams, perms GROUP BY doc_id, i),"
+    )
+    pivot = ", ".join(f"MAX(CASE WHEN i % {rpb} = {r} THEN v END) AS v{r}" for r in range(rpb))
+    parts.append(
+        f"bv AS MATERIALIZED (SELECT doc_id, i // {rpb} AS band_id, {pivot} "
+        f"FROM mh GROUP BY doc_id, i // {rpb}),"
+    )
+    cols = ", ".join(f"v{r}" for r in range(rpb))
+    parts.append(
+        f"b0 AS MATERIALIZED (SELECT doc_id, band_id, {cols}, CAST(0 AS UBIGINT) AS h FROM bv),"
+    )
+    for r in range(1, rpb + 1):
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT doc_id, band_id, {cols}, "
+            f"{_sql_mix64(f'xor(h, v{r - 1})')} AS h FROM b{r - 1}),"
+        )
+    parts.append(
+        f"bh AS MATERIALIZED (SELECT doc_id, band_id, h AS band_hash FROM b{rpb}), "
+        "lo AS (SELECT band_id, band_hash, MIN(doc_id) AS id_a FROM bh GROUP BY band_id, band_hash) "
+        "SELECT DISTINCT l.id_a AS id_a, b.doc_id AS id_b "
+        "FROM bh b JOIN lo l USING (band_id, band_hash) WHERE b.doc_id > l.id_a"
+    )
+    return " ".join(parts)
+
+
 def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
     """algos/randomwalk._walk_key: mix64 of the walk/step/dst key; the
     per-step ``base`` salt is a Python-computed literal."""
@@ -2683,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scc": _SCC_SQL,
         "dfs_order": _DFS_SQL,
+        "minhash_candidates": _minhash_candidates_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "

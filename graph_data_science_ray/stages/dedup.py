@@ -9,9 +9,12 @@
   generation.
 - n-gram Jaccard: the verify kernel, exposed standalone.
 
-Shingle/minhash computation is per-doc numpy over crc32-hashed shingles
-(C-speed, deterministic across processes — Python's builtin hash() is
-salted and MUST NOT be used here).
+Shingle/minhash computation is vectorized numpy over mix64
+(splitmix64-finalizer) shingle hashes — deterministic across processes
+(Python's builtin hash() is salted and MUST NOT be used here) and
+bit-exactly SQL-expressible, which is what gives minhash_candidates a
+DuckDB oracle (crc32, the previous sketch hash, has no DuckDB 1.0
+equivalent; SimHash below still uses it and stays rows-only).
 """
 
 from __future__ import annotations
@@ -25,30 +28,49 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+from graph_data_science_ray.functions.joins import _mix64
 
-_MERSENNE = (1 << 61) - 1
 
-
-def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+def _perm_salts(num_perm: int, seed: int = 42) -> np.ndarray:
+    """Per-permutation 64-bit salts; perm_i(x) = mix64(x ^ salt_i)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    return a, b
+    return rng.integers(0, 1 << 64, size=num_perm, dtype=np.uint64)
+
+
+def _codes(text: str) -> np.ndarray:
+    """Lowercased text → uint64 codepoint array (ASCII fast path)."""
+    t = (text or "").lower()
+    b = t.encode("utf-8")
+    if len(b) == len(t):
+        return np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    return np.fromiter(map(ord, t), dtype=np.uint64, count=len(t))
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """crc32 of each k-char shingle (lowercased), unique."""
-    t = (text or "").lower()
-    if len(t) < k:
-        return np.array([zlib.crc32(t.encode("utf-8"))], dtype=np.uint64)
-    hs = {zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    """Distinct hashes of the k-char shingles of the lowercased text:
+    a mix64 fold over the window's codepoints (h ← mix64(h ⊕ c), h₀=0),
+    vectorized ACROSS windows (k passes over the code array, no per-
+    shingle Python loop). The whole text is the single shingle when
+    shorter than k. The __ray_entry__ minhash oracle mirrors this fold
+    bit-for-bit with chained _sql_mix64 steps."""
+    c = _codes(text)
+    n = c.shape[0]
+    if n < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = _mix64(h ^ c[j : j + 1])
+        return h
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = _mix64(h ^ c[j : j + m])
+    return np.unique(h)
 
 
-def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
+def minhash_signature(text: str, salts: np.ndarray, k: int = 5) -> np.ndarray:
     sh = shingle_hashes(text, k)
-    # (a*x + b) mod p, min over shingles, per permutation — one outer product
-    vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+    # mix64(x ^ salt_i), min over shingles, per permutation — one outer product
+    vals = _mix64(sh[:, None] ^ salts[None, :])
     return vals.min(axis=0)
 
 
@@ -84,7 +106,7 @@ class MinHashStage:
         self.id_col, self.text_col = id_col, text_col
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
         self.rows_per_band = num_perm // bands
-        self.a, self.b = _perm_params(num_perm, seed)
+        self.salts = _perm_salts(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
@@ -92,17 +114,16 @@ class MinHashStage:
         n = len(texts)
         out_id = np.repeat(ids, self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
-        out_hash = np.empty(n * self.bands, dtype=np.int64)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         for i, t in enumerate(texts):
-            sig = minhash_signature(t, self.a, self.b, self.k)
-            bh = np.array(
-                [
-                    zlib.crc32(sig[j * self.rows_per_band : (j + 1) * self.rows_per_band].tobytes())
-                    for j in range(self.bands)
-                ],
-                dtype=np.int64,
-            )
-            out_hash[i * self.bands : (i + 1) * self.bands] = bh
+            sigs[i] = minhash_signature(t, self.salts, self.k)
+        # band hash = mix64 fold over the band's signature values
+        # (h ← mix64(h ⊕ v), h₀=0) — vectorized across all docs × bands
+        s = sigs.reshape(n * self.bands, self.rows_per_band)
+        h = np.zeros(n * self.bands, dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            h = _mix64(h ^ s[:, r])
+        out_hash = h.view(np.int64)
         return pa.table(
             {
                 self.id_col: pa.array(out_id),
