@@ -2398,6 +2398,45 @@ def _minhash_candidates_sql(num_perm: int = 64, bands: int = 16, k: int = 5, see
     return " ".join(parts)
 
 
+def _simhash_sql() -> str:
+    """Bit-exact replica of stages/dedup.SimHashStage: tokens =
+    RE2 ``\\w+`` over the lowercased text (ASCII corpus ⇒ identical to
+    the engine's Python ``re``), token hash = mix64 fold over the
+    token's codepoints via list_reduce (same fold as _fold_hashes),
+    signature bit b = majority vote of bit b across token OCCURRENCES
+    (ties → 0), bands = 16-bit slices. Signed two's-complement
+    conversion and bit powers are exact HUGEINT arithmetic (DuckDB's
+    ``<<`` overflows at 1<<63, hence the pows VALUES list)."""
+    mix = _sql_mix64("xor(hh, c)")
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS UBIGINT), "
+        "list_transform(generate_series(1, length(w)), i -> CAST(ascii(substr(w, i, 1)) AS UBIGINT))), "
+        f"(hh, c) -> {mix})"
+    )
+    pows = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+    bands = ", ".join(
+        f"CAST(((COALESCE(s.s, 0) // {1 << (16 * b)}) % 65536) AS BIGINT) AS band{b}"
+        for b in range(4)
+    )
+    return (
+        "WITH docs AS MATERIALIZED (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), "
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS w FROM docs), "
+        f"th AS MATERIALIZED (SELECT doc_id, {fold} AS h FROM tok), "
+        f"pows(b, p) AS (VALUES {pows}), "
+        "bits AS MATERIALIZED (SELECT doc_id, b, p, "
+        "SUM(CASE WHEN (h >> CAST(b AS UBIGINT)) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT) "
+        "THEN 1 ELSE -1 END) AS vote "
+        "FROM th CROSS JOIN pows GROUP BY doc_id, b, p), "
+        "sim AS MATERIALIZED (SELECT doc_id, SUM(CASE WHEN vote > 0 THEN p ELSE 0 END) AS s "
+        "FROM bits GROUP BY doc_id) "
+        "SELECT d.doc_id AS doc_id, "
+        f"CAST(CASE WHEN COALESCE(s.s, 0) >= {1 << 63} THEN COALESCE(s.s, 0) - {1 << 64} "
+        f"ELSE COALESCE(s.s, 0) END AS BIGINT) AS simhash, {bands} "
+        "FROM docs d LEFT JOIN sim s USING (doc_id)"
+    )
+
+
 def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
     """algos/randomwalk._walk_key: mix64 of the walk/step/dst key; the
     per-step ``base`` salt is a Python-computed literal."""
@@ -2739,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": _SCC_SQL,
         "dfs_order": _DFS_SQL,
         "minhash_candidates": _minhash_candidates_sql(),
+        "simhash_signatures": _simhash_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "

@@ -12,14 +12,12 @@
 Shingle/minhash computation is vectorized numpy over mix64
 (splitmix64-finalizer) shingle hashes — deterministic across processes
 (Python's builtin hash() is salted and MUST NOT be used here) and
-bit-exactly SQL-expressible, which is what gives minhash_candidates a
-DuckDB oracle (crc32, the previous sketch hash, has no DuckDB 1.0
-equivalent; SimHash below still uses it and stays rows-only).
+bit-exactly SQL-expressible, which is what gives minhash_candidates
+and simhash_signatures their DuckDB oracles (crc32, the previous sketch
+hash, has no DuckDB 1.0 equivalent).
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -235,9 +233,43 @@ def minhash_dedup_clusters(
     )
 
 
+def _fold_hashes(words: list[str]) -> np.ndarray:
+    """64-bit hash per word: the same mix64-over-codepoints fold as
+    shingle_hashes (h ← mix64(h ⊕ c), h₀=0), vectorized across words of
+    equal length. SQL mirror: list_reduce over the codepoint list (the
+    simhash_signatures oracle)."""
+    n = len(words)
+    out = np.empty(n, dtype=np.uint64)
+    if not n:
+        return out
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    for length in np.unique(lens):
+        idx = np.nonzero(lens == length)[0]
+        if length == 0:
+            out[idx] = 0
+            continue
+        blob = "".join(words[i] for i in idx).encode("utf-8")
+        if len(blob) == length * idx.size:  # ASCII fast path
+            mat = np.frombuffer(blob, dtype=np.uint8).astype(np.uint64)
+        else:
+            mat = np.fromiter(
+                (ord(ch) for i in idx for ch in words[i]),
+                dtype=np.uint64,
+                count=int(length * idx.size),
+            )
+        mat = mat.reshape(idx.size, int(length))
+        h = np.zeros(idx.size, dtype=np.uint64)
+        for j in range(int(length)):
+            h = _mix64(h ^ mat[:, j])
+        out[idx] = h
+    return out
+
+
 class SimHashStage:
     """(id, text) → (id, simhash64, band0..band3) — 64-bit simhash over
-    crc32 token hashes; 16-bit bands for candidate bucketing."""
+    mix64-fold token hashes (_fold_hashes); 16-bit bands for candidate
+    bucketing. Bit b of the signature = majority vote of bit b across
+    all token occurrences (ties → 0)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         import re
@@ -254,10 +286,7 @@ class SimHashStage:
             if not toks:
                 sims[i] = 0
                 continue
-            hs = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64)
-            # widen to 64 bits: crc32 of token + crc32 of reversed token
-            hs2 = np.array([zlib.crc32(w[::-1].encode()) for w in toks], dtype=np.uint64)
-            h64 = (hs << np.uint64(32)) | hs2
+            h64 = _fold_hashes(toks)
             bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                 np.int64
             )
