@@ -2398,6 +2398,76 @@ def _minhash_candidates_sql(num_perm: int = 64, bands: int = 16, k: int = 5, see
     return " ".join(parts)
 
 
+def _celf_sql(k: int = 5, p: float = 0.02, sims: int = 4, seed: int = 42) -> str:
+    """Exact replica of algos/celf.celf (= greedy_influence_maximization;
+    CELF's lazy evaluation is an exact acceleration of plain greedy, so
+    the oracle runs plain greedy): live-edge sampling per simulation via
+    the engine's mix64 rule (pair {u,v} live iff
+    mix64(lo·φ ⊕ hi ⊕ salt_r) mod 2^20 < p·2^20), per-sim components via
+    reachability closure (min-label), gain(v) = mean over sims of v's
+    component size where the component is not yet covered, k chained
+    argmax steps with (gain DESC, node_id) tie-break. All gains are
+    exact multiples of 1/sims ⇒ float comparisons are cross-engine
+    stable; spreads round exactly."""
+    thresh = int(p * (1 << 20))
+    c_phi = 0x9E3779B97F4A7C15
+    salt_rows = ", ".join(
+        f"({r}, CAST({(seed * c_phi + r * 0xC2B2AE35) % _M64} AS UBIGINT))" for r in range(sims)
+    )
+    lo_mul = _sql_mulmod64("CAST(LEAST(e.src, e.dst) AS HUGEINT)", c_phi)
+    hkey = _sql_mix64(
+        f"xor(xor(CAST({lo_mul} AS UBIGINT), CAST(GREATEST(e.src, e.dst) AS UBIGINT)), s.salt)"
+    )
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "und AS (SELECT CAST(src_id AS BIGINT) AS src, CAST(dst_id AS BIGINT) AS dst FROM eraw "
+        "UNION SELECT CAST(dst_id AS BIGINT), CAST(src_id AS BIGINT) FROM eraw),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM und WHERE src <> dst),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        f"sims(r, salt) AS (VALUES {salt_rows}),",
+        f"live AS MATERIALIZED (SELECT s.r, e.src, e.dst FROM sym e CROSS JOIN sims s "
+        f"WHERE ({hkey}) % 1048576 < {thresh}),",
+        "reach AS (WITH RECURSIVE rr(r, a, b) AS ("
+        "SELECT r, src, dst FROM live UNION "
+        "SELECT rr.r, rr.a, l.dst FROM rr JOIN live l ON l.r = rr.r AND l.src = rr.b"
+        ") SELECT r, a, b FROM rr),",
+        "comp AS MATERIALIZED (SELECT s.r, n.v, LEAST(n.v, COALESCE(MIN(rc.b), n.v)) AS c "
+        "FROM nodes n CROSS JOIN sims s LEFT JOIN reach rc ON rc.r = s.r AND rc.a = n.v "
+        "GROUP BY s.r, n.v),",
+        "csize AS MATERIALIZED (SELECT r, c, COUNT(*) AS sz FROM comp GROUP BY r, c),",
+        "pc AS MATERIALIZED (SELECT comp.r, comp.v, comp.c, csize.sz FROM comp "
+        "JOIN csize USING (r, c)),",
+        f"g1 AS MATERIALIZED (SELECT v, SUM(sz) / {float(sims)} AS g FROM pc GROUP BY v),",
+        "s1 AS MATERIALIZED (SELECT v, g FROM g1 ORDER BY g DESC, v LIMIT 1),",
+        "c1 AS MATERIALIZED (SELECT pc.r, pc.c FROM pc JOIN s1 ON pc.v = s1.v),",
+    ]
+    for t in range(2, k + 1):
+        excl = " UNION ALL ".join(f"SELECT v FROM s{j}" for j in range(1, t))
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT pc.v, "
+            f"SUM(CASE WHEN c{t - 1}.c IS NULL THEN pc.sz ELSE 0 END) / {float(sims)} AS g "
+            f"FROM pc LEFT JOIN c{t - 1} ON c{t - 1}.r = pc.r AND c{t - 1}.c = pc.c "
+            f"WHERE pc.v NOT IN ({excl}) GROUP BY pc.v),"
+        )
+        parts.append(f"s{t} AS MATERIALIZED (SELECT v, g FROM g{t} ORDER BY g DESC, v LIMIT 1),")
+        if t < k:
+            parts.append(
+                f"c{t} AS MATERIALIZED (SELECT * FROM c{t - 1} UNION "
+                f"SELECT pc.r, pc.c FROM pc JOIN s{t} ON pc.v = s{t}.v),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = []
+    for t in range(1, k + 1):
+        cum = " + ".join(f"s{j}.g" for j in range(1, t + 1))
+        froms = ", ".join(f"s{j}" for j in range(1, t + 1))
+        sel.append(
+            f"SELECT CAST({t - 1} AS BIGINT) AS seed_rank, s{t}.v AS node_id, "
+            f"ROUND({cum}, 6) AS cumulative_spread FROM {froms}"
+        )
+    parts.append(" UNION ALL ".join(sel))
+    return " ".join(parts)
+
+
 def _simhash_sql() -> str:
     """Bit-exact replica of stages/dedup.SimHashStage: tokens =
     RE2 ``\\w+`` over the lowercased text (ASCII corpus ⇒ identical to
@@ -2779,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
         "dfs_order": _DFS_SQL,
         "minhash_candidates": _minhash_candidates_sql(),
         "simhash_signatures": _simhash_sql(),
+        "celf_im": _celf_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
