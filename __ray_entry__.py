@@ -2516,6 +2516,70 @@ def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
     return _sql_mix64(x)
 
 
+def _cnarw_sql(walk_length: int = 8, seed: int = 42) -> str:
+    """Step-exact replica of _q_cnarw_sample (algos/randomwalk.
+    cnarw_walks): 2 walks from each of the 8 smallest node ids over the
+    symmetrized view; step t moves walker w from u to the neighbor v
+    minimizing the exponential race −ln(u01)/max(wgt, 1e-300) with
+    wgt = 1 − |N(u)∩N(v)|/min(deg u, deg v) and
+    u01 = (double(_walk_key(seed, w, t, v)) + 1)/2⁶⁴ (uniform-hash
+    fallback when every wgt is 0; ties → min v). Every float op
+    (int→double, /, −, ln) is IEEE-correctly-rounded identically in
+    numpy and DuckDB, and race values are 64-bit-hash-spread, so the
+    per-step argmin is cross-engine stable on this fixed input."""
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "und AS (SELECT CAST(src_id AS BIGINT) AS src, CAST(dst_id AS BIGINT) AS dst FROM eraw "
+        "UNION SELECT CAST(dst_id AS BIGINT), CAST(src_id AS BIGINT) FROM eraw),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM und),",
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS dg FROM sym GROUP BY src),",
+        "s8 AS MATERIALIZED (SELECT node_id, ROW_NUMBER() OVER (ORDER BY node_id) - 1 AS rk "
+        "FROM (SELECT DISTINCT src AS node_id FROM sym) ORDER BY node_id LIMIT 8),",
+        "w0 AS MATERIALIZED (SELECT rk * 2 + rep AS walk_id, node_id AS cur "
+        "FROM s8 CROSS JOIN (VALUES (0), (1)) reps(rep)),",
+    ]
+    for t in range(1, walk_length):
+        wk = _sql_walk_key("c.walk_id", "c.v", seed, t)
+        parts.append(
+            f"cand{t} AS MATERIALIZED (SELECT w.walk_id, w.cur AS u, e.dst AS v "
+            f"FROM w{t - 1} w JOIN sym e ON e.src = w.cur),"
+        )
+        parts.append(f"uv{t} AS MATERIALIZED (SELECT DISTINCT u, v FROM cand{t}),")
+        parts.append(
+            f"com{t} AS MATERIALIZED (SELECT uv.u, uv.v, COUNT(*) AS common FROM uv{t} uv "
+            f"JOIN sym a ON a.src = uv.u JOIN sym b ON b.src = uv.v AND b.dst = a.dst "
+            f"GROUP BY uv.u, uv.v),"
+        )
+        parts.append(
+            f"race{t} AS MATERIALIZED (SELECT c.walk_id, c.v, "
+            f"1.0 - COALESCE(cm.common, 0) / LEAST(d1.dg, d2.dg) AS wgt, "
+            f"(CAST({wk} AS DOUBLE) + 1.0) / 18446744073709551616.0 AS u01 "
+            f"FROM cand{t} c LEFT JOIN com{t} cm ON cm.u = c.u AND cm.v = c.v "
+            f"JOIN deg d1 ON d1.v = c.u JOIN deg d2 ON d2.v = c.v),"
+        )
+        parts.append(
+            f"rk{t} AS MATERIALIZED (SELECT walk_id, v, "
+            "CASE WHEN wgt > 0 THEN -ln(u01) / GREATEST(wgt, 1e-300) "
+            "ELSE CAST('infinity' AS DOUBLE) END AS race, u01, "
+            "MAX(CASE WHEN wgt > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY walk_id) AS anyp "
+            f"FROM race{t}),"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, v AS cur FROM ("
+            "SELECT walk_id, v, ROW_NUMBER() OVER (PARTITION BY walk_id "
+            "ORDER BY CASE WHEN anyp = 1 THEN race ELSE u01 END ASC, v ASC) AS rn "
+            f"FROM rk{t}) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        " UNION ALL ".join(
+            f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS node_id FROM w{t}"
+            for t in range(walk_length)
+        )
+    )
+    return " ".join(parts)
+
+
 def _random_walks_sql(walk_length: int = 10, seed: int = 42) -> str:
     """Step-exact replica of _q_random_walks (algos/randomwalk.
     random_walks): 2 walks from each of the 8 smallest node ids; step t
@@ -2850,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _minhash_candidates_sql(),
         "simhash_signatures": _simhash_sql(),
         "celf_im": _celf_sql(),
+        "cnarw_sample": _cnarw_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
