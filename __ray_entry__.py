@@ -2516,6 +2516,69 @@ def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
     return _sql_mix64(x)
 
 
+def _hashgnn_sql(dim: int = 256, bd: int = 4, K: int = 16, iters: int = 2, seed: int = 42) -> str:
+    """Bit-exact replica of _q_hashgnn (algos/hashgnn.hashgnn at
+    neighbor_influence=1.0, where the own-vs-neighbour float compare is
+    an exact integer compare of the packed 32-bit hashes): generated
+    features = mix64(node ^ salt_j) % dim, per-iteration per-slot packed
+    minima (hash<<32 | feature) over own features (family 1) and over
+    neighbours' family-2 minima via one grouped min over the symmetric
+    edge table, winner's low 32 bits become the next feature set;
+    output = sorted distinct active features per node. All integer."""
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "und AS (SELECT CAST(src_id AS BIGINT) AS src, CAST(dst_id AS BIGINT) AS dst FROM eraw "
+        "UNION SELECT CAST(dst_id AS BIGINT), CAST(src_id AS BIGINT) FROM eraw),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM und),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+    ]
+    inf = (1 << 64) - 1
+    fsel = []
+    for j in range(bd):
+        salt = (seed * 0x9E3779B97F4A7C15 + j * 0xDEADBEEF) % _M64
+        h = _sql_mix64(f"xor(CAST(v AS UBIGINT), CAST({salt} AS UBIGINT))")
+        fsel.append(f"SELECT v, CAST(({h}) % {dim} AS BIGINT) AS f FROM nodes")
+    parts.append("f0 AS MATERIALIZED (" + " UNION ALL ".join(fsel) + "),")
+    for it in range(iters):
+        rows = []
+        for k in range(K):
+            slot = k + it * K
+            s1 = (seed * 0x9E3779B9 ^ slot * 0x85EBCA6B ^ 1 * 0xC2B2AE35) & ((1 << 63) - 1)
+            s2 = (seed * 0x9E3779B9 ^ slot * 0x85EBCA6B ^ 2 * 0xC2B2AE35) & ((1 << 63) - 1)
+            rows.append(f"({k}, CAST({s1} AS UBIGINT), CAST({s2} AS UBIGINT))")
+        parts.append(f"slots{it}(k, s1, s2) AS (VALUES {', '.join(rows)}),")
+        packs = []
+        for fam_salt in ("s1", "s2"):
+            h = _sql_mix64(f"xor(CAST(f AS UBIGINT), {fam_salt})")
+            packs.append(
+                f"CASE WHEN f < 0 THEN CAST({inf} AS UBIGINT) ELSE "
+                f"CAST(CAST(({h}) >> CAST(32 AS UBIGINT) AS HUGEINT) * 4294967296 + f AS UBIGINT) END"
+            )
+        parts.append(
+            f"own{it} AS MATERIALIZED (SELECT v, k, MIN({packs[0]}) AS own, MIN({packs[1]}) AS msg "
+            f"FROM f{it} CROSS JOIN slots{it} GROUP BY v, k),"
+        )
+        parts.append(
+            f"nbr{it} AS MATERIALIZED (SELECT e.dst AS v, m.k, MIN(m.msg) AS nmin "
+            f"FROM sym e JOIN own{it} m ON m.v = e.src GROUP BY e.dst, m.k),"
+        )
+        parts.append(
+            f"f{it + 1} AS MATERIALIZED (SELECT o.v, "
+            f"CASE WHEN ch = CAST({inf} AS UBIGINT) THEN CAST(-1 AS BIGINT) "
+            f"ELSE CAST(ch & CAST(4294967295 AS UBIGINT) AS BIGINT) END AS f FROM ("
+            f"SELECT o.v, CASE WHEN COALESCE(nb.nmin, CAST({inf} AS UBIGINT)) >> CAST(32 AS UBIGINT) "
+            f"< o.own >> CAST(32 AS UBIGINT) THEN nb.nmin ELSE o.own END AS ch "
+            f"FROM own{it} o LEFT JOIN nbr{it} nb ON nb.v = o.v AND nb.k = o.k) o),"
+        )
+    parts.append(
+        f"feat AS MATERIALIZED (SELECT v, CAST(f AS INTEGER) AS f FROM f{iters} WHERE f >= 0) "
+        "SELECT n.v AS node_id, "
+        "COALESCE(list(DISTINCT ft.f ORDER BY ft.f), CAST([] AS INTEGER[])) AS features "
+        "FROM nodes n LEFT JOIN feat ft ON ft.v = n.v GROUP BY n.v"
+    )
+    return " ".join(parts)
+
+
 def _cnarw_sql(walk_length: int = 8, seed: int = 42) -> str:
     """Step-exact replica of _q_cnarw_sample (algos/randomwalk.
     cnarw_walks): 2 walks from each of the 8 smallest node ids over the
@@ -2915,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_sql(),
         "celf_im": _celf_sql(),
         "cnarw_sample": _cnarw_sql(),
+        "hashgnn_embeddings": _hashgnn_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
