@@ -1391,6 +1391,35 @@ def _q_docs_quality(sf_dir: str):
     return quality_scores(ds).map_batches(ppm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Float (non-ppm) twin of _DOCS_QUALITY_SQL for the quality_scores
+# query: every op (codepoint counts via the same RE2 patterns, double
+# division, the fixed left-associated weighted sum, GREATEST/LEAST
+# clamps) is IEEE-correctly-rounded identically in pyarrow/numpy and
+# DuckDB, so the doubles are bit-exact — verified column-by-column at
+# sf0.01. No cross-row aggregation is involved (that is where float
+# reassociation would break exactness — see events_scaled's ppm guard).
+_QUALITY_FLOAT_SQL = (
+    "WITH f AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+    "c AS (SELECT doc_id, "
+    "GREATEST(1.0, CAST(length(t) AS DOUBLE)) AS n, "
+    "CAST(length(t) AS DOUBLE) AS nchars, "
+    "CAST(len(regexp_extract_all(t, '[^\\w\\s]')) AS DOUBLE) AS punct_c, "
+    "CAST(len(regexp_extract_all(t, '\\d')) AS DOUBLE) AS digit_c, "
+    "GREATEST(1.0, CAST(len(regexp_extract_all(t, '[a-zA-Z]+')) AS DOUBLE)) AS nw, "
+    "CAST(len(regexp_extract_all(t, '[a-zA-Z]')) AS DOUBLE) AS wchars, "
+    "CAST(len(regexp_extract_all(lower(t), "
+    "'\\b(?:a|and|for|in|is|it|of|that|the|to)\\b')) AS DOUBLE) AS stop_c "
+    "FROM f), "
+    "r AS (SELECT doc_id, punct_c / n AS punct, digit_c / n AS digit, "
+    "wchars / nw AS mwl, stop_c / nw AS stop, nchars FROM c) "
+    "SELECT doc_id, punct AS punct_ratio, digit AS digit_ratio, "
+    "mwl AS mean_word_len, stop AS stopword_ratio, "
+    "GREATEST(0.0, LEAST(1.0, "
+    "0.4 * LEAST(1.0, stop * 4) + 0.3 * (1.0 - LEAST(1.0, punct * 5)) "
+    "+ 0.2 * (1.0 - LEAST(1.0, digit * 5)) + 0.1 * LEAST(1.0, nchars / 500)"
+    ")) AS quality FROM r"
+)
+
 _DOCS_QUALITY_SQL = (
     "WITH f AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
     "c AS (SELECT doc_id, "
@@ -2979,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         "celf_im": _celf_sql(),
         "cnarw_sample": _cnarw_sql(),
         "hashgnn_embeddings": _hashgnn_sql(),
+        "quality_scores": _QUALITY_FLOAT_SQL,
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
