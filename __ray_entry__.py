@@ -2545,6 +2545,210 @@ def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
     return _sql_mix64(x)
 
 
+def _modopt_sql(rounds: int = 20) -> str:
+    """Round-exact replica of _q_modularity_optimization (level-1
+    Louvain at max_rounds=5 ⇒ exactly 5·4 = 20 phase-rounds — the cap
+    binds before the stall-break, which a fixpoint probe measured at
+    phase-round 27): phased local moving (position mod 4) with Blondel
+    isolation candidates, stay-score comparison (quantum 1/2m ≈ 5e-6 ≫
+    the 1e-12 guard) and the monotone-Q acceptance scan (Q quantum ≈
+    1/(2m)² ≈ 2.4e-11 ≫ double summation reassociation error ≈ 1e-13,
+    so cross-engine float compares cannot flip). Rejected rounds leave
+    the assignment unchanged, so chaining each round's accept-or-keep
+    CASE reproduces the engine loop exactly. Output community = min
+    member node id (the coarsening representative)."""
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "epair AS (SELECT DISTINCT LEAST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS lo, "
+        "GREATEST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS hi FROM eraw "
+        "WHERE src_id <> dst_id),",
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM epair "
+        "UNION ALL SELECT hi, lo FROM epair),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        "nrk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes),",
+        "kk AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS kv FROM sym GROUP BY src),",
+        "tm AS MATERIALIZED (SELECT SUM(kv) AS x FROM kk),",
+        "a0 AS MATERIALIZED (SELECT nr.v, nr.rk AS c FROM nrk nr),",
+    ]
+
+    def q_expr(t: str) -> str:
+        return (
+            f"(SELECT COALESCE(SUM((ic.cw / 2.0) / (tm.x / 2.0)), 0.0) FROM ("
+            f"SELECT t1.c, CAST(COUNT(*) AS DOUBLE) AS cw FROM sym e "
+            f"JOIN {t} t1 ON t1.v = e.src JOIN {t} t2 ON t2.v = e.dst AND t2.c = t1.c "
+            f"GROUP BY t1.c) ic, tm) - "
+            f"(SELECT SUM((sg.s / tm.x) * (sg.s / tm.x)) FROM ("
+            f"SELECT a.c, SUM(k.kv) AS s FROM {t} a JOIN kk k ON k.v = a.v GROUP BY a.c) sg, tm)"
+        )
+
+    for r in range(rounds):
+        parts.append(
+            f"sig{r} AS MATERIALIZED (SELECT a.c, SUM(k.kv) AS s "
+            f"FROM a{r} a JOIN kk k ON k.v = a.v GROUP BY a.c),"
+        )
+        parts.append(
+            f"rows{r} AS MATERIALIZED (SELECT nr.rk AS pos, ad.c AS nc, "
+            f"CAST(COUNT(*) AS DOUBLE) AS w FROM sym e "
+            f"JOIN nrk nr ON nr.v = e.src JOIN a{r} ad ON ad.v = e.dst "
+            f"GROUP BY nr.rk, ad.c),"
+        )
+        parts.append(
+            f"cand{r} AS MATERIALIZED (SELECT pos, nc, w FROM rows{r} UNION ALL "
+            f"SELECT nr.rk, nr.rk, 0.0 FROM nrk nr "
+            f"WHERE NOT EXISTS (SELECT 1 FROM a{r} a WHERE a.c = nr.rk)),"
+        )
+        parts.append(
+            f"sc{r} AS MATERIALIZED (SELECT c.pos, c.nc, "
+            f"c.w - (k.kv * (COALESCE(sg.s, 0.0) - CASE WHEN c.nc = a.c THEN k.kv ELSE 0.0 END)) / tm.x AS score "
+            f"FROM cand{r} c JOIN nrk nr ON nr.rk = c.pos JOIN a{r} a ON a.v = nr.v "
+            f"JOIN kk k ON k.v = nr.v LEFT JOIN sig{r} sg ON sg.c = c.nc CROSS JOIN tm),"
+        )
+        parts.append(
+            f"best{r} AS MATERIALIZED (SELECT pos, nc, score FROM ("
+            f"SELECT pos, nc, score, ROW_NUMBER() OVER (PARTITION BY pos "
+            f"ORDER BY score DESC, nc ASC) AS rn FROM sc{r}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"stay{r} AS MATERIALIZED (SELECT nr.rk AS pos, "
+            f"COALESCE(kvc.w, 0.0) - (k.kv * (sg.s - k.kv)) / tm.x AS stay "
+            f"FROM nrk nr JOIN a{r} a ON a.v = nr.v JOIN kk k ON k.v = nr.v "
+            f"JOIN sig{r} sg ON sg.c = a.c CROSS JOIN tm "
+            f"LEFT JOIN (SELECT r2.pos, SUM(r2.w) AS w FROM rows{r} r2 "
+            f"JOIN nrk n2 ON n2.rk = r2.pos JOIN a{r} a2 ON a2.v = n2.v AND a2.c = r2.nc "
+            f"GROUP BY r2.pos) kvc ON kvc.pos = nr.rk),"
+        )
+        parts.append(
+            f"mov{r} AS MATERIALIZED (SELECT b.pos, b.nc FROM best{r} b "
+            f"JOIN nrk nr ON nr.rk = b.pos JOIN a{r} a ON a.v = nr.v "
+            f"JOIN stay{r} st ON st.pos = b.pos "
+            f"WHERE b.nc <> a.c AND b.score > st.stay + 1e-12 AND b.pos % 4 = {r % 4}),"
+        )
+        parts.append(
+            f"tent{r} AS MATERIALIZED (SELECT a.v, COALESCE(mo.nc, a.c) AS c "
+            f"FROM a{r} a JOIN nrk nr ON nr.v = a.v "
+            f"LEFT JOIN mov{r} mo ON mo.pos = nr.rk),"
+        )
+        parts.append(
+            f"acc{r} AS MATERIALIZED (SELECT ({q_expr(f'tent{r}')}) > ({q_expr(f'a{r}')}) + 1e-9 AS ok),"
+        )
+        parts.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT a.v, CASE WHEN x.ok THEN t.c ELSE a.c END AS c "
+            f"FROM a{r} a JOIN tent{r} t ON t.v = a.v CROSS JOIN acc{r} x),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f" SELECT a.v AS node_id, mm.rep AS community FROM a{rounds} a JOIN ("
+        f"SELECT c, MIN(v) AS rep FROM a{rounds} GROUP BY c) mm ON mm.c = a.c"
+    )
+    return " ".join(parts)
+
+
+def _sllpa_sql(T: int = 20, seed: int = 42) -> str:
+    """Round-exact replica of _q_sllpa (algos/sllpa.sllpa): memory grows
+    one slot per round; speaker u→listener v in round t speaks
+    memory[u][mix64(u·C1 ⊕ v·C2 ⊕ base_t) mod t]; the listener appends
+    the most frequent received label (count DESC, label ASC). All
+    integer; final frequency = count/(T+1) with ROUND parity verified
+    for every reachable k/(T+1) value."""
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "und AS (SELECT CAST(src_id AS BIGINT) AS src, CAST(dst_id AS BIGINT) AS dst FROM eraw "
+        "UNION SELECT CAST(dst_id AS BIGINT), CAST(src_id AS BIGINT) FROM eraw),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM und WHERE src <> dst),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        "m0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS slot, v AS label FROM nodes),",
+    ]
+    mm_s = _sql_mulmod64("CAST(e.src AS HUGEINT)", 0xC2B2AE3D27D4EB4F)
+    mm_d = _sql_mulmod64("CAST(e.dst AS HUGEINT)", 0x9E3779B97F4A7C15)
+    for t in range(1, T + 1):
+        base = (t * 0x85EBCA6B + seed * 0x27D4EB2F) % _M64
+        hexpr = _sql_mix64(
+            f"xor(xor(CAST({mm_s} AS UBIGINT), CAST({mm_d} AS UBIGINT)), CAST({base} AS UBIGINT))"
+        )
+        parts.append(
+            f"pick{t} AS MATERIALIZED (SELECT v, label FROM ("
+            f"SELECT c.v, c.label, ROW_NUMBER() OVER (PARTITION BY c.v "
+            f"ORDER BY c.c DESC, c.label ASC) AS rn FROM ("
+            f"SELECT e.dst AS v, m.label, COUNT(*) AS c FROM sym e "
+            f"JOIN m{t - 1} m ON m.v = e.src AND m.slot = CAST(({hexpr}) % {t} AS BIGINT) "
+            f"GROUP BY e.dst, m.label) c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT * FROM m{t - 1} UNION ALL "
+            f"SELECT n.v, CAST({t} AS BIGINT), COALESCE(p.label, n.v) "
+            f"FROM nodes n LEFT JOIN pick{t} p ON p.v = n.v),"
+        )
+    parts.append(
+        f"mem AS (SELECT v, label, COUNT(*) AS c FROM m{T} GROUP BY v, label) "
+        f"SELECT v AS node_id, label, ROUND(CAST(c AS DOUBLE) / {T + 1}.0, 6) AS frequency "
+        f"FROM mem WHERE CAST(c AS DOUBLE) / {T + 1}.0 >= 0.1"
+    )
+    return " ".join(parts)
+
+
+def _maxkcut_sql(k: int = 4, rounds: int = 48, seed: int = 42) -> str:
+    """Round-exact replica of _q_maxkcut (algos/maxkcut.approx_max_k_cut,
+    unweighted): init = mix64(v ⊕ seed) mod k; each phase-round, nodes
+    with rank % 4 = phase move to the community with the SMALLEST
+    incident count (ties → smallest community id), and the move set is
+    accepted only if the recomputed intra-count strictly drops (all
+    counts are integers ⇒ the engine's 1e-12 float guards are exact
+    integer compares). Once four consecutive phases produce no accepted
+    move the state is a fixpoint and every later round is a no-op, so
+    chaining ``rounds`` ≥ fixpoint+4 rounds (measured: fixpoint at
+    phase-round 27 on sf0.01; engine cap 120) reproduces the engine's
+    early-broken loop exactly."""
+    mixv = _sql_mix64(f"xor(CAST(v AS UBIGINT), CAST({seed} AS UBIGINT))")
+    ks = ", ".join(f"({c})" for c in range(k))
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "epair AS (SELECT DISTINCT LEAST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS lo, "
+        "GREATEST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS hi FROM eraw "
+        "WHERE src_id <> dst_id),",
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM epair "
+        "UNION ALL SELECT hi, lo FROM epair),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        "nrk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes),",
+        f"ks(c) AS (VALUES {ks}),",
+        f"a0 AS MATERIALIZED (SELECT v, CAST(({mixv}) % {k} AS BIGINT) AS c FROM nodes),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"mm{r} AS MATERIALIZED (SELECT nr.v, nr.rk, ks.c, COALESCE(w.cnt, 0) AS w "
+            f"FROM nrk nr CROSS JOIN ks LEFT JOIN ("
+            f"SELECT e.src AS v, a.c, COUNT(*) AS cnt FROM sym e JOIN a{r} a ON a.v = e.dst "
+            f"GROUP BY e.src, a.c) w ON w.v = nr.v AND w.c = ks.c),"
+        )
+        parts.append(
+            f"best{r} AS MATERIALIZED (SELECT v, rk, c AS bc, w AS bw FROM ("
+            f"SELECT v, rk, c, w, ROW_NUMBER() OVER (PARTITION BY v ORDER BY w ASC, c ASC) AS rn "
+            f"FROM mm{r}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"mov{r} AS MATERIALIZED (SELECT b.v, b.bc FROM best{r} b "
+            f"JOIN a{r} a ON a.v = b.v JOIN mm{r} m ON m.v = b.v AND m.c = a.c "
+            f"WHERE b.bc <> a.c AND m.w > b.bw AND b.rk % 4 = {r % 4}),"
+        )
+        parts.append(
+            f"tent{r} AS MATERIALIZED (SELECT a.v, COALESCE(mo.bc, a.c) AS c "
+            f"FROM a{r} a LEFT JOIN mov{r} mo ON mo.v = a.v),"
+        )
+        parts.append(
+            f"acc{r} AS MATERIALIZED (SELECT "
+            f"(SELECT COUNT(*) FROM sym e JOIN tent{r} a1 ON a1.v = e.src "
+            f"JOIN tent{r} a2 ON a2.v = e.dst WHERE a1.c = a2.c) < "
+            f"(SELECT COUNT(*) FROM sym e JOIN a{r} a1 ON a1.v = e.src "
+            f"JOIN a{r} a2 ON a2.v = e.dst WHERE a1.c = a2.c) AS ok),"
+        )
+        parts.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT a.v, CASE WHEN x.ok THEN t.c ELSE a.c END AS c "
+            f"FROM a{r} a JOIN tent{r} t ON t.v = a.v CROSS JOIN acc{r} x),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT v AS node_id, c AS community FROM a{rounds}")
+    return " ".join(parts)
+
+
 def _hashgnn_sql(dim: int = 256, bd: int = 4, K: int = 16, iters: int = 2, seed: int = 42) -> str:
     """Bit-exact replica of _q_hashgnn (algos/hashgnn.hashgnn at
     neighbor_influence=1.0, where the own-vs-neighbour float compare is
@@ -3009,6 +3213,9 @@ def oracle_sql() -> dict[str, str]:
         "cnarw_sample": _cnarw_sql(),
         "hashgnn_embeddings": _hashgnn_sql(),
         "quality_scores": _QUALITY_FLOAT_SQL,
+        "max_k_cut": _maxkcut_sql(),
+        "sllpa": _sllpa_sql(),
+        "modularity_optimization": _modopt_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
