@@ -2545,6 +2545,126 @@ def _sql_walk_key(w: str, d: str, seed: int, step: int) -> str:
     return _sql_mix64(x)
 
 
+def _louvain_sql(levels: int = 5, rounds: int = 20) -> str:
+    """Level- and round-exact replica of _q_louvain (multi-level Louvain,
+    max_levels=5, max_rounds_per_level=5 => 20 phase-rounds per level).
+    Each level chains the same phased local-moving rounds as
+    _modopt_sql (all float compares provably stable: score quantum 1/2m,
+    Q quantum 1/(2m)^2, both >=100x the double reassociation error, and
+    edge weights / internal weights stay integer resp. half-integer
+    under coarsening), then coarsens: supernode id = min original member
+    of the community, coarse edges = grouped inter-community weight
+    sums, internal = member internals + intra/2. Two no-op arguments
+    make the unconditional chain exact: (a) within a level, after the
+    engine's stall-break every further phase repeats a rejected/empty
+    decision under the unchanged state; (b) a level with no accepted
+    move coarsens as the identity, so trailing levels replay the same
+    no-op. Output community = the final supernode id (= min original
+    member), exactly min_member[assign]."""
+
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "epair AS (SELECT DISTINCT LEAST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS lo, "
+        "GREATEST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS hi FROM eraw "
+        "WHERE src_id <> dst_id),",
+        "sym_1 AS MATERIALIZED (SELECT lo AS src, hi AS dst, 1.0 AS w FROM epair "
+        "UNION ALL SELECT hi, lo, 1.0 FROM epair),",
+        "nodes_1 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym_1),",
+        "int_1 AS MATERIALIZED (SELECT v, 0.0 AS iw FROM nodes_1),",
+        "map_1 AS MATERIALIZED (SELECT v AS orig, v AS super FROM nodes_1),",
+    ]
+    for L in range(1, levels + 1):
+        P = f"_{L}"
+        parts += [
+            f"nrk{P} AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes{P}),",
+            f"kk{P} AS MATERIALIZED (SELECT n.v, COALESCE(st.s, 0.0) + 2.0 * i.iw AS kv "
+            f"FROM nodes{P} n JOIN int{P} i ON i.v = n.v "
+            f"LEFT JOIN (SELECT src AS v, SUM(w) AS s FROM sym{P} GROUP BY src) st ON st.v = n.v),",
+            f"tm{P} AS MATERIALIZED (SELECT SUM(kv) AS x FROM kk{P}),",
+            f"a{P}_0 AS MATERIALIZED (SELECT nr.v, nr.rk AS c FROM nrk{P} nr),",
+        ]
+
+        def q_expr(t):
+            return (
+                f"(SELECT COALESCE(SUM((co.ii + COALESCE(ic.cw, 0.0) / 2.0) / (tm{P}.x / 2.0)), 0.0) "
+                f"FROM (SELECT a.c, SUM(i.iw) AS ii FROM {t} a JOIN int{P} i ON i.v = a.v GROUP BY a.c) co "
+                f"LEFT JOIN (SELECT t1.c, SUM(e.w) AS cw FROM sym{P} e "
+                f"JOIN {t} t1 ON t1.v = e.src JOIN {t} t2 ON t2.v = e.dst AND t2.c = t1.c "
+                f"GROUP BY t1.c) ic ON ic.c = co.c CROSS JOIN tm{P}) - "
+                f"(SELECT SUM((sg.s / tm{P}.x) * (sg.s / tm{P}.x)) FROM ("
+                f"SELECT a.c, SUM(k.kv) AS s FROM {t} a JOIN kk{P} k ON k.v = a.v GROUP BY a.c) sg, tm{P})"
+            )
+
+        score_expr = (
+            "c.w - (k.kv * (COALESCE(sg.s, 0.0) - "
+            "CASE WHEN c.nc = a.c THEN k.kv ELSE 0.0 END)) / tm{P}.x"
+        ).replace("{P}", P)
+        for r in range(rounds):
+            A = f"a{P}_{r}"
+            NA = f"a{P}_{r + 1}"
+            S = f"{P}_{r}"
+            parts += [
+                f"sig{S} AS MATERIALIZED (SELECT a.c, SUM(k.kv) AS s "
+                f"FROM {A} a JOIN kk{P} k ON k.v = a.v GROUP BY a.c),",
+                f"rows{S} AS MATERIALIZED (SELECT nr.rk AS pos, ad.c AS nc, SUM(e.w) AS w "
+                f"FROM sym{P} e JOIN nrk{P} nr ON nr.v = e.src JOIN {A} ad ON ad.v = e.dst "
+                f"GROUP BY nr.rk, ad.c),",
+                f"best{S} AS MATERIALIZED (SELECT pos, nc, score FROM ("
+                f"SELECT c.pos, c.nc, {score_expr} AS score, "
+                f"ROW_NUMBER() OVER (PARTITION BY c.pos ORDER BY {score_expr} DESC, c.nc ASC) AS rn "
+                f"FROM (SELECT pos, nc, w FROM rows{S} UNION ALL "
+                f"SELECT nr2.rk, nr2.rk, 0.0 FROM nrk{P} nr2 "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {A} a2 WHERE a2.c = nr2.rk)) c "
+                f"JOIN nrk{P} nr ON nr.rk = c.pos JOIN {A} a ON a.v = nr.v "
+                f"JOIN kk{P} k ON k.v = nr.v LEFT JOIN sig{S} sg ON sg.c = c.nc CROSS JOIN tm{P}"
+                f") WHERE rn = 1),",
+                f"tent{S} AS MATERIALIZED (SELECT a.v, COALESCE(mo.nc, a.c) AS c "
+                f"FROM {A} a JOIN nrk{P} nr ON nr.v = a.v LEFT JOIN ("
+                f"SELECT b.pos, b.nc FROM best{S} b "
+                f"JOIN nrk{P} n3 ON n3.rk = b.pos JOIN {A} a3 ON a3.v = n3.v "
+                f"JOIN kk{P} k3 ON k3.v = n3.v JOIN sig{S} sg3 ON sg3.c = a3.c CROSS JOIN tm{P} "
+                f"LEFT JOIN (SELECT r2.pos, SUM(r2.w) AS w FROM rows{S} r2 "
+                f"JOIN nrk{P} n2 ON n2.rk = r2.pos JOIN {A} a2 ON a2.v = n2.v AND a2.c = r2.nc "
+                f"GROUP BY r2.pos) kvc ON kvc.pos = b.pos "
+                f"WHERE b.nc <> a3.c AND b.score > "
+                f"(COALESCE(kvc.w, 0.0) - (k3.kv * (sg3.s - k3.kv)) / tm{P}.x) + 1e-12 "
+                f"AND b.pos % 4 = {r % 4}"
+                f") mo ON mo.pos = nr.rk),",
+                f"acc{S} AS MATERIALIZED (SELECT ({q_expr(f'tent{S}')}) > ({q_expr(A)}) + 1e-9 AS ok),",
+                f"{NA} AS MATERIALIZED (SELECT a.v, CASE WHEN x.ok THEN t.c ELSE a.c END AS c "
+                f"FROM {A} a JOIN tent{S} t ON t.v = a.v CROSS JOIN acc{S} x),",
+            ]
+        F = f"a{P}_{rounds}"
+        parts.append(
+            f"repmap{P} AS MATERIALIZED (SELECT a.v, mr.rep FROM {F} a "
+            f"JOIN (SELECT c, MIN(v) AS rep FROM {F} GROUP BY c) mr ON mr.c = a.c),"
+        )
+        if L < levels:
+            NP = f"_{L + 1}"
+            parts += [
+                f"sym{NP} AS MATERIALIZED (SELECT m1.rep AS src, m2.rep AS dst, SUM(e.w) AS w "
+                f"FROM sym{P} e JOIN repmap{P} m1 ON m1.v = e.src "
+                f"JOIN repmap{P} m2 ON m2.v = e.dst WHERE m1.rep <> m2.rep GROUP BY m1.rep, m2.rep),",
+                f"nodes{NP} AS MATERIALIZED (SELECT DISTINCT rep AS v FROM repmap{P}),",
+                f"int{NP} AS MATERIALIZED (SELECT mi.rep AS v, mi.s + COALESCE(ia.cw, 0.0) / 2.0 AS iw FROM "
+                f"(SELECT m.rep, SUM(i.iw) AS s FROM repmap{P} m JOIN int{P} i ON i.v = m.v GROUP BY m.rep) mi "
+                f"LEFT JOIN (SELECT m1.rep, SUM(e.w) AS cw FROM sym{P} e "
+                f"JOIN repmap{P} m1 ON m1.v = e.src JOIN repmap{P} m2 ON m2.v = e.dst "
+                f"AND m2.rep = m1.rep GROUP BY m1.rep) ia ON ia.rep = mi.rep),",
+                f"map{NP} AS MATERIALIZED (SELECT mp.orig, rm.rep AS super FROM map{P} mp "
+                f"JOIN repmap{P} rm ON rm.v = mp.super),",
+            ]
+        else:
+            parts.append(
+                f"final AS (SELECT mp.orig, rm.rep AS super FROM map{P} mp "
+                f"JOIN repmap{P} rm ON rm.v = mp.super)"
+            )
+    parts.append(" SELECT orig AS node_id, super AS community FROM final")
+    return " ".join(parts)
+
+
+
+
 def _modopt_sql(rounds: int = 20) -> str:
     """Round-exact replica of _q_modularity_optimization (level-1
     Louvain at max_rounds=5 ⇒ exactly 5·4 = 20 phase-rounds — the cap
@@ -3216,6 +3336,7 @@ def oracle_sql() -> dict[str, str]:
         "max_k_cut": _maxkcut_sql(),
         "sllpa": _sllpa_sql(),
         "modularity_optimization": _modopt_sql(),
+        "louvain": _louvain_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
