@@ -2665,6 +2665,164 @@ def _louvain_sql(levels: int = 5, rounds: int = 20) -> str:
 
 
 
+def _leiden_rounds(parts, P, chain, rounds, restrict=None, singleton_only=False):
+    """Append phased local-moving rounds for chain tables {chain}_r.
+    restrict: name of the (v, c) cage table (by node); None = no cage.
+    Leiden's _local_move has NO isolation candidates."""
+    score = (
+        "c.w - (k.kv * (COALESCE(sg.s, 0.0) - "
+        f"CASE WHEN c.nc = a.c THEN k.kv ELSE 0.0 END)) / tm{P}.x"
+    )
+
+    def q_expr(t):
+        return (
+            f"(SELECT COALESCE(SUM((co.ii + COALESCE(ic.cw, 0.0) / 2.0) / (tm{P}.x / 2.0)), 0.0) "
+            f"FROM (SELECT a.c, SUM(i.iw) AS ii FROM {t} a JOIN int{P} i ON i.v = a.v GROUP BY a.c) co "
+            f"LEFT JOIN (SELECT t1.c, SUM(e.w) AS cw FROM sym{P} e "
+            f"JOIN {t} t1 ON t1.v = e.src JOIN {t} t2 ON t2.v = e.dst AND t2.c = t1.c "
+            f"GROUP BY t1.c) ic ON ic.c = co.c CROSS JOIN tm{P}) - "
+            f"(SELECT SUM((sg.s / tm{P}.x) * (sg.s / tm{P}.x)) FROM ("
+            f"SELECT a.c, SUM(k.kv) AS s FROM {t} a JOIN kk{P} k ON k.v = a.v GROUP BY a.c) sg, tm{P})"
+        )
+
+    for r in range(rounds):
+        A = f"{chain}_{r}"
+        NA = f"{chain}_{r + 1}"
+        S = f"{chain}_{r}"
+        cage = ""
+        if restrict is not None:
+            # cage of node pos == cage of the community id nc (community
+            # ids live in position space; its cage = restrict at rk = nc)
+            cage = (
+                f" JOIN nrk{P} nc1 ON nc1.rk = c.pos "
+                f"JOIN {restrict} g1 ON g1.v = nc1.v "
+                f"JOIN nrk{P} nc2 ON nc2.rk = c.nc "
+                f"JOIN {restrict} g2 ON g2.v = nc2.v AND g2.c = g1.c"
+            )
+        single = ""
+        if singleton_only:
+            single = (
+                f" JOIN (SELECT c, COUNT(*) AS sz FROM {A} GROUP BY c) zz "
+                f"ON zz.c = a3.c AND zz.sz = 1"
+            )
+        parts += [
+            f"sig{S} AS MATERIALIZED (SELECT a.c, SUM(k.kv) AS s "
+            f"FROM {A} a JOIN kk{P} k ON k.v = a.v GROUP BY a.c),",
+            f"rows{S} AS MATERIALIZED (SELECT nr.rk AS pos, ad.c AS nc, SUM(e.w) AS w "
+            f"FROM sym{P} e JOIN nrk{P} nr ON nr.v = e.src JOIN {A} ad ON ad.v = e.dst "
+            f"GROUP BY nr.rk, ad.c),",
+            # cage-filtered candidate rows (restrict applies BEFORE best/stay)
+            f"cf{S} AS MATERIALIZED (SELECT c.pos, c.nc, c.w FROM rows{S} c{cage}),",
+            f"best{S} AS MATERIALIZED (SELECT pos, nc, score FROM ("
+            f"SELECT c.pos, c.nc, {score} AS score, "
+            f"ROW_NUMBER() OVER (PARTITION BY c.pos ORDER BY {score} DESC, c.nc ASC) AS rn "
+            f"FROM cf{S} c "
+            f"JOIN nrk{P} nr ON nr.rk = c.pos JOIN {A} a ON a.v = nr.v "
+            f"JOIN kk{P} k ON k.v = nr.v LEFT JOIN sig{S} sg ON sg.c = c.nc CROSS JOIN tm{P}"
+            f") WHERE rn = 1),",
+            f"tent{S} AS MATERIALIZED (SELECT a.v, COALESCE(mo.nc, a.c) AS c "
+            f"FROM {A} a JOIN nrk{P} nr ON nr.v = a.v LEFT JOIN ("
+            f"SELECT b.pos, b.nc FROM best{S} b "
+            f"JOIN nrk{P} n3 ON n3.rk = b.pos JOIN {A} a3 ON a3.v = n3.v "
+            f"JOIN kk{P} k3 ON k3.v = n3.v JOIN sig{S} sg3 ON sg3.c = a3.c CROSS JOIN tm{P} "
+            f"LEFT JOIN (SELECT r2.pos, SUM(r2.w) AS w FROM cf{S} r2 "
+            f"JOIN nrk{P} n2 ON n2.rk = r2.pos JOIN {A} a2 ON a2.v = n2.v AND a2.c = r2.nc "
+            f"GROUP BY r2.pos) kvc ON kvc.pos = b.pos{single} "
+            f"WHERE b.nc <> a3.c AND b.score > "
+            f"(COALESCE(kvc.w, 0.0) - (k3.kv * (sg3.s - k3.kv)) / tm{P}.x) + 1e-12 "
+            f"AND b.pos % 4 = {r % 4}"
+            f") mo ON mo.pos = nr.rk),",
+            f"acc{S} AS MATERIALIZED (SELECT ({q_expr(f'tent{S}')}) > ({q_expr(A)}) + 1e-9 AS ok),",
+            f"{NA} AS MATERIALIZED (SELECT a.v, CASE WHEN x.ok THEN t.c ELSE a.c END AS c "
+            f"FROM {A} a JOIN tent{S} t ON t.v = a.v CROSS JOIN acc{S} x),",
+        ]
+
+
+def _leiden_sql(levels: int = 4, rounds: int = 16) -> str:
+    """Level- and round-exact replica of _q_leiden (max_levels=4,
+    max_rounds_per_level=4 => 16 phase-rounds per local-moving AND per
+    refinement chain). Same stability argument as _louvain_sql (integer
+    weights, score quantum 1/2m, Q quantum 1/(2m)^2), plus Leiden's two
+    extra rules mirrored exactly: refinement starts from singletons with
+    the cage restriction (a node may only join a refined community whose
+    representative position shares its local-moving community) and the
+    singleton-only move rule; coarsening groups by the REFINED partition
+    while the next level's seeds dense-rank the local-moving communities
+    (unique_inverse parity). Output = min-member label of the last
+    level's LOCAL-MOVING partition (the engine captures labels before
+    refinement). All 4 levels accept moves on sf0.01 (level-1 local
+    moving is cap-bound; every other chain stall-breaks within cap, and
+    post-break rounds are no-ops), so the unconditional chain is exact.
+    """
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "epair AS (SELECT DISTINCT LEAST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS lo, "
+        "GREATEST(CAST(src_id AS BIGINT), CAST(dst_id AS BIGINT)) AS hi FROM eraw "
+        "WHERE src_id <> dst_id),",
+        "sym_1 AS MATERIALIZED (SELECT lo AS src, hi AS dst, 1.0 AS w FROM epair "
+        "UNION ALL SELECT hi, lo, 1.0 FROM epair),",
+        "nodes_1 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym_1),",
+        "int_1 AS MATERIALIZED (SELECT v, 0.0 AS iw FROM nodes_1),",
+        "map_1 AS MATERIALIZED (SELECT v AS orig, v AS super FROM nodes_1),",
+    ]
+    for L in range(1, levels + 1):
+        P = f"_{L}"
+        parts += [
+            f"nrk{P} AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes{P}),",
+            f"kk{P} AS MATERIALIZED (SELECT n.v, COALESCE(st.s, 0.0) + 2.0 * i.iw AS kv "
+            f"FROM nodes{P} n JOIN int{P} i ON i.v = n.v "
+            f"LEFT JOIN (SELECT src AS v, SUM(w) AS s FROM sym{P} GROUP BY src) st ON st.v = n.v),",
+            f"tm{P} AS MATERIALIZED (SELECT SUM(kv) AS x FROM kk{P}),",
+        ]
+        if L == 1:
+            parts.append(f"lm{P}_0 AS MATERIALIZED (SELECT nr.v, nr.rk AS c FROM nrk{P} nr),")
+        # local moving (seeded chain lm{P})
+        _leiden_rounds(parts, P, f"lm{P}", rounds)
+        F = f"lm{P}_{rounds}"
+        # canonical labels from the LOCAL-MOVING partition (v = min member id)
+        parts.append(
+            f"lbl{P} AS MATERIALIZED (SELECT a.v, mr.rep FROM {F} a "
+            f"JOIN (SELECT c, MIN(v) AS rep FROM {F} GROUP BY c) mr ON mr.c = a.c),"
+        )
+        if L == levels:
+            parts.append(
+                f"final AS (SELECT mp.orig, lb.rep AS super FROM map{P} mp "
+                f"JOIN lbl{P} lb ON lb.v = mp.super)"
+            )
+            break
+        # refinement from singletons, caged by the local-moving partition
+        parts.append(f"rf{P}_0 AS MATERIALIZED (SELECT nr.v, nr.rk AS c FROM nrk{P} nr),")
+        _leiden_rounds(parts, P, f"rf{P}", rounds, restrict=F, singleton_only=True)
+        R = f"rf{P}_{rounds}"
+        NP = f"_{L + 1}"
+        parts += [
+            # refined representative = min member id per refined community
+            f"rrep{P} AS MATERIALIZED (SELECT a.v, mr.rep FROM {R} a "
+            f"JOIN (SELECT c, MIN(v) AS rep FROM {R} GROUP BY c) mr ON mr.c = a.c),",
+            f"sym{NP} AS MATERIALIZED (SELECT m1.rep AS src, m2.rep AS dst, SUM(e.w) AS w "
+            f"FROM sym{P} e JOIN rrep{P} m1 ON m1.v = e.src "
+            f"JOIN rrep{P} m2 ON m2.v = e.dst WHERE m1.rep <> m2.rep GROUP BY m1.rep, m2.rep),",
+            f"nodes{NP} AS MATERIALIZED (SELECT DISTINCT rep AS v FROM rrep{P}),",
+            f"int{NP} AS MATERIALIZED (SELECT mi.rep AS v, mi.s + COALESCE(ia.cw, 0.0) / 2.0 AS iw FROM "
+            f"(SELECT m.rep, SUM(i.iw) AS s FROM rrep{P} m JOIN int{P} i ON i.v = m.v GROUP BY m.rep) mi "
+            f"LEFT JOIN (SELECT m1.rep, SUM(e.w) AS cw FROM sym{P} e "
+            f"JOIN rrep{P} m1 ON m1.v = e.src JOIN rrep{P} m2 ON m2.v = e.dst "
+            f"AND m2.rep = m1.rep GROUP BY m1.rep) ia ON ia.rep = mi.rep),",
+            f"map{NP} AS MATERIALIZED (SELECT mp.orig, rm.rep AS super FROM map{P} mp "
+            f"JOIN rrep{P} rm ON rm.v = mp.super),",
+            # seed = local-moving community of any member, dense-ranked in
+            # sorted order (unique_inverse parity)
+            f"lm{NP}_0 AS MATERIALIZED (SELECT sv.v, "
+            f"DENSE_RANK() OVER (ORDER BY sv.cval) - 1 AS c FROM ("
+            f"SELECT rm.rep AS v, MIN(a.c) AS cval FROM rrep{P} rm "
+            f"JOIN {F} a ON a.v = rm.v GROUP BY rm.rep) sv),",
+        ]
+    parts.append(" SELECT orig AS node_id, super AS community FROM final")
+    return " ".join(parts)
+
+
+
+
 def _modopt_sql(rounds: int = 20) -> str:
     """Round-exact replica of _q_modularity_optimization (level-1
     Louvain at max_rounds=5 ⇒ exactly 5·4 = 20 phase-rounds — the cap
@@ -3337,6 +3495,7 @@ def oracle_sql() -> dict[str, str]:
         "sllpa": _sllpa_sql(),
         "modularity_optimization": _modopt_sql(),
         "louvain": _louvain_sql(),
+        "leiden": _leiden_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
