@@ -2823,6 +2823,112 @@ def _leiden_sql(levels: int = 4, rounds: int = 16) -> str:
 
 
 
+def _steiner_sql(k_terms: int = 5, bf_rounds: int = 8) -> str:
+    """Exact replica of _q_steiner (algos/steiner.steiner_tree, Kou
+    2-approximation over the weighted ps projection): per-terminal
+    Bellman-Ford with predecessor tracking (lexicographic (cand, pred)
+    argmin per node, strict-improve or equal-dist smaller-pred update —
+    integer weights make every distance an exact double), metric
+    closure, Prim with first-index tie-break (ORDER BY b, j), and
+    closure-edge unfolding along the predecessor trees via one
+    recursive walk. bf_rounds=8 >= the measured convergence (7 rounds);
+    converged extra rounds are no-ops. Output = distinct (u < v,
+    weight) path edges."""
+    INF = "CAST('infinity' AS DOUBLE)"
+
+    parts = [
+        "WITH emin AS MATERIALIZED (SELECT CAST(l_partkey AS BIGINT) AS src, "
+        "CAST(l_suppkey AS BIGINT) AS dst, MIN(CAST(l_quantity AS DOUBLE)) AS w "
+        "FROM lineitem GROUP BY 1, 2),",
+        "sym AS MATERIALIZED (SELECT src, dst, w FROM emin "
+        "UNION ALL SELECT dst, src, w FROM emin),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        f"terms AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS i "
+        f"FROM nodes ORDER BY v LIMIT {k_terms}),",
+    ]
+    # --- per-terminal Bellman-Ford with predecessor tracking ----------
+    for i in range(k_terms):
+        parts.append(
+            f"d{i}_0 AS MATERIALIZED (SELECT n.v, "
+            f"CASE WHEN n.v = (SELECT v FROM terms WHERE i = {i}) THEN 0.0 ELSE {INF} END AS dist, "
+            f"CAST(-1 AS BIGINT) AS pred FROM nodes n),"
+        )
+        for r in range(bf_rounds):
+            A = f"d{i}_{r}"
+            parts.append(
+                f"c{i}_{r} AS MATERIALIZED (SELECT v, cand, cpred FROM ("
+                f"SELECT e.dst AS v, dd.dist + e.w AS cand, e.src AS cpred, "
+                f"ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY dd.dist + e.w ASC, e.src ASC) AS rn "
+                f"FROM sym e JOIN {A} dd ON dd.v = e.src WHERE dd.dist < {INF}"
+                f") WHERE rn = 1),"
+            )
+            parts.append(
+                f"d{i}_{r + 1} AS MATERIALIZED (SELECT d.v, "
+                f"CASE WHEN c.cand < d.dist OR (c.cand = d.dist AND d.pred >= 0 AND c.cpred < d.pred) "
+                f"THEN c.cand ELSE d.dist END AS dist, "
+                f"CASE WHEN c.cand < d.dist OR (c.cand = d.dist AND d.pred >= 0 AND c.cpred < d.pred) "
+                f"THEN c.cpred ELSE d.pred END AS pred "
+                f"FROM {A} d LEFT JOIN c{i}_{r} c ON c.v = d.v),"
+            )
+    dall = " UNION ALL ".join(
+        f"SELECT {i} AS i, v, dist, pred FROM d{i}_{bf_rounds}" for i in range(k_terms)
+    )
+    parts.append(f"dall AS MATERIALIZED ({dall}),")
+    # --- metric closure ------------------------------------------------
+    parts.append(
+        "dm AS MATERIALIZED (SELECT da.i, t2.i AS j, da.dist AS dv "
+        "FROM dall da JOIN terms t2 ON t2.v = da.v WHERE da.i <> t2.i),"
+    )
+    # --- Prim over the closure (k-1 chained steps) ---------------------
+    parts.append(
+        f"best_0 AS MATERIALIZED (SELECT t.i AS j, "
+        f"CASE WHEN t.i = 0 THEN {INF} ELSE COALESCE(dm.dv, {INF}) END AS b, "
+        f"CAST(0 AS BIGINT) AS bf FROM terms t LEFT JOIN dm ON dm.i = 0 AND dm.j = t.i),"
+    )
+    parts.append("it_0(j) AS (VALUES (CAST(0 AS BIGINT))),")
+    for s in range(k_terms - 1):
+        parts.append(
+            f"pick_{s} AS MATERIALIZED (SELECT j, b, bf FROM best_{s} "
+            f"WHERE j NOT IN (SELECT j FROM it_{s}) AND b < {INF} "
+            f"ORDER BY b ASC, j ASC LIMIT 1),"
+        )
+        parts.append(
+            f"it_{s + 1} AS MATERIALIZED (SELECT j FROM it_{s} UNION ALL SELECT j FROM pick_{s}),"
+        )
+        if s < k_terms - 2:
+            parts.append(
+                f"best_{s + 1} AS MATERIALIZED (SELECT b.j, "
+                f"CASE WHEN dmj.dv IS NOT NULL AND dmj.dv < b.b THEN dmj.dv ELSE b.b END AS b, "
+                f"CASE WHEN dmj.dv IS NOT NULL AND dmj.dv < b.b THEN p.j ELSE b.bf END AS bf "
+                f"FROM best_{s} b CROSS JOIN pick_{s} p "
+                f"LEFT JOIN dm dmj ON dmj.i = p.j AND dmj.j = b.j),"
+            )
+    closure = " UNION ALL ".join(
+        f"SELECT bf AS fi, j FROM pick_{s}" for s in range(k_terms - 1)
+    )
+    parts.append(f"closure AS MATERIALIZED ({closure}),")
+    # --- unfold closure edges along the predecessor trees --------------
+    parts.append(
+        "walk AS (WITH RECURSIVE wk(tree, cur) AS ("
+        "SELECT c.fi, t.v FROM closure c JOIN terms t ON t.i = c.j "
+        "UNION "
+        "SELECT w.tree, da.pred FROM wk w "
+        "JOIN dall da ON da.i = w.tree AND da.v = w.cur WHERE da.pred <> -1"
+        ") SELECT tree, cur FROM wk),"
+    )
+    parts.append(
+        f"seg AS (SELECT LEAST(w.cur, da.pred) AS u, GREATEST(w.cur, da.pred) AS v, "
+        f"ABS(da.dist - dp.dist) AS w FROM walk w "
+        f"JOIN dall da ON da.i = w.tree AND da.v = w.cur "
+        f"JOIN dall dp ON dp.i = w.tree AND dp.v = da.pred "
+        f"WHERE da.pred <> -1 AND da.dist < {INF}) "
+        "SELECT u, v, ROUND(MIN(w), 6) AS weight FROM seg GROUP BY u, v"
+    )
+    return " ".join(parts)
+
+
+
+
 def _modopt_sql(rounds: int = 20) -> str:
     """Round-exact replica of _q_modularity_optimization (level-1
     Louvain at max_rounds=5 ⇒ exactly 5·4 = 20 phase-rounds — the cap
@@ -3496,6 +3602,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity_optimization": _modopt_sql(),
         "louvain": _louvain_sql(),
         "leiden": _leiden_sql(),
+        "steiner_tree_5t": _steiner_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
