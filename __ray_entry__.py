@@ -2929,6 +2929,137 @@ def _steiner_sql(k_terms: int = 5, bf_rounds: int = 8) -> str:
 
 
 
+
+
+def _yens_bf_chain(parts, name, sym, source_expr, rounds):
+    """Bellman-Ford with predecessor tracking over CTE `sym`(src,dst,w),
+    starting from the scalar `source_expr`; appends d-tables {name}_r."""
+    INF = "CAST('infinity' AS DOUBLE)"
+    parts.append(
+        f"{name}_0 AS MATERIALIZED (SELECT n.v, "
+        f"CASE WHEN n.v = ({source_expr}) THEN 0.0 ELSE {INF} END AS dist, "
+        f"CAST(-1 AS BIGINT) AS pred FROM (SELECT DISTINCT src AS v FROM {sym}) n),"
+    )
+    for r in range(rounds):
+        A = f"{name}_{r}"
+        parts.append(
+            f"{name}c_{r} AS MATERIALIZED (SELECT v, cand, cpred FROM ("
+            f"SELECT e.dst AS v, dd.dist + e.w AS cand, e.src AS cpred, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY dd.dist + e.w ASC, e.src ASC) AS rn "
+            f"FROM {sym} e JOIN {A} dd ON dd.v = e.src WHERE dd.dist < {INF}"
+            f") WHERE rn = 1),"
+        )
+        parts.append(
+            f"{name}_{r + 1} AS MATERIALIZED (SELECT d.v, "
+            f"CASE WHEN c.cand < d.dist OR (c.cand = d.dist AND d.pred >= 0 AND c.cpred < d.pred) "
+            f"THEN c.cand ELSE d.dist END AS dist, "
+            f"CASE WHEN c.cand < d.dist OR (c.cand = d.dist AND d.pred >= 0 AND c.cpred < d.pred) "
+            f"THEN c.cpred ELSE d.pred END AS pred "
+            f"FROM {A} d LEFT JOIN {name}c_{r} c ON c.v = d.v),"
+        )
+
+
+def _yens_walk(parts, name, dtab, target_expr):
+    """Recursive pred walk from target; emits {name}(seq, node) with
+    seq 0 at the source (empty when target unreachable)."""
+    INF = "CAST('infinity' AS DOUBLE)"
+    parts.append(
+        f"{name}w AS (WITH RECURSIVE wk(cur, stp) AS ("
+        f"SELECT d.v, 0 FROM {dtab} d WHERE d.v = ({target_expr}) AND d.dist < {INF} "
+        f"UNION ALL SELECT d.pred, wk.stp + 1 FROM wk "
+        f"JOIN {dtab} d ON d.v = wk.cur WHERE d.pred <> -1"
+        f") SELECT cur, stp FROM wk),"
+    )
+    parts.append(
+        f"{name} AS MATERIALIZED (SELECT cur AS node, "
+        f"(SELECT MAX(stp) FROM {name}w) - stp AS seq FROM {name}w),"
+    )
+
+
+def _yens_sql(max_spurs: int = 8, bf_rounds: int = 8) -> str:
+    """Exact replica of _q_yens (algos/yens.yens_k_shortest_paths, K=2):
+    base Bellman-Ford with predecessor tracking, P1 via the pred walk,
+    one spur per P1 prefix (statically unrolled to max_spurs, guarded by
+    the measured P1 length) over the exclusion-filtered graph, candidate
+    = root[:-1] + spur path with the loop check, best by
+    (round(total, 9), path lexicographic). Integer quantities keep every
+    distance exact; bf_rounds=8 >= the measured convergence (7)."""
+    INF = "CAST('infinity' AS DOUBLE)"
+
+    parts = [
+        "WITH emin AS MATERIALIZED (SELECT CAST(l_partkey AS BIGINT) AS src, "
+        "CAST(l_suppkey AS BIGINT) AS dst, MIN(CAST(l_quantity AS DOUBLE)) AS w "
+        "FROM lineitem GROUP BY 1, 2),",
+        "sym AS MATERIALIZED (SELECT src, dst, w FROM emin "
+        "UNION ALL SELECT dst, src, w FROM emin),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        "st AS MATERIALIZED (SELECT MIN(v) AS s, MAX(v) AS t FROM nodes),",
+    ]
+    _yens_bf_chain(parts, "b", "sym", "SELECT s FROM st", bf_rounds)
+    _yens_walk(parts, "p1", f"b_{bf_rounds}", "SELECT t FROM st")
+    parts.append(
+        "p1len AS MATERIALIZED (SELECT COUNT(*) AS l FROM p1),"
+    )
+    parts.append(
+        f"cost1 AS MATERIALIZED (SELECT d.dist AS c FROM b_{bf_rounds} d "
+        f"WHERE d.v = (SELECT t FROM st)),"
+    )
+    cand_sel = []
+    for i in range(max_spurs):
+        # spur exists iff p1 has rows at seq i and i+1
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT e.src, e.dst, e.w FROM sym e "
+            f"WHERE (SELECT l FROM p1len) > {i + 1} "
+            f"AND e.src NOT IN (SELECT node FROM p1 WHERE seq < {i}) "
+            f"AND e.dst NOT IN (SELECT node FROM p1 WHERE seq < {i}) "
+            f"AND NOT (LEAST(e.src, e.dst) = (SELECT LEAST(a.node, b.node) FROM p1 a, p1 b "
+            f"WHERE a.seq = {i} AND b.seq = {i + 1}) "
+            f"AND GREATEST(e.src, e.dst) = (SELECT GREATEST(a.node, b.node) FROM p1 a, p1 b "
+            f"WHERE a.seq = {i} AND b.seq = {i + 1}))),"
+        )
+        _yens_bf_chain(parts, f"s{i}", f"f{i}", f"SELECT node FROM p1 WHERE seq = {i}", bf_rounds)
+        _yens_walk(parts, f"sp{i}", f"s{i}_{bf_rounds}", "SELECT t FROM st")
+        # candidate rows: root[:-1] (p1 seq < i) then spur path (shifted by i)
+        parts.append(
+            f"cd{i} AS MATERIALIZED ("
+            f"SELECT node, seq FROM p1 WHERE seq < {i} "
+            f"UNION ALL SELECT node, seq + {i} FROM sp{i}),"
+        )
+        parts.append(
+            f"ct{i} AS MATERIALIZED (SELECT "
+            f"(SELECT d.dist FROM b_{bf_rounds} d JOIN p1 p ON p.node = d.v WHERE p.seq = {i}) + "
+            f"(SELECT d.dist FROM s{i}_{bf_rounds} d WHERE d.v = (SELECT t FROM st)) AS total),"
+        )
+        cand_sel.append(
+            f"SELECT {i} AS cid, (SELECT total FROM ct{i}) AS total, "
+            f"(SELECT list(node ORDER BY seq) FROM cd{i}) AS pth "
+            f"FROM (SELECT 1) "
+            f"WHERE EXISTS (SELECT 1 FROM sp{i}) "
+            f"AND (SELECT COUNT(*) FROM cd{i}) = (SELECT COUNT(DISTINCT node) FROM cd{i})"
+        )
+    parts.append("cands AS MATERIALIZED (" + " UNION ALL ".join(cand_sel) + "),")
+    parts.append(
+        "p1l AS MATERIALIZED (SELECT list(node ORDER BY seq) AS pth FROM p1),"
+    )
+    # dedup identical paths (min total), drop P1 itself, pick best by
+    # (round(total, 9), path lexicographic)
+    parts.append(
+        "bestc AS MATERIALIZED (SELECT pth, MIN(total) AS total FROM cands "
+        "WHERE pth <> (SELECT pth FROM p1l) GROUP BY pth "
+        "ORDER BY ROUND(MIN(total), 9) ASC, pth ASC LIMIT 1) "
+    )
+    parts.append(
+        "SELECT CAST(0 AS BIGINT) AS path_rank, p.seq AS seq, p.node AS node_id, "
+        "ROUND((SELECT c FROM cost1), 9) AS total_cost FROM p1 p "
+        "UNION ALL "
+        "SELECT CAST(1 AS BIGINT), CAST(gs.i AS BIGINT) - 1, b.pth[gs.i], ROUND(b.total, 9) "
+        "FROM bestc b JOIN (SELECT unnest(generate_series(1, 100)) AS i) gs ON gs.i <= len(b.pth)"
+    )
+    return " ".join(parts)
+
+
+
+
 def _modopt_sql(rounds: int = 20) -> str:
     """Round-exact replica of _q_modularity_optimization (level-1
     Louvain at max_rounds=5 ⇒ exactly 5·4 = 20 phase-rounds — the cap
@@ -3603,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain": _louvain_sql(),
         "leiden": _leiden_sql(),
         "steiner_tree_5t": _steiner_sql(),
+        "yens_k2": _yens_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
