@@ -654,8 +654,8 @@ def _q_betweenness32(sf_dir: str):
 
 def _q_betweenness_weighted32(sf_dir: str):
     """relationshipWeightProperty variant; 32-source sample on the ps
-    MIN-weight projection. Rows-only (weighted Brandes is not
-    SQL-expressible); exactness vs networkx is pytest-covered."""
+    MIN-weight projection. DuckDB-matched via _btww_sql (three-phase
+    Jacobi-fixpoint replica); exactness vs networkx is pytest-covered."""
     from graph_data_science_ray.algos.betweenness import betweenness_centrality_weighted
     from graph_data_science_ray.algos.common import unique_node_ids
 
@@ -3060,6 +3060,81 @@ def _yens_sql(max_spurs: int = 8, bf_rounds: int = 8) -> str:
 
 
 
+def _btww_sql(n_src: int = 32, rounds: int = 10) -> str:
+    """Round-exact replica of _q_betweenness_weighted32
+    (algos/betweenness.betweenness_centrality_weighted): three chained
+    Jacobi fixpoints over the weighted symmetric-min graph — (1) dist by
+    repeated min-relax (integer quantities keep every path sum exact, so
+    the SP-DAG float-equality test dist[u]+w = dist[v] is cross-engine
+    stable), (2) sigma path counts over the DAG recomputed from the
+    base each round, (3) Brandes delta = sum sigma_u/sigma_v (1+delta_v)
+    likewise. All phases converge within 8 rounds on sf0.01 (rounds=10
+    with margin; post-fixpoint rounds are no-ops). Output = round6 of
+    0.5 * summed deltas, endpoints excluded — the 6-decimal quantum
+    dwarfs the float summation-order difference (~1e-13 relative)."""
+
+    parts = [
+        "WITH emin AS MATERIALIZED (SELECT CAST(l_partkey AS BIGINT) AS src, "
+        "CAST(l_suppkey AS BIGINT) AS dst, MIN(CAST(l_quantity AS DOUBLE)) AS w "
+        "FROM lineitem GROUP BY 1, 2),",
+        "nodes AS MATERIALIZED (SELECT src AS v FROM emin UNION SELECT dst FROM emin),",
+        # weight-preserving symmetrize: both directions, MIN-dedup, drop self loops
+        "g AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM ("
+        "SELECT src, dst, w FROM emin UNION ALL SELECT dst, src, w FROM emin"
+        ") WHERE src <> dst GROUP BY src, dst),",
+        f"srcs AS MATERIALIZED (SELECT v AS s FROM nodes ORDER BY v LIMIT {n_src}),",
+        "d0 AS MATERIALIZED (SELECT s, s AS v, CAST(0 AS DOUBLE) AS dist FROM srcs),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r + 1} AS MATERIALIZED (SELECT s, v, MIN(dist) AS dist FROM ("
+            f"SELECT s, v, dist FROM d{r} UNION ALL "
+            f"SELECT dd.s, e.dst AS v, dd.dist + e.w AS dist "
+            f"FROM d{r} dd JOIN g e ON e.src = dd.v"
+            f") GROUP BY s, v),"
+        )
+    D = f"d{rounds}"
+    # SP-DAG edges per source: dist[u] + w = dist[v]
+    parts.append(
+        f"dag AS MATERIALIZED (SELECT du.s, e.src AS u, e.dst AS v, e.w "
+        f"FROM g e JOIN {D} du ON du.v = e.src "
+        f"JOIN {D} dv ON dv.s = du.s AND dv.v = e.dst "
+        f"WHERE du.dist + e.w = dv.dist),"
+    )
+    parts.append("sg0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS DOUBLE) AS val FROM srcs),")
+    for r in range(rounds):
+        parts.append(
+            f"sg{r + 1} AS MATERIALIZED (SELECT s, v, SUM(val) AS val FROM ("
+            f"SELECT s, s AS v, CAST(1 AS DOUBLE) AS val FROM srcs UNION ALL "
+            f"SELECT dg.s, dg.v, SUM(sg.val) AS val FROM dag dg "
+            f"JOIN sg{r} sg ON sg.s = dg.s AND sg.v = dg.u WHERE sg.val > 0 "
+            f"GROUP BY dg.s, dg.v"
+            f") GROUP BY s, v),"
+        )
+    SG = f"sg{rounds}"
+    parts.append("dl0 AS MATERIALIZED (SELECT s, s AS v, CAST(0 AS DOUBLE) AS val FROM srcs WHERE FALSE),")
+    for r in range(rounds):
+        parts.append(
+            f"dl{r + 1} AS MATERIALIZED (SELECT dg.s, dg.u AS v, "
+            f"SUM(su.val / sv.val * (1.0 + COALESCE(dl.val, CAST(0 AS DOUBLE)))) AS val "
+            f"FROM dag dg "
+            f"JOIN {SG} su ON su.s = dg.s AND su.v = dg.u AND su.val > 0 "
+            f"JOIN {SG} sv ON sv.s = dg.s AND sv.v = dg.v AND sv.val > 0 "
+            f"LEFT JOIN dl{r} dl ON dl.s = dg.s AND dl.v = dg.v "
+            f"GROUP BY dg.s, dg.u),"
+        )
+    DL = f"dl{rounds}"
+    parts.append(
+        f"bsum AS MATERIALIZED (SELECT dl.v, SUM(dl.val) AS b FROM {DL} dl "
+        f"WHERE dl.v <> dl.s GROUP BY dl.v) "
+        "SELECT n.v AS node_id, ROUND(COALESCE(bs.b, CAST(0 AS DOUBLE)) * 0.5, 6) AS betweenness "
+        "FROM nodes n LEFT JOIN bsum bs ON bs.v = n.v"
+    )
+    return " ".join(parts)
+
+
+
+
 def _modopt_sql(rounds: int = 20) -> str:
     """Round-exact replica of _q_modularity_optimization (level-1
     Louvain at max_rounds=5 ⇒ exactly 5·4 = 20 phase-rounds — the cap
@@ -3735,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "leiden": _leiden_sql(),
         "steiner_tree_5t": _steiner_sql(),
         "yens_k2": _yens_sql(),
+        "betweenness_weighted_32src": _btww_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
