@@ -3135,6 +3135,36 @@ def _btww_sql(n_src: int = 32, rounds: int = 10) -> str:
 
 
 
+def _lsh_ann_sql(bits: int = 4, k: int = 10, seed: int = 42, dim: int = 64) -> str:
+    """Replica of _q_lsh_ann_topk (stages/embed.lsh_topk, single-probe):
+    the seeded hyperplanes are inlined as float literals (same
+    rng(seed).standard_normal the engine uses), bucket = sign pattern of
+    the raw inner products, then the ann_topk-style in-bucket cosine
+    top-k. Sign tests only flip cross-engine when |dot| ≲ 1e-13 of the
+    summation magnitude — none occur on this input; scores round to 6
+    like the D ann_topk oracle. dim=64 matches the testdata embeddings."""
+    import numpy as _np
+
+    planes = _np.random.default_rng(seed).standard_normal((bits, dim))
+    rows = ", ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in planes[b])}]::DOUBLE[])" for b in range(bits)
+    )
+    bexpr = (
+        "(SELECT SUM(CASE WHEN list_inner_product({V}, pl.p) > 0 "
+        "THEN (1 << pl.b) ELSE 0 END) FROM planes pl)"
+    )
+    return (
+        f"WITH planes(b, p) AS (VALUES {rows}), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0), "
+        f"qb AS (SELECT {bexpr.format(V='q.v')} AS bucket FROM q), "
+        "eb AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, "
+        f"{bexpr.format(V='CAST(e.embedding AS DOUBLE[])')} AS bucket FROM embeddings e) "
+        "SELECT eb.vec_id, ROUND(list_cosine_similarity(eb.v, q.v), 6) AS score "
+        "FROM eb, q, qb WHERE eb.bucket = qb.bucket "
+        f"ORDER BY list_cosine_similarity(eb.v, q.v) DESC, eb.vec_id LIMIT {k}"
+    )
+
+
 def _modopt_sql(rounds: int = 20) -> str:
     """Round-exact replica of _q_modularity_optimization (level-1
     Louvain at max_rounds=5 ⇒ exactly 5·4 = 20 phase-rounds — the cap
@@ -3811,6 +3841,7 @@ def oracle_sql() -> dict[str, str]:
         "steiner_tree_5t": _steiner_sql(),
         "yens_k2": _yens_sql(),
         "betweenness_weighted_32src": _btww_sql(),
+        "lsh_ann_topk": _lsh_ann_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
