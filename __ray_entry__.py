@@ -504,6 +504,27 @@ def _edges_ps_weighted(sf_dir: str):
     return dedup_edges(ds, "min")
 
 
+def _edges_ps_weighted_small(sf_dir: str):
+    """Small ps projection (part<=300, supp<=12; ~300 nodes / ~2100
+    edges at sf0.01), row-filtered at the parquet read so only matching
+    row groups are decoded. Used where the DuckDB oracle is inherently
+    sequential and needs a bounded instance (k_spanning_tree)."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.sources.edges import dedup_edges
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pads.field("l_partkey") <= 300) & (pads.field("l_suppkey") <= 12),
+    ).rename_columns({"l_partkey": "src_id", "l_suppkey": "dst_id", "l_quantity": "weight"})
+    return dedup_edges(ds, "min")
+
+
 def _q_prize_steiner(sf_dir: str):
     """gds.prizeSteinerTree: greedy path accretion + leaf pruning over
     the weighted ps projection; prizes = part's total available qty
@@ -1526,9 +1547,12 @@ def _q_filtered_knn(sf_dir: str):
 
 
 def _q_k_spanning_tree(sf_dir: str):
+    """k-spanning-tree on the SMALL ps projection (part<=300, supp<=12)
+    so the DuckDB oracle's sequential leaf-peel stays tractable (see
+    _k_spanning_sql). Columns pruned + row-filtered at the read."""
     from graph_data_science_ray.algos.mst import k_spanning_tree
 
-    res = k_spanning_tree(_edges_ps_weighted(sf_dir), k=20)
+    res = k_spanning_tree(_edges_ps_weighted_small(sf_dir), k=20)
     return _round6(res.edges, "weight")
 
 
@@ -3652,22 +3676,16 @@ def _betweenness_sql(levels: int = 4) -> str:
     return "\n".join(parts)
 
 
-def _mst_sql(rounds: int = 5, doubling: int = 5) -> str:
-    """Round-exact replica of algos/mst.minimum_spanning_forest
-    (Borůvka): each round every component picks its min cross edge by
-    the strict total order (weight, lo, hi); because the order is total,
-    the picked set is acyclic (the max-ordered edge of any would-be
-    cycle is picked by neither endpoint), so the engine's union-find
-    keeps every pick and the merged label = MIN label over the pick-
-    graph group, computed here by ``doubling`` closure-doubling steps
-    (covers merge-group diameter 2^doubling; measured max diameter 10
-    at sf0.01). Extra rounds past convergence are no-ops (no cross
-    edges -> empty pick -> labels unchanged); measured 3 rounds at
-    sf0.01."""
+def _boruvka_parts(
+    rounds: int = 5, doubling: int = 5, edges_sql: str | None = None
+) -> tuple[list, list]:
+    """Shared CTE chain for the Borůvka forest (see _mst_sql docstring);
+    returns (parts, pick_names) with comp{rounds} = converged min-label
+    per node. Used by _mst_sql and _k_spanning_sql."""
     parts = [
         f"WITH ew AS MATERIALIZED (SELECT src_id, dst_id, weight AS w, "
         "LEAST(src_id, dst_id) AS lo, GREATEST(src_id, dst_id) AS hi "
-        f"FROM ({_E_PS_W}) WHERE src_id <> dst_id),",
+        f"FROM ({edges_sql or _E_PS_W}) WHERE src_id <> dst_id),",
         "comp0 AS MATERIALIZED (SELECT node, node AS lab FROM (SELECT DISTINCT node FROM "
         "(SELECT src_id AS node FROM ew UNION ALL SELECT dst_id FROM ew))),",
     ]
@@ -3706,11 +3724,103 @@ def _mst_sql(rounds: int = 5, doubling: int = 5) -> str:
             f"comp{r} AS MATERIALIZED (SELECT c.node, COALESCE(n.m, c.lab) AS lab "
             f"FROM comp{p} c LEFT JOIN nl{r} n ON c.lab = n.lab),"
         )
+    return parts, pick_names
+
+
+def _mst_sql(rounds: int = 5, doubling: int = 5) -> str:
+    """Round-exact replica of algos/mst.minimum_spanning_forest
+    (Borůvka): each round every component picks its min cross edge by
+    the strict total order (weight, lo, hi); because the order is total,
+    the picked set is acyclic (the max-ordered edge of any would-be
+    cycle is picked by neither endpoint), so the engine's union-find
+    keeps every pick and the merged label = MIN label over the pick-
+    graph group, computed here by ``doubling`` closure-doubling steps
+    (covers merge-group diameter 2^doubling; measured max diameter 10
+    at sf0.01). Extra rounds past convergence are no-ops (no cross
+    edges -> empty pick -> labels unchanged); measured 3 rounds at
+    sf0.01."""
+    parts, pick_names = _boruvka_parts(rounds, doubling)
+    parts = list(parts)
     parts[-1] = parts[-1].rstrip(",")
     sel = " UNION ALL ".join(
         f"SELECT lo AS u, hi AS v, ROUND(w, 6) AS weight FROM {nm}" for nm in pick_names
     )
     parts.append(f"SELECT * FROM ({sel})")
+    return "\n".join(parts)
+
+
+_E_PS_W_SMALL = (
+    "SELECT l_partkey AS src_id, l_suppkey AS dst_id, "
+    "CAST(MIN(l_quantity) AS DOUBLE) AS weight FROM lineitem "
+    "WHERE l_partkey <= 300 AND l_suppkey <= 12 GROUP BY 1, 2"
+)
+
+
+def _k_spanning_sql(k: int = 20, rounds: int = 5, doubling: int = 5) -> str:
+    """Exact replica of algos/mst.k_spanning_tree on the SMALL ps
+    projection (part<=300, supp<=12 — ~297 nodes; the DuckDB 1.0
+    list-state recursive peel costs ~0.6s/step on 2000-element lists,
+    so the full projection's ~1980 peel steps are infeasible as an
+    oracle while ~280 steps on 300-element lists run in seconds):
+    Borůvka forest (the _mst_sql CTE chain, unrounded weights),
+    restricted to the LARGEST component (ties -> smallest min-node
+    label, matching the engine's sorted-start strictly-larger scan),
+    then a single-row list-state recursive peel (the _DFS_SQL
+    state-machine pattern): while more than k-1 edges remain, drop the
+    worst leaf edge — leaf = degree-1 node, worst = max weight then max
+    node id, the engine's heap key (-w, -x). The tree shrinks by
+    exactly one edge per step, so the unique row with len = k-1 (or the
+    base row when the component is already <= k nodes) is the converged
+    result."""
+    parts, pick_names = _boruvka_parts(rounds, doubling, edges_sql=_E_PS_W_SMALL)
+    parts = list(parts)
+    parts[0] = "WITH RECURSIVE " + parts[0][len("WITH ") :]
+    sel = " UNION ALL ".join(
+        f"SELECT lo, hi, w FROM {nm}" for nm in pick_names
+    )
+    parts.append(f"forest AS MATERIALIZED (SELECT lo, hi, CAST(w AS DOUBLE) AS w FROM ({sel})),")
+    parts.append(
+        f"bigc AS (SELECT lab FROM comp{rounds} GROUP BY lab "
+        "ORDER BY COUNT(*) DESC, lab ASC LIMIT 1),"
+    )
+    parts.append(
+        "fe AS MATERIALIZED (SELECT f.lo, f.hi, f.w FROM forest f "
+        f"JOIN comp{rounds} c ON f.lo = c.node JOIN bigc ON c.lab = bigc.lab),"
+    )
+    parts.append(
+        "init AS (SELECT list(lo ORDER BY lo, hi) AS eu, list(hi ORDER BY lo, hi) AS ev, "
+        "list(w ORDER BY lo, hi) AS ew FROM fe),"
+    )
+    parts.append(
+        "prune(eu, ev, ew) AS ("
+        "  SELECT eu, ev, ew FROM init"
+        "  UNION ALL"
+        "  SELECT"
+        "    list_filter(p.eu, (x, i) -> i <> worst.ix),"
+        "    list_filter(p.ev, (x, i) -> i <> worst.ix),"
+        "    list_filter(p.ew, (x, i) -> i <> worst.ix)"
+        "  FROM prune p"
+        "  CROSS JOIN LATERAL ("
+        "    WITH ex AS (SELECT unnest(generate_series(1, len(p.eu))) AS i,"
+        "                       unnest(p.eu) AS a, unnest(p.ev) AS b, unnest(p.ew) AS w),"
+        "    dg AS (SELECT node, COUNT(*) c FROM "
+        "(SELECT a AS node FROM ex UNION ALL SELECT b FROM ex) GROUP BY node),"
+        "    cand AS ("
+        "      SELECT ex.i, ex.w, ex.a AS node FROM ex JOIN dg ON dg.node = ex.a WHERE dg.c = 1"
+        "      UNION ALL"
+        "      SELECT ex.i, ex.w, ex.b FROM ex JOIN dg ON dg.node = ex.b WHERE dg.c = 1"
+        "    )"
+        "    SELECT i AS ix FROM cand ORDER BY w DESC, node DESC LIMIT 1"
+        "  ) worst"
+        f"  WHERE len(p.eu) > {k - 1}"
+        ")"
+    )
+    parts.append(
+        "SELECT u, v, ROUND(w, 6) AS weight FROM ("
+        "  SELECT unnest(eu) AS u, unnest(ev) AS v, unnest(ew) AS w"
+        "  FROM prune WHERE len(eu) = (SELECT MIN(len(eu)) FROM prune)"
+        ")"
+    )
     return "\n".join(parts)
 
 
@@ -3964,6 +4074,7 @@ def oracle_sql() -> dict[str, str]:
         "k1coloring": _k1coloring_sql(),
         "random_walks": _random_walks_sql(),
         "mst_forest": _mst_sql(),
+        "k_spanning_tree_20": _k_spanning_sql(20),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
