@@ -525,6 +525,27 @@ def _edges_ps_weighted_small(sf_dir: str):
     return dedup_edges(ds, "min")
 
 
+def _edges_ps_small(sf_dir: str):
+    """Unweighted small ps projection (part<=300, supp<=12), SINGLE
+    dedup, row-filtered at the parquet read. Used by bridges /
+    articulation points whose per-candidate-removal oracles need a
+    bounded instance."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    from graph_data_science_ray.context import configure_ray_data
+    from graph_data_science_ray.sources.edges import dedup_edges
+
+    configure_ray_data()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"],
+        filter=(pads.field("l_partkey") <= 300) & (pads.field("l_suppkey") <= 12),
+    ).rename_columns({"l_partkey": "src_id", "l_suppkey": "dst_id"})
+    return dedup_edges(ds, "single")
+
+
 def _q_prize_steiner(sf_dir: str):
     """gds.prizeSteinerTree: greedy path accretion + leaf pruning over
     the weighted ps projection; prizes = part's total available qty
@@ -880,15 +901,22 @@ def _q_scale_events(sf_dir: str):
 
 
 def _q_bridges(sf_dir: str):
+    """Bridges on the SMALL ps projection (part<=300, supp<=12): the
+    output is graph-determined (engine is exact vs networkx), so the
+    DuckDB oracle needn't replicate the tree-covering algorithm — it
+    tests, per edge, reachability lo->hi in G minus that edge via a
+    fixed-round min-closure, which is only tractable on a bounded
+    instance (see _bridges_sql)."""
     from graph_data_science_ray.algos.bridges import bridges_and_articulation_points
 
-    return bridges_and_articulation_points(_edges_op(sf_dir)).bridges
+    return bridges_and_articulation_points(_edges_ps_small(sf_dir)).bridges
 
 
 def _q_articulation_points(sf_dir: str):
+    """Articulation points on the SMALL ps projection (see _q_bridges)."""
     from graph_data_science_ray.algos.bridges import bridges_and_articulation_points
 
-    return bridges_and_articulation_points(_edges_op(sf_dir)).articulation_points
+    return bridges_and_articulation_points(_edges_ps_small(sf_dir)).articulation_points
 
 
 def _q_maxkcut(sf_dir: str):
@@ -3824,6 +3852,76 @@ def _k_spanning_sql(k: int = 20, rounds: int = 5, doubling: int = 5) -> str:
     return "\n".join(parts)
 
 
+_E_PS_SMALL_CANON = (
+    "SELECT DISTINCT LEAST(l_partkey, l_suppkey) AS lo, "
+    "GREATEST(l_partkey, l_suppkey) AS hi FROM lineitem "
+    "WHERE l_partkey <= 300 AND l_suppkey <= 12 AND l_partkey <> l_suppkey"
+)
+
+
+def _bridges_sql(rounds: int = 8) -> str:
+    """Definition-level oracle for algos/bridges bridges output on the
+    small ps projection: edge {lo,hi} is a bridge iff hi is unreachable
+    from lo in G minus that edge. Reachability = ``rounds`` fixed
+    chained closure steps over (edge_id, reached_node) state (the
+    removed edge excluded from traversal). Measured fixpoint at 4
+    rounds on sf0.01 (297 nodes, 1043 canonical edges); 8 gives 2x
+    margin. Valid because bridges are graph-determined — no need to
+    replicate the engine's spanning-forest + LCA-covering algorithm."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_PS_SMALL_CANON}),",
+        "ed AS MATERIALIZED (SELECT lo AS a, hi AS b FROM e UNION ALL SELECT hi, lo FROM e),",
+        "eid AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY lo, hi) AS id, lo, hi FROM e),",
+        "r0 AS MATERIALIZED (SELECT id, lo AS node FROM eid),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"r{r} AS MATERIALIZED (SELECT DISTINCT id, node FROM ("
+            f"SELECT id, node FROM r{p} UNION ALL "
+            f"SELECT r.id, d.b AS node FROM r{p} r JOIN ed d ON r.node = d.a "
+            "JOIN eid x ON x.id = r.id "
+            "WHERE NOT ((d.a = x.lo AND d.b = x.hi) OR (d.a = x.hi AND d.b = x.lo)))),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT x.lo AS u, x.hi AS v FROM eid x "
+        f"LEFT JOIN r{rounds} r ON r.id = x.id AND r.node = x.hi "
+        "WHERE r.node IS NULL"
+    )
+    return "\n".join(parts)
+
+
+def _articulation_sql(rounds: int = 8) -> str:
+    """Definition-level oracle for articulation points on the small ps
+    projection: node v (degree >= 2) is an articulation point iff some
+    neighbor of v is unreachable from v's minimum neighbor in G minus
+    v. Same fixed-round closure pattern as _bridges_sql over
+    (candidate_v, reached_node) state, edges incident to v excluded."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_PS_SMALL_CANON}),",
+        "ed AS MATERIALIZED (SELECT lo AS a, hi AS b FROM e UNION ALL SELECT hi, lo FROM e),",
+        "cand AS MATERIALIZED (SELECT a AS v FROM ed GROUP BY a HAVING COUNT(*) >= 2),",
+        "r0 AS MATERIALIZED (SELECT d.a AS v, MIN(d.b) AS node FROM ed d "
+        "JOIN cand c ON d.a = c.v GROUP BY d.a),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"r{r} AS MATERIALIZED (SELECT DISTINCT v, node FROM ("
+            f"SELECT v, node FROM r{p} UNION ALL "
+            f"SELECT r.v, d.b AS node FROM r{p} r JOIN ed d ON r.node = d.a "
+            "WHERE d.a <> r.v AND d.b <> r.v)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT DISTINCT n.a AS node_id FROM ed n JOIN cand c ON n.a = c.v "
+        f"LEFT JOIN r{rounds} r ON r.v = n.a AND r.node = n.b "
+        "WHERE r.node IS NULL"
+    )
+    return "\n".join(parts)
+
+
 def _k1coloring_sql(rounds: int = 26) -> str:
     """Round-exact replica of algos/kcoloring.k1coloring (Gebremedhin–
     Manne speculative coloring): per round, active nodes take the mex of
@@ -4075,6 +4173,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(),
         "mst_forest": _mst_sql(),
         "k_spanning_tree_20": _k_spanning_sql(20),
+        "bridges": _bridges_sql(),
+        "articulation_points": _articulation_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
