@@ -3922,6 +3922,83 @@ def _articulation_sql(rounds: int = 8) -> str:
     return "\n".join(parts)
 
 
+_MEDIA_CORPUS = (
+    "media AS MATERIALIZED (SELECT i, "
+    "CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+    "8 + (i * 37) % 56 AS width, 8 + (i * 53) % 56 AS height, "
+    "500 + (i * 997) % 9500 AS duration_ms, "
+    "repeat(sha256('media-' || i), 1 + i % 7) AS ph "
+    "FROM (SELECT unnest(generate_series(0, 199)) AS i)),"
+)
+
+# seed byte j (0..31) of sha256(payload_hex): parse hex pair -> int
+_MEDIA_SEED_BYTES = (
+    "sb AS MATERIALIZED (SELECT i, j, "
+    "strpos('0123456789abcdef', substr(sh, 2 * j + 1, 1)) * 16 "
+    "+ strpos('0123456789abcdef', substr(sh, 2 * j + 2, 1)) - 17 AS b "
+    "FROM (SELECT i, sha256(ph) AS sh FROM media WHERE kind = '{kind}'), "
+    "(SELECT unnest(generate_series(0, 31)) AS j)),"
+)
+
+
+def _media_features_sql() -> str:
+    """Bit-exact replica of stages/multimodal.ImageFeatures over the
+    deterministic synthetic corpus (synthetic_media_table(200), which is
+    arithmetic in i — regenerated here, no parquet view needed): fake
+    decode = sha256(payload_hex) expanded to w*h*3 bytes, channel means
+    = integer byte sums / (w*h) (numpy's uint8->float64 mean is an exact
+    integer sum, so double division matches bitwise)."""
+    return "\n".join(
+        [
+            "WITH " + _MEDIA_CORPUS,
+            _MEDIA_SEED_BYTES.format(kind="image"),
+            "pos AS (SELECT m.i, m.width, m.height, "
+            "unnest(generate_series(0, m.width * m.height * 3 - 1)) AS p "
+            "FROM media m WHERE m.kind = 'image'),",
+            "px AS MATERIALIZED (SELECT pos.i, pos.width * pos.height AS npx, "
+            "pos.p % 3 AS c, sb.b FROM pos JOIN sb ON sb.i = pos.i AND sb.j = pos.p % 32),",
+            "ch AS (SELECT i, c, CAST(SUM(b) AS DOUBLE) / ANY_VALUE(npx) AS mean FROM px "
+            "GROUP BY i, c)",
+            "SELECT m.i AS media_id, "
+            "r.mean AS mean_r, g.mean AS mean_g, bl.mean AS mean_b, "
+            "sha256(m.ph) AS payload_sha256 "
+            "FROM media m JOIN ch r ON r.i = m.i AND r.c = 0 "
+            "JOIN ch g ON g.i = m.i AND g.c = 1 "
+            "JOIN ch bl ON bl.i = m.i AND bl.c = 2 WHERE m.kind = 'image'",
+        ]
+    )
+
+
+def _media_audio_sql() -> str:
+    """Bit-exact replica of stages/multimodal.AudioFeatures over the
+    synthetic corpus: n = min(80000, duration_ms * 8) samples, sample p
+    = byte[p % 32] of sha256(payload_hex); rms = sqrt(sum((2b-255)^2) /
+    (n * 65025)) (the engine's integer-exact formulation); zcr = sign
+    changes (negative iff b <= 127) / (n - 1)."""
+    return "\n".join(
+        [
+            "WITH " + _MEDIA_CORPUS,
+            _MEDIA_SEED_BYTES.format(kind="audio"),
+            "aud AS (SELECT i, ph, LEAST(80000, duration_ms * 8) AS n FROM media "
+            "WHERE kind = 'audio'),",
+            "smp AS MATERIALIZED (SELECT a.i, a.n, s.p, sb.b, sb.b <= 127 AS neg "
+            "FROM aud a, LATERAL (SELECT unnest(generate_series(0, a.n - 1)) AS p) s "
+            "JOIN sb ON sb.i = a.i AND sb.j = s.p % 32),",
+            "chg AS (SELECT i, n, b, p, CASE WHEN p > 0 AND neg <> "
+            "LAG(neg) OVER (PARTITION BY i ORDER BY p) THEN 1 ELSE 0 END AS ch FROM smp),",
+            "agg AS (SELECT i, ANY_VALUE(n) AS n, "
+            "CAST(SUM((2 * b - 255) * (2 * b - 255)) AS BIGINT) AS sumsq, "
+            "CAST(SUM(ch) AS BIGINT) AS changes FROM chg GROUP BY i)",
+            "SELECT a.i AS media_id, "
+            "sqrt(CAST(a.sumsq AS DOUBLE) / (a.n * 65025)) AS rms, "
+            "CASE WHEN a.n > 1 THEN CAST(a.changes AS DOUBLE) / (a.n - 1) "
+            "ELSE 0.0 END AS zero_crossing_rate, "
+            "CAST(a.n AS BIGINT) AS n_samples, sha256(m.ph) AS payload_sha256 "
+            "FROM agg a JOIN media m ON m.i = a.i",
+        ]
+    )
+
+
 def _k1coloring_sql(rounds: int = 26) -> str:
     """Round-exact replica of algos/kcoloring.k1coloring (Gebremedhin–
     Manne speculative coloring): per round, active nodes take the mex of
@@ -4175,6 +4252,8 @@ def oracle_sql() -> dict[str, str]:
         "k_spanning_tree_20": _k_spanning_sql(20),
         "bridges": _bridges_sql(),
         "articulation_points": _articulation_sql(),
+        "media_features": _media_features_sql(),
+        "media_audio_features": _media_audio_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),

@@ -41,11 +41,13 @@ def real_decode_image(payload: bytes) -> np.ndarray:
 def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in decoder: bytes → pseudo-pixels via sha256
     expansion. Same payload → same 'pixels' on every worker, which is all
-    the pipeline plumbing needs for tests."""
+    the pipeline plumbing needs for tests. Seeded from the payload's HEX
+    encoding (not the raw bytes) so a SQL oracle can replicate it —
+    DuckDB 1.0's sha256() only accepts VARCHAR."""
     w = max(1, min(width if width > 0 else 16, 64))
     h = max(1, min(height if height > 0 else 16, 64))
     need = w * h * 3
-    seed = hashlib.sha256(payload).digest()
+    seed = hashlib.sha256(payload.hex().encode()).digest()
     reps = (need // len(seed)) + 1
     buf = (seed * reps)[:need]
     return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
@@ -70,7 +72,7 @@ class ImageFeatures:
         for i, (p, w, h) in enumerate(zip(payloads, widths, heights)):
             img = self.decode(p or b"", w, h)
             means[i] = img.reshape(-1, 3).mean(axis=0)
-            shas.append(hashlib.sha256(p or b"").hexdigest())
+            shas.append(hashlib.sha256((p or b"").hex().encode()).hexdigest())
         return pa.table(
             {
                 "media_id": ids,
@@ -124,8 +126,10 @@ def sample_frames(ds: Dataset, every_ms: int = 1000, batch_size: int = 32) -> Da
 
 
 def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus in MEDIA_SCHEMA (for tests/bench)."""
-    rng = np.random.default_rng(seed)
+    """Deterministic fake media corpus in MEDIA_SCHEMA (for tests/bench).
+    Dims/durations are arithmetic in ``i`` (not an RNG stream) so a SQL
+    oracle can regenerate the corpus exactly; ``seed`` is kept for API
+    compatibility but unused."""
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
@@ -135,9 +139,9 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
         rows["kind"].append(kind)
         rows["payload"].append(payload)
         rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
-        rows["width"].append(int(rng.integers(8, 64)) if kind == "image" else -1)
-        rows["height"].append(int(rng.integers(8, 64)) if kind == "image" else -1)
-        rows["duration_ms"].append(int(rng.integers(500, 10_000)) if kind != "image" else -1)
+        rows["width"].append(8 + (i * 37) % 56 if kind == "image" else -1)
+        rows["height"].append(8 + (i * 53) % 56 if kind == "image" else -1)
+        rows["duration_ms"].append(500 + (i * 997) % 9500 if kind != "image" else -1)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
@@ -188,7 +192,7 @@ def fake_decode_audio(payload: bytes, duration_ms: int, rate: int = 8000) -> np.
     sha256 expansion (same payload → same samples on every worker)."""
     n = max(1, (max(int(duration_ms), 1) * rate) // 1000)
     n = min(n, 80_000)  # cap fake decode size
-    seed = hashlib.sha256(payload).digest()
+    seed = hashlib.sha256(payload.hex().encode()).digest()  # hex-seeded, see fake_decode_image
     reps = (n // len(seed)) + 1
     buf = (seed * reps)[:n]
     return (np.frombuffer(buf, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
@@ -213,10 +217,15 @@ class AudioFeatures:
         shas = []
         for i, (p, d) in enumerate(zip(payloads, durs)):
             w = self.decode(p or b"", d, self.rate)
-            rms[i] = float(np.sqrt((w * w).mean()))
+            # integer-exact sum of squares: w = q/127.5 with q = b-127.5,
+            # so 4*q^2 = (2b-255)^2 is an exact int64 sum (order-free,
+            # deterministic, and bit-replicable by a SQL oracle); rms =
+            # sqrt(sumsq / (n * 65025)) with 65025 = 255^2.
+            q2 = np.round(w * 255.0).astype(np.int64)  # 2b-255, exact
+            rms[i] = float(np.sqrt(int((q2 * q2).sum()) / (w.shape[0] * 65025)))
             zcr[i] = float((np.signbit(w[1:]) != np.signbit(w[:-1])).mean()) if w.shape[0] > 1 else 0.0
             ns[i] = w.shape[0]
-            shas.append(hashlib.sha256(p or b"").hexdigest())
+            shas.append(hashlib.sha256((p or b"").hex().encode()).hexdigest())
         return pa.table(
             {
                 "media_id": ids,
