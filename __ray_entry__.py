@@ -1590,7 +1590,10 @@ def _q_kmeans(sf_dir: str):
     from graph_data_science_ray.algos.kmeans import kmeans
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    res = kmeans(ds, k=8, max_iterations=10)
+    # delta_threshold=0 -> early stop only at an exact fixpoint, where
+    # further Lloyd passes are identity; the fixed-10-iteration DuckDB
+    # oracle then matches whether or not the engine stopped early.
+    res = kmeans(ds, k=8, max_iterations=10, delta_threshold=0.0)
     return res.assignments.select_columns(["vec_id", "cluster"])
 
 
@@ -3999,6 +4002,68 @@ def _media_audio_sql() -> str:
     )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 10) -> str:
+    """Iteration-exact replica of algos/kmeans.kmeans assignments
+    (k=8, 10 Lloyd passes, delta_threshold=0): farthest-first init
+    (centroid 0 = min-id point; each next = argmax of min squared
+    distance to the chosen set, ties -> min id), then per pass argmin
+    assignment (ties -> lowest centroid index, numpy argmin) and
+    mean update (empty clusters keep their centroid), final labeling
+    against the post-last-update centroids. Distances use the engine's
+    expansion |x|^2 - 2x.c + |c|^2 via list_inner_product. Only the
+    integer (vec_id, cluster) assignments are compared — float
+    summation-order noise (BLAS vs sequential) only matters for points
+    within ~1 ulp of a Voronoi boundary, which the 500-point sf0.01
+    corpus does not exhibit (verified by the harness match)."""
+    dist = (
+        "list_inner_product(p.v, p.v) - 2 * list_inner_product(p.v, c.v) "
+        "+ list_inner_product(c.v, c.v)"
+    )
+    parts = [
+        "WITH ptsd AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        "cent1 AS MATERIALIZED (SELECT 0 AS ci, v FROM "
+        "(SELECT v FROM ptsd ORDER BY id LIMIT 1)),",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"nd{j} AS (SELECT p.id, ANY_VALUE(p.v) AS v, MIN({dist}) AS d2 "
+            f"FROM ptsd p CROSS JOIN cent{j - 1} c GROUP BY p.id),"
+        )
+        parts.append(
+            f"cent{j} AS MATERIALIZED (SELECT * FROM cent{j - 1} UNION ALL "
+            f"SELECT {j - 1} AS ci, v FROM "
+            f"(SELECT v FROM nd{j} ORDER BY d2 DESC, id ASC LIMIT 1)),"
+        )
+    parts.append(f"lc1 AS MATERIALIZED (SELECT * FROM cent{k}),")
+    for t in range(1, iters + 1):
+        parts.append(
+            f"asg{t} AS MATERIALIZED (SELECT id, v, ci FROM ("
+            f"SELECT p.id, p.v, c.ci, ROW_NUMBER() OVER (PARTITION BY p.id "
+            f"ORDER BY {dist} ASC, c.ci ASC) AS rn "
+            f"FROM ptsd p CROSS JOIN lc{t} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"upd{t} AS (SELECT ci, list(mval ORDER BY dim) AS v FROM ("
+            f"SELECT ci, dim, SUM(val) / COUNT(*) AS mval FROM ("
+            f"SELECT ci, unnest(v) AS val, "
+            f"unnest(generate_series(1, len(v))) AS dim FROM asg{t}) "
+            f"GROUP BY ci, dim) GROUP BY ci),"
+        )
+        parts.append(
+            f"lc{t + 1} AS MATERIALIZED (SELECT c.ci, COALESCE(u.v, c.v) AS v "
+            f"FROM lc{t} c LEFT JOIN upd{t} u ON u.ci = c.ci)"
+            + ("," if t < iters else "")
+        )
+    parts.append(
+        "SELECT id AS vec_id, CAST(ci AS BIGINT) AS cluster FROM ("
+        f"SELECT p.id, c.ci, ROW_NUMBER() OVER (PARTITION BY p.id "
+        f"ORDER BY {dist} ASC, c.ci ASC) AS rn "
+        f"FROM ptsd p CROSS JOIN lc{iters + 1} c) WHERE rn = 1"
+    )
+    return "\n".join(parts)
+
+
 def _k1coloring_sql(rounds: int = 26) -> str:
     """Round-exact replica of algos/kcoloring.k1coloring (Gebremedhin–
     Manne speculative coloring): per round, active nodes take the mex of
@@ -4254,6 +4319,7 @@ def oracle_sql() -> dict[str, str]:
         "articulation_points": _articulation_sql(),
         "media_features": _media_features_sql(),
         "media_audio_features": _media_audio_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
