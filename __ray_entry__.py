@@ -1626,8 +1626,9 @@ def _q_lsh_ann_topk(sf_dir: str):
 
 def _q_ivf_ann_topk(sf_dir: str):
     """IVF-Flat ANN (k-means coarse quantizer, n_probe nearest lists).
-    Rows-only: the quantizer is iterative k-means, not SQL; exactness at
-    n_probe=n_lists and recall floors are pytest-covered."""
+    train_delta_threshold=0 so the quantizer only stops at an exact
+    Lloyd fixpoint — the fixed-iteration DuckDB oracle (_ivf_sql) then
+    replicates cells, probe lists and the in-cell cosine top-k."""
     import pyarrow.parquet as pq
 
     import ray.data
@@ -1641,7 +1642,8 @@ def _q_ivf_ann_topk(sf_dir: str):
         .to_pylist()[0]
     )
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = ivf_topk(ds, np.array([q], dtype=np.float64), k=10, n_lists=16, n_probe=4)
+    t = ivf_topk(ds, np.array([q], dtype=np.float64), k=10, n_lists=16, n_probe=4,
+                 train_delta_threshold=0.0)
     return _round6(t.drop_columns(["query_idx"]), "score")
 
 
@@ -4002,23 +4004,22 @@ def _media_audio_sql() -> str:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 10) -> str:
-    """Iteration-exact replica of algos/kmeans.kmeans assignments
-    (k=8, 10 Lloyd passes, delta_threshold=0): farthest-first init
-    (centroid 0 = min-id point; each next = argmax of min squared
-    distance to the chosen set, ties -> min id), then per pass argmin
-    assignment (ties -> lowest centroid index, numpy argmin) and
-    mean update (empty clusters keep their centroid), final labeling
-    against the post-last-update centroids. Distances use the engine's
-    expansion |x|^2 - 2x.c + |c|^2 via list_inner_product. Only the
-    integer (vec_id, cluster) assignments are compared — float
-    summation-order noise (BLAS vs sequential) only matters for points
-    within ~1 ulp of a Voronoi boundary, which the 500-point sf0.01
-    corpus does not exhibit (verified by the harness match)."""
-    dist = (
-        "list_inner_product(p.v, p.v) - 2 * list_inner_product(p.v, c.v) "
-        "+ list_inner_product(c.v, c.v)"
-    )
+_KM_DIST = (
+    "list_inner_product(p.v, p.v) - 2 * list_inner_product(p.v, c.v) "
+    "+ list_inner_product(c.v, c.v)"
+)
+
+
+def _kmeans_parts(k: int, iters: int) -> list:
+    """Shared CTE chain replicating algos/kmeans.kmeans: farthest-first
+    init (centroid 0 = min-id point; each next = argmax of min squared
+    distance to the chosen set, ties -> min id), then ``iters`` Lloyd
+    passes of argmin assignment (ties -> lowest centroid index, numpy
+    argmin) and mean update (empty clusters keep their centroid).
+    Distances use the engine's expansion |x|^2 - 2x.c + |c|^2 via
+    list_inner_product. Ends with lc{iters+1} = post-last-update
+    centroids. Used by _kmeans_sql and _ivf_sql."""
+    dist = _KM_DIST
     parts = [
         "WITH ptsd AS MATERIALIZED (SELECT vec_id AS id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
@@ -4052,14 +4053,60 @@ def _kmeans_sql(k: int = 8, iters: int = 10) -> str:
         )
         parts.append(
             f"lc{t + 1} AS MATERIALIZED (SELECT c.ci, COALESCE(u.v, c.v) AS v "
-            f"FROM lc{t} c LEFT JOIN upd{t} u ON u.ci = c.ci)"
-            + ("," if t < iters else "")
+            f"FROM lc{t} c LEFT JOIN upd{t} u ON u.ci = c.ci),"
         )
+    return parts
+
+
+def _kmeans_sql(k: int = 8, iters: int = 10) -> str:
+    """Iteration-exact replica of algos/kmeans.kmeans assignments (k=8,
+    10 Lloyd passes, delta_threshold=0; see _kmeans_parts): final
+    labeling against the post-last-update centroids. Only the integer
+    (vec_id, cluster) assignments are compared — float summation-order
+    noise (BLAS vs sequential) only matters for points within ~1 ulp of
+    a Voronoi boundary, which the 500-point sf0.01 corpus does not
+    exhibit (verified by the harness match)."""
+    parts = list(_kmeans_parts(k, iters))
+    parts[-1] = parts[-1].rstrip(",")
     parts.append(
         "SELECT id AS vec_id, CAST(ci AS BIGINT) AS cluster FROM ("
         f"SELECT p.id, c.ci, ROW_NUMBER() OVER (PARTITION BY p.id "
-        f"ORDER BY {dist} ASC, c.ci ASC) AS rn "
+        f"ORDER BY {_KM_DIST} ASC, c.ci ASC) AS rn "
         f"FROM ptsd p CROSS JOIN lc{iters + 1} c) WHERE rn = 1"
+    )
+    return "\n".join(parts)
+
+
+def _ivf_sql(k: int = 10, n_lists: int = 16, n_probe: int = 4, iters: int = 5) -> str:
+    """Replica of _q_ivf_ann_topk (stages/embed.ivf_topk with
+    train_delta_threshold=0): coarse k-means quantizer (the
+    _kmeans_parts chain, n_lists cells, ``iters`` passes), probe list =
+    the query's n_probe nearest centroids (np.argsort stable ties ->
+    lowest cell id), candidates = vectors whose argmin cell is probed,
+    then the ann_topk-style cosine top-k (round 6, order by score desc,
+    vec_id)."""
+    parts = list(_kmeans_parts(n_lists, iters))
+    lc = f"lc{iters + 1}"
+    parts.append(
+        "q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings WHERE vec_id = 0),"
+    )
+    qdist = _KM_DIST.replace("p.v", "q.v")
+    parts.append(
+        f"probes AS (SELECT ci FROM (SELECT c.ci, ROW_NUMBER() OVER ("
+        f"ORDER BY {qdist} ASC, c.ci ASC) AS rn FROM {lc} c, q) WHERE rn <= {n_probe}),"
+    )
+    parts.append(
+        f"asgf AS (SELECT id, v, ci FROM ("
+        f"SELECT p.id, p.v, c.ci, ROW_NUMBER() OVER (PARTITION BY p.id "
+        f"ORDER BY {_KM_DIST} ASC, c.ci ASC) AS rn "
+        f"FROM ptsd p CROSS JOIN {lc} c) WHERE rn = 1),"
+    )
+    parts.append("cand AS (SELECT a.id, a.v FROM asgf a JOIN probes pr ON a.ci = pr.ci)")
+    parts.append(
+        "SELECT c.id AS vec_id, ROUND(list_cosine_similarity(c.v, q.v), 6) AS score "
+        "FROM cand c, q "
+        f"ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.id LIMIT {k}"
     )
     return "\n".join(parts)
 
@@ -4320,6 +4367,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(),
         "media_audio_features": _media_audio_sql(),
         "kmeans_embeddings": _kmeans_sql(),
+        "ivf_ann_topk": _ivf_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),

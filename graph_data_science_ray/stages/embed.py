@@ -182,6 +182,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_train_iterations: int = 5,
+    train_delta_threshold: float = 0.05,
 ) -> pa.Table:
     """FAISS-style IVF-Flat approximate top-k: coarse-quantize the
     vectors into ``n_lists`` k-means cells (the engine's deterministic
@@ -197,7 +198,7 @@ def ivf_topk(
 
     configure_ray_data()
     res = kmeans(ds, k=n_lists, max_iterations=max_train_iterations,
-                 id_col=id_col, vec_col=vec_col)
+                 delta_threshold=train_delta_threshold, id_col=id_col, vec_col=vec_col)
     cents = res.centroids
     qraw = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qn = _normalize(qraw)
