@@ -926,9 +926,13 @@ def _q_maxkcut(sf_dir: str):
 
 
 def _q_knn(sf_dir: str):
+    """KNN over FastRP vectors; similarity re-rounded to 6 so the
+    _knn_fastrp_sql comparison is robust to ~1e-13 cross-engine
+    summation-order drift (round-9 boundaries straddle too often)."""
     from graph_data_science_ray.algos.knn import knn_graph
 
-    return knn_graph(_edges_ps(sf_dir), k=5, embedding_dimension=32)
+    ds = knn_graph(_edges_ps(sf_dir), k=5, embedding_dimension=32)
+    return ds.map_batches(lambda t: _round6(t, "similarity"), batch_format="pyarrow")
 
 
 def _q_celf(sf_dir: str):
@@ -1659,9 +1663,21 @@ def _q_split_relationships(sf_dir: str):
 
 
 def _q_fastrp(sf_dir: str):
-    from graph_data_science_ray.algos.fastrp import fastrp_table
+    """FastRP embeddings exploded to (node_id, dim, value) rows with
+    round-6 values: list columns compare as strings in the gate, so the
+    long format + rounding makes the float comparison well-defined
+    against the _fastrp_sql replica (summation-order drift is ~1e-13)."""
+    from graph_data_science_ray.algos.fastrp import fastrp
 
-    return fastrp_table(_edges_ps(sf_dir), embedding_dimension=16)
+    ids, emb = fastrp(_edges_ps(sf_dir), embedding_dimension=16)
+    n, d = emb.shape
+    return pa.table(
+        {
+            "node_id": pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+            "value": pa.array(np.round(emb.ravel(), 6), pa.float64()),
+        }
+    )
 
 
 def _q_graphsage(sf_dir: str):
@@ -4111,6 +4127,92 @@ def _ivf_sql(k: int = 10, n_lists: int = 16, n_probe: int = 4, iters: int = 5) -
     return "\n".join(parts)
 
 
+def _fastrp_parts(dim: int = 16, seed: int = 42) -> list:
+    """Shared CTE chain replicating algos/fastrp.fastrp (iteration
+    weights (0,1,1), unweighted ps projection): very-sparse init drawn
+    per (node_id, dim) from the splitmix64 stream (the engine's _mix ==
+    _sql_mix64; r = (u>>11)/2^53, entries -sqrt(3)/+sqrt(3)/0 at
+    1/6 / 2/6), l2 row-normalize, two mean-aggregation passes
+    h[dst] = rownorm(sum h[src]/outdeg[src]); emb = h1 + h2 (left to
+    the caller). FastRP has no discrete branches, so ~1e-13
+    summation-order drift cannot flip anything but a round-boundary
+    straddle. Used by _fastrp_sql and _knn_fastrp_sql."""
+    mixj = _sql_mix64(
+        f"CAST(xor(CAST(node AS UBIGINT), CAST({seed} + 40503 * (j + 1) AS UBIGINT)) AS HUGEINT)"
+    )
+    return [
+            f"WITH e0 AS MATERIALIZED ({_E_PS}),",
+            "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+            "(SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0)),",
+            "outw AS MATERIALIZED (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS ow "
+            "FROM e0 GROUP BY src_id),",
+            f"dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS j),",
+            "h0 AS MATERIALIZED (SELECT node, j, CASE WHEN r < 1.0/6 THEN -sqrt(3.0) "
+            "WHEN r < 2.0/6 THEN sqrt(3.0) ELSE 0.0 END AS v FROM ("
+            f"SELECT node, j, CAST(({mixj} >> 11) AS DOUBLE) / 9007199254740992.0 AS r "
+            "FROM nodes CROSS JOIN dims)),",
+            "h0n AS MATERIALIZED (SELECT h.node, h.j, "
+            "CASE WHEN s.s > 0 THEN h.v / sqrt(s.s) ELSE h.v END AS v FROM h0 h "
+            "JOIN (SELECT node, SUM(v * v) AS s FROM h0 GROUP BY node) s ON s.node = h.node),",
+            "g1 AS MATERIALIZED (SELECT e.dst_id AS node, h.j, SUM(h.v / o.ow) AS v "
+            "FROM e0 e JOIN h0n h ON h.node = e.src_id "
+            "JOIN outw o ON o.src_id = e.src_id GROUP BY e.dst_id, h.j),",
+            "h1 AS MATERIALIZED (SELECT g.node, g.j, "
+            "CASE WHEN s.s > 0 THEN g.v / sqrt(s.s) ELSE g.v END AS v FROM g1 g "
+            "JOIN (SELECT node, SUM(v * v) AS s FROM g1 GROUP BY node) s ON s.node = g.node),",
+            "g2 AS MATERIALIZED (SELECT e.dst_id AS node, h.j, SUM(h.v / o.ow) AS v "
+            "FROM e0 e JOIN h1 h ON h.node = e.src_id "
+            "JOIN outw o ON o.src_id = e.src_id GROUP BY e.dst_id, h.j),",
+            "h2 AS MATERIALIZED (SELECT g.node, g.j, "
+            "CASE WHEN s.s > 0 THEN g.v / sqrt(s.s) ELSE g.v END AS v FROM g2 g "
+            "JOIN (SELECT node, SUM(v * v) AS s FROM g2 GROUP BY node) s ON s.node = g.node),",
+            "el AS MATERIALIZED (SELECT n.node, d.j, "
+            "COALESCE(h1.v, 0) + COALESCE(h2.v, 0) AS v "
+            "FROM nodes n CROSS JOIN dims d "
+            "LEFT JOIN h1 ON h1.node = n.node AND h1.j = d.j "
+            "LEFT JOIN h2 ON h2.node = n.node AND h2.j = d.j),",
+    ]
+
+
+def _fastrp_sql(dim: int = 16, seed: int = 42) -> str:
+    """Replica of _q_fastrp: the _fastrp_parts chain emitted as round-6
+    (node_id, dim, value) rows."""
+    parts = list(_fastrp_parts(dim, seed))
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT node AS node_id, CAST(j AS BIGINT) AS dim, ROUND(v, 6) AS value FROM el"
+    )
+    return "\n".join(parts)
+
+
+def _knn_fastrp_sql(k: int = 5, dim: int = 32, seed: int = 42) -> str:
+    """Replica of _q_knn (algos/knn.knn_graph over FastRP dim-32
+    vectors): l2-normalize the _fastrp_parts embeddings (zero rows stay
+    zero), all-pairs normalized dot, per node top-k by (sim DESC,
+    neighbour ASC) — the engine's deterministic boundary tie-break —
+    excluding self; similarity = ROUND(ROUND(sim, 9), 6), replicating
+    the engine's round-9 output re-rounded by the harness query."""
+    parts = list(_fastrp_parts(dim, seed))
+    parts.append(
+        "nrm AS (SELECT node, sqrt(SUM(v * v)) AS s FROM el GROUP BY node),"
+    )
+    parts.append(
+        "ev AS MATERIALIZED (SELECT el.node, "
+        "list(CASE WHEN nrm.s > 0 THEN el.v / nrm.s ELSE 0.0 END ORDER BY el.j) AS v "
+        "FROM el JOIN nrm ON nrm.node = el.node GROUP BY el.node),"
+    )
+    parts.append(
+        "pairs AS (SELECT a.node AS u, b.node AS w, "
+        "list_inner_product(a.v, b.v) AS sim FROM ev a JOIN ev b ON a.node <> b.node)"
+    )
+    parts.append(
+        "SELECT u AS node_id, w AS neighbour_id, ROUND(ROUND(sim, 9), 6) AS similarity "
+        "FROM (SELECT u, w, sim, ROW_NUMBER() OVER (PARTITION BY u "
+        f"ORDER BY sim DESC, w ASC) AS rn FROM pairs) WHERE rn <= {k}"
+    )
+    return "\n".join(parts)
+
+
 def _k1coloring_sql(rounds: int = 26) -> str:
     """Round-exact replica of algos/kcoloring.k1coloring (Gebremedhin–
     Manne speculative coloring): per round, active nodes take the mex of
@@ -4368,6 +4470,8 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": _media_audio_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "ivf_ann_topk": _ivf_sql(),
+        "fastrp_embeddings": _fastrp_sql(),
+        "knn_fastrp": _knn_fastrp_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),

@@ -113,12 +113,11 @@ def knn_matrix(
                     "similarity": pa.array([], pa.float64()),
                 }
             )
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # full (-score, neighbour id) sort so ties AT the k boundary are
+        # broken deterministically by id (argpartition's boundary pick is
+        # arbitrary); n log n per row is noise at broadcast-matrix scale
+        part = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
         sc = np.take_along_axis(sims, part, axis=1)
-        # deterministic order within each row: (-score, neighbour id)
-        ord2 = np.lexsort((ids[part], -sc), axis=1)
-        part = np.take_along_axis(part, ord2, axis=1)
-        sc = np.take_along_axis(sc, ord2, axis=1)
         src = np.repeat(ids[pos], kk)
         nbr = ids[part.ravel()]
         scr = sc.ravel()
