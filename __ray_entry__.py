@@ -1572,10 +1572,12 @@ def _q_filtered_knn(sf_dir: str):
     ids = unique_node_ids(edges)
     sources = set(ids[: max(1, ids.shape[0] // 10)].tolist())
     targets = set(ids[ids.shape[0] // 2 :].tolist())
-    return filtered_knn_graph(
+    ds = filtered_knn_graph(
         edges, k=5, source_nodes=sources, target_nodes=targets,
         embedding_dimension=32,
     )
+    # round-6 for the _filtered_knn_sql comparison (see _q_knn)
+    return ds.map_batches(lambda t: _round6(t, "similarity"), batch_format="pyarrow")
 
 
 def _q_k_spanning_tree(sf_dir: str):
@@ -4213,6 +4215,39 @@ def _knn_fastrp_sql(k: int = 5, dim: int = 32, seed: int = 42) -> str:
     return "\n".join(parts)
 
 
+def _filtered_knn_sql(k: int = 5, dim: int = 32, seed: int = 42) -> str:
+    """Replica of _q_filtered_knn: the _knn_fastrp_sql kernel with the
+    query's filters — sources = the floor(n/10) smallest node ids
+    (min 1), targets = the ids from rank floor(n/2) up (both over the
+    sorted node universe, matching unique_node_ids slicing)."""
+    parts = list(_fastrp_parts(dim, seed))
+    parts.append("nrm AS (SELECT node, sqrt(SUM(v * v)) AS s FROM el GROUP BY node),")
+    parts.append(
+        "ev AS MATERIALIZED (SELECT el.node, "
+        "list(CASE WHEN nrm.s > 0 THEN el.v / nrm.s ELSE 0.0 END ORDER BY el.j) AS v "
+        "FROM el JOIN nrm ON nrm.node = el.node GROUP BY el.node),"
+    )
+    parts.append(
+        "rk AS MATERIALIZED (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS r, "
+        "COUNT(*) OVER () AS n FROM nodes),"
+    )
+    parts.append(
+        "src AS (SELECT node FROM rk WHERE r < GREATEST(n // 10, 1)),"
+    )
+    parts.append("tgt AS (SELECT node FROM rk WHERE r >= n // 2),")
+    parts.append(
+        "pairs AS (SELECT a.node AS u, b.node AS w, "
+        "list_inner_product(a.v, b.v) AS sim FROM ev a JOIN src ON src.node = a.node "
+        "JOIN ev b ON b.node <> a.node JOIN tgt ON tgt.node = b.node)"
+    )
+    parts.append(
+        "SELECT u AS node_id, w AS neighbour_id, ROUND(ROUND(sim, 9), 6) AS similarity "
+        "FROM (SELECT u, w, sim, ROW_NUMBER() OVER (PARTITION BY u "
+        f"ORDER BY sim DESC, w ASC) AS rn FROM pairs) WHERE rn <= {k}"
+    )
+    return "\n".join(parts)
+
+
 def _k1coloring_sql(rounds: int = 26) -> str:
     """Round-exact replica of algos/kcoloring.k1coloring (Gebremedhin–
     Manne speculative coloring): per round, active nodes take the mex of
@@ -4472,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_sql(),
         "fastrp_embeddings": _fastrp_sql(),
         "knn_fastrp": _knn_fastrp_sql(),
+        "filtered_knn": _filtered_knn_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
