@@ -4248,6 +4248,149 @@ def _filtered_knn_sql(k: int = 5, dim: int = 32, seed: int = 42) -> str:
     return "\n".join(parts)
 
 
+def _pcst_sql(rounds: int = 6, bf_steps: int = 8, walk_steps: int = 8) -> str:
+    """Round-exact replica of _q_prize_steiner (algos/pcst.
+    prize_steiner_tree on the 64-smallest-node ps-weighted subgraph,
+    prizes = node % 37 + 5): per accretion round, a multi-source
+    Bellman-Ford fixpoint (chained min-relax CTEs; the engine converges,
+    and at the fixpoint pred[v] = MIN u with dist[u] + w(u,v) = dist[v],
+    iteration-independent), positive-gain candidates in (gain DESC, id)
+    order run through a single-row recursive claims machine
+    (attach iff the pred-walk path's non-tree nodes avoid everything
+    claimed earlier this round — the engine's used-set greedy), then the
+    worst-first negative-net leaf peel. ALL arithmetic is integer-exact
+    (integer quantities and prizes), so float equality in the pred join
+    and the gain/prize comparisons is exact. Measured at sf0.01: 5
+    rounds (last empty), BF fixpoint <= 5 steps, paths <= 5 hops —
+    the defaults carry margin."""
+    parts = [
+        "WITH RECURSIVE base AS MATERIALIZED (SELECT l_partkey AS s, l_suppkey AS d, "
+        "CAST(MIN(l_quantity) AS DOUBLE) AS w FROM lineitem GROUP BY 1, 2),",
+        "subids AS MATERIALIZED (SELECT node FROM (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM base UNION ALL SELECT d FROM base)) ORDER BY node LIMIT 64),",
+        "re AS MATERIALIZED (SELECT s, d, w FROM base "
+        "WHERE s IN (SELECT node FROM subids) AND d IN (SELECT node FROM subids)),",
+        "sym AS MATERIALIZED (SELECT s, d, w FROM re UNION ALL SELECT d, s, w FROM re),",
+        "rootn AS MATERIALIZED (SELECT node FROM subids "
+        "ORDER BY (node % 37 + 5) DESC, node ASC LIMIT 1),",
+        "tree1 AS MATERIALIZED (SELECT node FROM rootn),",
+    ]
+    fins = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"da{r}_0 AS (SELECT node, 0.0 AS dd FROM tree{r}),"
+        )
+        for t in range(1, bf_steps + 1):
+            parts.append(
+                f"da{r}_{t} AS {'MATERIALIZED ' if t == bf_steps else ''}"
+                f"(SELECT node, MIN(dd) AS dd FROM ("
+                f"SELECT node, dd FROM da{r}_{t - 1} UNION ALL "
+                f"SELECT e.d AS node, p.dd + e.w FROM sym e "
+                f"JOIN da{r}_{t - 1} p ON p.node = e.s) GROUP BY node),"
+            )
+        da = f"da{r}_{bf_steps}"
+        parts.append(
+            f"pr{r} AS MATERIALIZED (SELECT e.d AS node, MIN(e.s) AS pred FROM sym e "
+            f"JOIN {da} a ON a.node = e.s JOIN {da} b ON b.node = e.d "
+            f"WHERE e.d NOT IN (SELECT node FROM tree{r}) AND a.dd + e.w = b.dd "
+            f"GROUP BY e.d),"
+        )
+        parts.append(
+            f"g{r} AS (SELECT a.node AS v, (a.node % 37 + 5) - a.dd AS gain FROM {da} a "
+            f"WHERE a.node NOT IN (SELECT node FROM tree{r}) "
+            f"AND (a.node % 37 + 5) - a.dd > 0),"
+        )
+        parts.append(f"pw{r}_0 AS (SELECT v, 0 AS st, v AS node FROM g{r}),")
+        for s in range(1, walk_steps + 1):
+            parts.append(
+                f"pw{r}_{s} AS (SELECT p.v, {s} AS st, pr.pred AS node "
+                f"FROM pw{r}_{s - 1} p JOIN pr{r} pr ON pr.node = p.node),"
+            )
+        pw_all = " UNION ALL ".join(f"SELECT * FROM pw{r}_{s}" for s in range(walk_steps + 1))
+        parts.append(f"pw{r} AS MATERIALIZED ({pw_all}),")
+        parts.append(
+            f"pn{r} AS (SELECT w.v, list(w.node ORDER BY w.st) AS pn FROM pw{r} w "
+            f"LEFT JOIN tree{r} t ON t.node = w.node WHERE t.node IS NULL GROUP BY w.v),"
+        )
+        parts.append(
+            f"pe{r} AS (SELECT a.v, "
+            "list(LEAST(a.node, b.node) ORDER BY a.st) AS au, "
+            "list(GREATEST(a.node, b.node) ORDER BY a.st) AS av, "
+            "list(da_.dd - db_.dd ORDER BY a.st) AS aw "
+            f"FROM pw{r} a JOIN pw{r} b ON b.v = a.v AND b.st = a.st + 1 "
+            f"JOIN {da} da_ ON da_.node = a.node JOIN {da} db_ ON db_.node = b.node "
+            "GROUP BY a.v),"
+        )
+        parts.append(
+            f"cand{r} AS MATERIALIZED (SELECT ROW_NUMBER() OVER "
+            f"(ORDER BY g.gain DESC, g.v ASC) AS idx, g.v, pn.pn, pe.au, pe.av, pe.aw "
+            f"FROM g{r} g JOIN pn{r} pn ON pn.v = g.v JOIN pe{r} pe ON pe.v = g.v),"
+        )
+        parts.append(
+            f"cl{r}(idx, claimed, au, av, aw) AS ("
+            "SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), "
+            "CAST([] AS BIGINT[]), CAST([] AS DOUBLE[]) "
+            "UNION ALL "
+            "SELECT s.idx + 1, "
+            "CASE WHEN NOT list_has_any(s.claimed, c.pn) "
+            "THEN list_concat(s.claimed, c.pn) ELSE s.claimed END, "
+            "CASE WHEN NOT list_has_any(s.claimed, c.pn) "
+            "THEN list_concat(s.au, c.au) ELSE s.au END, "
+            "CASE WHEN NOT list_has_any(s.claimed, c.pn) "
+            "THEN list_concat(s.av, c.av) ELSE s.av END, "
+            "CASE WHEN NOT list_has_any(s.claimed, c.pn) "
+            "THEN list_concat(s.aw, c.aw) ELSE s.aw END "
+            f"FROM cl{r} s JOIN cand{r} c ON c.idx = s.idx + 1),"
+        )
+        parts.append(
+            f"fin{r} AS MATERIALIZED (SELECT * FROM cl{r} ORDER BY idx DESC LIMIT 1),"
+        )
+        fins.append(f"fin{r}")
+        parts.append(
+            f"tree{r + 1} AS MATERIALIZED (SELECT node FROM tree{r} "
+            f"UNION ALL SELECT unnest(claimed) AS node FROM fin{r}),"
+        )
+    alle = " UNION ALL ".join(
+        f"SELECT unnest(au) AS u, unnest(av) AS v, unnest(aw) AS w FROM {f}" for f in fins
+    )
+    parts.append(f"allE AS MATERIALIZED ({alle}),")
+    parts.append(
+        "pinit AS (SELECT list(u ORDER BY u, v) AS eu, list(v ORDER BY u, v) AS ev, "
+        "list(w ORDER BY u, v) AS ew FROM allE),"
+    )
+    parts.append(
+        "prune(eu, ev, ew) AS ("
+        "  SELECT eu, ev, ew FROM pinit"
+        "  UNION ALL"
+        "  SELECT"
+        "    list_filter(p.eu, (x, i) -> i <> worst.ix),"
+        "    list_filter(p.ev, (x, i) -> i <> worst.ix),"
+        "    list_filter(p.ew, (x, i) -> i <> worst.ix)"
+        "  FROM prune p"
+        "  CROSS JOIN LATERAL ("
+        "    WITH ex AS (SELECT unnest(generate_series(1, len(p.eu))) AS i,"
+        "                       unnest(p.eu) AS a, unnest(p.ev) AS b, unnest(p.ew) AS w),"
+        "    dg AS (SELECT node, COUNT(*) AS c FROM "
+        "(SELECT a AS node FROM ex UNION ALL SELECT b FROM ex) GROUP BY node),"
+        "    q AS ("
+        "      SELECT ex.i FROM ex JOIN dg ON dg.node = ex.a WHERE dg.c = 1 "
+        "AND ex.a <> (SELECT node FROM rootn) AND (ex.a % 37 + 5) < ex.w"
+        "      UNION ALL"
+        "      SELECT ex.i FROM ex JOIN dg ON dg.node = ex.b WHERE dg.c = 1 "
+        "AND ex.b <> (SELECT node FROM rootn) AND (ex.b % 37 + 5) < ex.w"
+        "    )"
+        "    SELECT e2.i AS ix FROM ex e2 JOIN (SELECT DISTINCT i FROM q) qq ON qq.i = e2.i"
+        "    ORDER BY e2.w DESC, e2.a ASC, e2.b ASC LIMIT 1"
+        "  ) worst"
+        ")"
+    )
+    parts.append(
+        "SELECT unnest(eu) AS u, unnest(ev) AS v, unnest(ew) AS weight "
+        "FROM prune WHERE len(eu) = (SELECT MIN(len(eu)) FROM prune)"
+    )
+    return "\n".join(parts)
+
+
 def _k1coloring_sql(rounds: int = 26) -> str:
     """Round-exact replica of algos/kcoloring.k1coloring (Gebremedhin–
     Manne speculative coloring): per round, active nodes take the mex of
@@ -4508,6 +4651,7 @@ def oracle_sql() -> dict[str, str]:
         "fastrp_embeddings": _fastrp_sql(),
         "knn_fastrp": _knn_fastrp_sql(),
         "filtered_knn": _filtered_knn_sql(),
+        "prize_steiner_tree": _pcst_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
