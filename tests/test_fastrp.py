@@ -251,3 +251,20 @@ def test_fastrp_feature_properties():
     import pytest as _pt
     with _pt.raises(ValueError):
         fastrp(from_arrow(t), property_ratio=0.5)
+
+
+def test_knn_boundary_tie_breaks_by_id():
+    """Ties AT the k boundary must resolve to the smallest neighbour ids
+    (full (-score, id) selection, not argpartition's arbitrary pick):
+    duplicate vectors give exact score ties."""
+    import numpy as np
+
+    from graph_data_science_ray.algos.knn import knn_matrix
+
+    ids = np.arange(10, dtype=np.int64)
+    emb = np.zeros((10, 4))
+    emb[0] = [1.0, 0.0, 0.0, 0.0]
+    emb[1:] = [0.0, 1.0, 0.0, 0.0]  # 9 identical candidates for node 0
+    got = knn_matrix(ids, emb, k=3, num_partitions=2).take_all()
+    nbrs0 = sorted(r["neighbour_id"] for r in got if r["node_id"] == 0)
+    assert nbrs0 == [1, 2, 3], nbrs0  # smallest ids win the tie
