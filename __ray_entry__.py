@@ -4248,6 +4248,143 @@ def _filtered_knn_sql(k: int = 5, dim: int = 32, seed: int = 42) -> str:
     return "\n".join(parts)
 
 
+def _nndescent_sql(
+    k: int = 5, iters: int = 3, seed: int = 42,
+    sample_rate: float = 0.5, rj: int = 10, delta: float = 0.001,
+) -> str:
+    """Round-exact replica of _q_knn_nndescent (algos/nndescent.
+    knn_nndescent, Dong WWW'11): splitmix64 init draws (skip-self over
+    the sorted id ranks), per round the general set K ∪ reverse(K) with
+    new-wins dedup, hash-ranked rho-k new + rho-k old samples, new x all
+    friend pairs + randomJoins probes, canonical-pair dedup (the
+    engine's is bucket-local but duplicates are idempotent under the
+    old-wins top-k merge), cosine scored with the engine's own
+    ROUND(dot / max(|a||b|, 1e-300), 9) expression — round-9 absorbs
+    cross-engine summation drift — and the (sim DESC, nbr) top-k merge.
+    The deltaThreshold stop (changes = SUM(new) <= delta*n*k) is
+    replayed via WHERE guards over per-round change counts, so the
+    emitted state is exactly the round the engine stopped at."""
+    gold = 0x9E3779B97F4A7C15
+    kk = k
+    s = max(1, int(round(sample_rate * kk)))
+    salts = [(seed * gold + it * 0xC2B2AE3D27D4EB4F) % _M64 for it in range(iters + 1)]
+    cos = (
+        "ROUND(list_inner_product(a.v, b.v) / GREATEST("
+        "sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)), "
+        "1e-300), 9)"
+    )
+    thr = f"(SELECT {delta} * n * {kk} FROM nn)"
+    parts = [
+        "WITH ptsd AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        "rk AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS pos FROM ptsd),",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM ptsd),",
+        f"jj AS (SELECT unnest(generate_series(0, {kk - 1})) AS j),",
+        # init draws: h = mix64(id * GOLD ^ mix64(j ^ seed)); staged so the
+        # inner mix64 is a column, not a 32x-repeated nested expression
+        "ij AS (SELECT r.id, r.pos, jj.j, "
+        + _sql_mix64(f"CAST(xor(CAST(jj.j AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT)")
+        + " AS mj FROM rk r CROSS JOIN jj),",
+        "ih AS (SELECT id, pos, "
+        + _sql_mix64(
+            "CAST(xor(CAST(" + _sql_mulmod64("CAST(id AS HUGEINT)", gold) + " AS UBIGINT), mj) AS HUGEINT)"
+        )
+        + " AS h FROM ij),",
+        "idr AS (SELECT id, CAST(h % CAST((SELECT n - 1 FROM nn) AS UBIGINT) AS BIGINT) AS dr, pos "
+        "FROM ih),",
+        "ip AS (SELECT i.id AS pa, r2.id AS pb FROM "
+        "(SELECT id, CASE WHEN dr >= pos THEN dr + 1 ELSE dr END AS dadj FROM idr) i "
+        "JOIN rk r2 ON r2.pos = i.dadj),",
+        f"isc AS (SELECT ip.pa, ip.pb, {cos} AS sim FROM ip "
+        "JOIN ptsd a ON a.id = ip.pa JOIN ptsd b ON b.id = ip.pb),",
+        "ibd AS (SELECT pa AS node, pb AS nbr, sim, 1 AS new FROM isc "
+        "UNION ALL SELECT pb, pa, sim, 1 FROM isc),",
+        "s0 AS MATERIALIZED (SELECT node, nbr, sim, new FROM ("
+        "SELECT node, nbr, sim, new, ROW_NUMBER() OVER (PARTITION BY node "
+        "ORDER BY sim DESC, nbr ASC) AS rn FROM ("
+        "SELECT node, nbr, sim, new, ROW_NUMBER() OVER (PARTITION BY node, nbr "
+        "ORDER BY new ASC) AS r1 FROM ibd) WHERE r1 = 1) "
+        f"WHERE rn <= {kk}),",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        salt = salts[r]
+        parts.append(
+            f"gA{r} AS (SELECT node, nbr, new FROM s{p} "
+            f"UNION ALL SELECT nbr, node, new FROM s{p}),"
+        )
+        parts.append(
+            f"gd{r} AS MATERIALIZED (SELECT node, nbr, new FROM ("
+            "SELECT node, nbr, new, ROW_NUMBER() OVER (PARTITION BY node, nbr "
+            f"ORDER BY new DESC) AS rn FROM gA{r}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"gs{r} AS MATERIALIZED (SELECT node, nbr, new FROM ("
+            "SELECT node, nbr, new, ROW_NUMBER() OVER (PARTITION BY node, new ORDER BY "
+            + _sql_mix64(f"CAST(xor(CAST(nbr AS UBIGINT), CAST({salt} AS UBIGINT)) AS HUGEINT)")
+            + f") AS rn FROM gd{r}) WHERE rn <= {s}),"
+        )
+        parts.append(
+            f"pp{r} AS (SELECT a.nbr AS pa, b.nbr AS pb FROM gs{r} a "
+            f"JOIN gs{r} b ON b.node = a.node WHERE a.new = 1 AND a.nbr <> b.nbr),"
+        )
+        parts.append(
+            f"rjm{r} AS (SELECT u.node, "
+            + _sql_mix64(f"CAST(xor(CAST(t.j AS UBIGINT), CAST({salt} AS UBIGINT)) AS HUGEINT)")
+            + f" AS mj FROM (SELECT DISTINCT node FROM gd{r}) u "
+            f"CROSS JOIN (SELECT unnest(generate_series(0, {rj - 1})) AS j) t),"
+        )
+        parts.append(
+            f"rjh{r} AS (SELECT node, "
+            + _sql_mix64("CAST(xor(CAST(node AS UBIGINT), mj) AS HUGEINT)")
+            + f" AS h FROM rjm{r}),"
+        )
+        parts.append(
+            f"rjp{r} AS (SELECT x.node AS pa, r2.id AS pb FROM ("
+            "SELECT q.node, CASE WHEN dr >= k.pos THEN dr + 1 ELSE dr END AS dadj FROM ("
+            "SELECT node, CAST(h % CAST((SELECT n - 1 FROM nn) AS UBIGINT) AS BIGINT) AS dr "
+            f"FROM rjh{r}) q JOIN rk k ON k.id = q.node) x "
+            "JOIN rk r2 ON r2.pos = x.dadj),"
+        )
+        parts.append(
+            f"pr{r}_ AS (SELECT DISTINCT LEAST(pa, pb) AS pa, GREATEST(pa, pb) AS pb FROM "
+            f"(SELECT pa, pb FROM pp{r} UNION ALL SELECT pa, pb FROM rjp{r})),"
+        )
+        parts.append(
+            f"sc{r} AS MATERIALIZED (SELECT p.pa, p.pb, {cos} AS sim FROM pr{r}_ p "
+            "JOIN ptsd a ON a.id = p.pa JOIN ptsd b ON b.id = p.pb),"
+        )
+        parts.append(
+            f"mg{r} AS (SELECT node, nbr, sim, 0 AS new FROM s{p} "
+            f"UNION ALL SELECT pa, pb, sim, 1 FROM sc{r} "
+            f"UNION ALL SELECT pb, pa, sim, 1 FROM sc{r}),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT node, nbr, sim, new FROM ("
+            "SELECT node, nbr, sim, new, ROW_NUMBER() OVER (PARTITION BY node "
+            "ORDER BY sim DESC, nbr ASC) AS rn FROM ("
+            "SELECT node, nbr, sim, new, ROW_NUMBER() OVER (PARTITION BY node, nbr "
+            f"ORDER BY new ASC) AS r1 FROM mg{r}) WHERE r1 = 1) "
+            f"WHERE rn <= {kk}),"
+        )
+        parts.append(
+            f"ch{r} AS MATERIALIZED (SELECT CAST(SUM(new) AS DOUBLE) AS c FROM s{r}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sels = []
+    for r in range(1, iters + 1):
+        conds = [f"(SELECT c FROM ch{q}) > {thr}" for q in range(1, r)]
+        if r < iters:
+            conds.append(f"(SELECT c FROM ch{r}) <= {thr}")
+        where = " AND ".join(conds) if conds else "TRUE"
+        sels.append(
+            f"SELECT node AS node_id, nbr AS neighbour_id, sim AS similarity "
+            f"FROM s{r} WHERE {where}"
+        )
+    parts.append(" UNION ALL ".join(sels))
+    return "\n".join(parts)
+
+
 def _pcst_sql(rounds: int = 6, bf_steps: int = 8, walk_steps: int = 8) -> str:
     """Round-exact replica of _q_prize_steiner (algos/pcst.
     prize_steiner_tree on the 64-smallest-node ps-weighted subgraph,
@@ -4652,6 +4789,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_fastrp": _knn_fastrp_sql(),
         "filtered_knn": _filtered_knn_sql(),
         "prize_steiner_tree": _pcst_sql(),
+        "knn_nndescent": _nndescent_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
