@@ -58,9 +58,10 @@ def degree_distribution(
     p50/p75/p90/p95/p99/p999), computed over nodes WITH at least one
     edge in the chosen orientation (zero-degree nodes can't appear in an
     edge-only projection). Percentiles are exact discrete lower
-    quantiles (value at floor(p·(n−1))), matching DuckDB
-    ``quantile_disc``; the reference's HdrHistogram is approximate, so
-    exact is a strict refinement."""
+    quantiles (type-1: value at ceil(p·n)−1), matching DuckDB
+    ``quantile_disc`` at every n (the earlier floor(p·(n−1)) form
+    diverged at e.g. n=1473, p=0.999); the reference's HdrHistogram is
+    approximate, so exact is a strict refinement."""
     from graph_data_science_ray.algos.common import collect_arrow
 
     configure_ray_data()
@@ -72,7 +73,7 @@ def degree_distribution(
     n = vals.shape[0]
 
     def q(p: float) -> int:
-        return int(vals[int(np.floor(p * (n - 1)))])
+        return int(vals[max(0, int(np.ceil(p * n)) - 1)])
 
     return pa.table(
         {
