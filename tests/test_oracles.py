@@ -88,3 +88,21 @@ def test_lpa_labels_within_components():
 def test_partitions_equal_helper():
     assert partitions_equal({1: 0, 2: 0, 3: 9}, {1: 5, 2: 5, 3: 7})
     assert not partitions_equal({1: 0, 2: 0}, {1: 0, 2: 1})
+
+
+def test_discrete_quantile_matches_duckdb_quantile_disc():
+    """Pin the degree_distribution percentile convention (type-1:
+    index ceil(p*n)-1) to DuckDB quantile_disc across sizes — the
+    floor(p*(n-1)) form diverged at n=1473, p=0.999."""
+    import duckdb
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 7, 10, 100, 1473):
+        vals = np.sort(rng.integers(1, 50, size=n))
+        con.execute("CREATE OR REPLACE TABLE t(c BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(int(v),) for v in vals])
+        for p in (0.5, 0.75, 0.9, 0.95, 0.99, 0.999):
+            want = con.execute(f"SELECT quantile_disc(c, {p}) FROM t").fetchone()[0]
+            got = int(vals[max(0, int(np.ceil(p * n)) - 1)])
+            assert got == want, (n, p, got, want)
