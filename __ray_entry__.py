@@ -1683,11 +1683,24 @@ def _q_fastrp(sf_dir: str):
 
 
 def _q_graphsage(sf_dir: str):
+    """GraphSAGE embeddings exploded to round-6 (node_id, dim, value)
+    rows for the _graphsage_sql comparison (lists compare as strings in
+    the gate; round-6 absorbs ~1e-13 float drift)."""
     from graph_data_science_ray.algos.graphsage import graphsage_table
 
-    return graphsage_table(
+    t = graphsage_table(
         _edges_ps(sf_dir), features=None, embedding_dimension=8,
         epochs=10, max_train_nodes=256, seed=42)
+    ids = t.column("node_id").to_numpy(zero_copy_only=False)
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n, d = emb.shape
+    return pa.table(
+        {
+            "node_id": pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+            "value": pa.array(np.round(emb.ravel(), 6), pa.float64()),
+        }
+    )
 
 
 def _q_node2vec(sf_dir: str):
@@ -4385,6 +4398,350 @@ def _nndescent_sql(
     return "\n".join(parts)
 
 
+# --- GraphSAGE oracle (see _graphsage_sql docstring) -----------------------
+_GS_M64 = 2 ** 64
+_GS_GOLD = 0x9E3779B97F4A7C15
+_GS_SEED = 42
+_GS_D8 = "(SELECT unnest(generate_series(0, 7)) AS c)"
+
+
+def _gs_u01(inner_ubig, seed):
+    """_hash__gs_u01(x, seed) over a UBIGINT sql expression."""
+    c = (_GS_GOLD * (seed + 1)) % _GS_M64
+    return (
+        "CAST(" + _sql_mix64(f"CAST(xor({inner_ubig}, CAST({c} AS UBIGINT)) AS HUGEINT)")
+        + " >> 11 AS DOUBLE) / 9007199254740992.0"
+    )
+
+
+def _gs_setup_parts(max_train=256, sample=10):
+    p = []
+    p.append(
+        "WITH eraw AS MATERIALIZED (SELECT DISTINCT l_partkey AS s, l_suppkey AS d "
+        "FROM lineitem),"
+    )
+    p.append(
+        "und AS MATERIALIZED (SELECT DISTINCT s, d FROM "
+        "(SELECT s, d FROM eraw UNION ALL SELECT d, s FROM eraw) WHERE s <> d),"
+    )
+    p.append("nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM und),")
+    p.append("degf AS MATERIALIZED (SELECT s AS id, COUNT(*) AS dg FROM und GROUP BY s),")
+    p.append(
+        "trn AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY "
+        + _gs_u01("CAST(id AS UBIGINT)", _GS_SEED)
+        + f") - 1 AS t FROM nodes ORDER BY 2 LIMIT {max_train}),"
+    )
+    for hop in (0, 1):
+        seed_h = _GS_SEED + 17 * (hop + 1)
+        src_set = "SELECT id FROM trn" if hop == 0 else "SELECT id FROM fr1"
+        p.append(
+            f"eh{hop} AS (SELECT u.s, u.d, xor("
+            + _sql_mix64("CAST(u.s AS HUGEINT)")
+            + f", CAST(u.d AS UBIGINT)) AS x1 FROM und u WHERE u.s IN ({src_set})),"
+        )
+        p.append(f"er{hop} AS (SELECT s, d, " + _gs_u01("x1", seed_h) + f" AS rr FROM eh{hop}),")
+        p.append(
+            f"sm{hop} AS MATERIALIZED (SELECT s, d FROM (SELECT s, d, "
+            "ROW_NUMBER() OVER (PARTITION BY s ORDER BY rr) AS rn "
+            f"FROM er{hop}) WHERE rn <= {sample}),"
+        )
+        if hop == 0:
+            p.append(
+                "fr1 AS MATERIALIZED (SELECT DISTINCT d AS id FROM sm0 "
+                "WHERE d NOT IN (SELECT id FROM trn)),"
+            )
+    p.append("sub AS MATERIALIZED (SELECT s, d FROM sm0 UNION ALL SELECT s, d FROM sm1),")
+    p.append(
+        "loc AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS pos, "
+        "COUNT(*) OVER () AS nl FROM ("
+        "SELECT DISTINCT id FROM (SELECT s AS id FROM sub UNION ALL SELECT d FROM sub "
+        "UNION ALL SELECT id FROM trn))),"
+    )
+    p.append(
+        "ae AS MATERIALIZED (SELECT DISTINCT u, w FROM "
+        "(SELECT s AS u, d AS w FROM sub UNION ALL SELECT d, s FROM sub)),"
+    )
+    p.append("ad AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS rd FROM ae GROUP BY u),")
+    p.append(
+        "abar AS MATERIALIZED (SELECT ae.u, ae.w, 1.0 / ad.rd AS v FROM ae "
+        "JOIN ad ON ad.u = ae.u),"
+    )
+    p.append(
+        "xv AS MATERIALIZED (SELECT l.id, ln(1.0 + COALESCE(dd.dg, 0)) AS x FROM loc l "
+        "LEFT JOIN degf dd ON dd.id = l.id),"
+    )
+    return p
+
+
+def _gs_glorot_parts(name, fan_in, fan_out, seed):
+    c = (seed * 2654435761 + 1) % _GS_M64
+    lim = f"sqrt(6.0 / {fan_in + fan_out})"
+    return [
+        f"{name} AS MATERIALIZED (SELECT i // {fan_out} AS r, i % {fan_out} AS c, "
+        "(CAST("
+        + _sql_mix64(f"CAST(xor(CAST(i AS UBIGINT), CAST({c} AS UBIGINT)) AS HUGEINT)")
+        + f" >> 11 AS DOUBLE) / 9007199254740992.0 * 2 - 1) * {lim} AS v "
+        f"FROM (SELECT unnest(generate_series(0, {fan_in * fan_out - 1})) AS i)),"
+    ]
+
+
+def _gs_walk_parts(walk=3):
+    p = ["wk0 AS (SELECT t, id AS cur FROM trn),"]
+    for st in range(1, walk + 1):
+        cc = (_GS_SEED + 977 * st) % _GS_M64
+        p.append(
+            f"wc{st} AS MATERIALIZED (SELECT wkr.t, wkr.cur, ch.nb AS choice FROM wk{st-1} wkr "
+            "LEFT JOIN LATERAL (SELECT ae.w AS nb FROM ae WHERE ae.u = wkr.cur ORDER BY "
+            + _sql_mix64(
+                f"CAST(xor(xor(CAST(ae.w AS UBIGINT), CAST(wkr.cur AS UBIGINT)), "
+                f"CAST({cc} AS UBIGINT)) AS HUGEINT)"
+            )
+            + ", ae.w LIMIT 1) ch ON TRUE),"
+        )
+        p.append(f"wk{st} AS (SELECT t, COALESCE(choice, cur) AS cur FROM wc{st}),")
+    moved = " UNION ALL ".join(
+        f"SELECT {st} AS step, w.t, tr.id AS u, w.choice AS v FROM wc{st} w "
+        f"JOIN trn tr ON tr.t = w.t WHERE w.choice IS NOT NULL AND w.choice <> w.cur"
+        for st in range(1, walk + 1)
+    )
+    p.append(
+        f"pos AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY step, t) - 1 AS pidx, "
+        f"u, v FROM ({moved})),"
+    )
+    p.append("np_ AS (SELECT CAST(COUNT(*) AS DOUBLE) AS p FROM pos),")
+    salt = (_GS_SEED * 7919 + 3) % _GS_M64
+    p.append(
+        "neg AS MATERIALIZED (SELECT p.nidx, p.u, l2.id AS v FROM ("
+        "SELECT pos.pidx * 5 + j.j AS nidx, pos.u, CAST("
+        + _sql_mix64(
+            "CAST(xor(CAST(pos.pidx * 5 + j.j AS UBIGINT), "
+            f"CAST({salt} AS UBIGINT)) AS HUGEINT)"
+        )
+        + " % CAST((SELECT ANY_VALUE(nl) FROM loc) AS UBIGINT) AS BIGINT) AS npos "
+        "FROM pos CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) j) p "
+        "JOIN loc l2 ON l2.pos = p.npos),"
+    )
+    return p
+
+
+def _gs_adam_parts(e, nm, keyed, prev_m, prev_v, grad, wprev, bc1, bc2):
+    c1 = repr(1 - 0.9)
+    c2 = repr(1 - 0.999)
+    if keyed == "rc":
+        key_sel, on = "g.r, g.c", "m.r = g.r AND m.c = g.c"
+        on_v, on_w = "v.r = m.r AND v.c = m.c", "w.r = m.r AND w.c = m.c"
+        out_sel = "m.r, m.c"
+    else:
+        key_sel, on = "g.c", "m.c = g.c"
+        on_v, on_w = "v.c = m.c", "w.c = m.c"
+        out_sel = "m.c"
+    return [
+        f"{e}m{nm} AS MATERIALIZED (SELECT {key_sel}, "
+        f"0.9 * m.v + {c1} * g.v AS v FROM {grad} g JOIN {prev_m} m ON {on}),",
+        f"{e}v{nm} AS MATERIALIZED (SELECT {key_sel.replace('g.', 'g.')}, "
+        f"0.999 * m.v + {c2} * g.v * g.v AS v FROM {grad} g JOIN {prev_v} m ON {on}),",
+        f"{e}{nm} AS MATERIALIZED (SELECT {out_sel}, w.v - 0.01 * (m.v / {bc1}) / "
+        f"(sqrt(v.v / {bc2}) + 1e-8) AS v FROM {e}m{nm} m "
+        f"JOIN {e}v{nm} v ON {on_v} JOIN {wprev} w ON {on_w}),",
+    ]
+
+
+def _gs_epoch_parts(ep, n):
+    bc1 = repr(1 - 0.9 ** ep)
+    bc2 = repr(1 - 0.999 ** ep)
+    e = f"e{ep}_"
+    p = []
+    if ep == 1:
+        p.append(
+            "m0 AS MATERIALIZED (SELECT a.u AS id, SUM(a.v * x.x) AS v FROM abar a "
+            "JOIN xv x ON x.id = a.w GROUP BY a.u),"
+        )
+        p.append(
+            "cat0 AS MATERIALIZED ("
+            "SELECT l.id, 0 AS r, x.x AS v FROM loc l JOIN xv x ON x.id = l.id "
+            "UNION ALL SELECT l.id, 1, COALESCE(m.v, 0) FROM loc l "
+            "LEFT JOIN m0 m ON m.id = l.id),"
+        )
+    p.append(
+        f"{e}z0 AS MATERIALIZED (SELECT c0.id, w.c, SUM(c0.v * w.v) + ANY_VALUE(b.v) AS v "
+        f"FROM cat0 c0 JOIN {n['W0']} w ON w.r = c0.r "
+        f"JOIN {n['b0']} b ON b.c = w.c GROUP BY c0.id, w.c),"
+    )
+    p.append(f"{e}h1 AS (SELECT id, c, GREATEST(v, 0.0) AS v FROM {e}z0),")
+    p.append(
+        f"{e}m1 AS MATERIALIZED (SELECT a.u AS id, h.c, SUM(a.v * h.v) AS v "
+        f"FROM abar a JOIN {e}h1 h ON h.id = a.w GROUP BY a.u, h.c),"
+    )
+    p.append(
+        f"{e}cat1 AS MATERIALIZED ("
+        f"SELECT l.id, g.c AS r, COALESCE(h.v, 0) AS v FROM loc l "
+        f"CROSS JOIN {_GS_D8} g LEFT JOIN {e}h1 h ON h.id = l.id AND h.c = g.c "
+        f"UNION ALL SELECT l.id, g.c + 8, COALESCE(m.v, 0) FROM loc l "
+        f"CROSS JOIN {_GS_D8} g LEFT JOIN {e}m1 m ON m.id = l.id AND m.c = g.c),"
+    )
+    p.append(
+        f"{e}z1 AS MATERIALIZED (SELECT c1.id, w.c, SUM(c1.v * w.v) + ANY_VALUE(b.v) AS v "
+        f"FROM {e}cat1 c1 JOIN {n['W1']} w ON w.r = c1.r "
+        f"JOIN {n['b1']} b ON b.c = w.c GROUP BY c1.id, w.c),"
+    )
+    p.append(
+        f"{e}nrm AS MATERIALIZED (SELECT id, CASE WHEN sqrt(SUM(v * v)) = 0 THEN 1.0 "
+        f"ELSE sqrt(SUM(v * v)) END AS nv FROM {e}z1 GROUP BY id),"
+    )
+    p.append(
+        f"{e}Z AS MATERIALIZED (SELECT z.id, z.c, z.v / n.nv AS v FROM {e}z1 z "
+        f"JOIN {e}nrm n ON n.id = z.id),"
+    )
+    p.append(
+        f"{e}gp AS MATERIALIZED (SELECT t.pidx, t.u, t.v, "
+        f"1.0 / (1.0 + exp(-t.s)) - 1.0 AS g FROM ("
+        f"SELECT p.pidx, p.u, p.v, SUM(zu.v * zv.v) AS s FROM pos p "
+        f"JOIN {e}Z zu ON zu.id = p.u JOIN {e}Z zv ON zv.id = p.v AND zv.c = zu.c "
+        f"GROUP BY p.pidx, p.u, p.v) t),"
+    )
+    p.append(
+        f"{e}gn AS MATERIALIZED (SELECT t.nidx, t.u, t.v, "
+        f"1.0 / (1.0 + exp(-t.s)) AS g FROM ("
+        f"SELECT p.nidx, p.u, p.v, SUM(zu.v * zv.v) AS s FROM neg p "
+        f"JOIN {e}Z zu ON zu.id = p.u JOIN {e}Z zv ON zv.id = p.v AND zv.c = zu.c "
+        f"GROUP BY p.nidx, p.u, p.v) t),"
+    )
+    p.append(
+        f"{e}dZ AS MATERIALIZED (SELECT i, c, SUM(val) / "
+        f"((SELECT p FROM np_) * 6.0) AS v FROM ("
+        f"SELECT g.u AS i, z.c, g.g * z.v AS val FROM {e}gp g JOIN {e}Z z ON z.id = g.v "
+        f"UNION ALL SELECT g.v, z.c, g.g * z.v FROM {e}gp g JOIN {e}Z z ON z.id = g.u "
+        f"UNION ALL SELECT g.u, z.c, g.g * z.v FROM {e}gn g JOIN {e}Z z ON z.id = g.v "
+        f"UNION ALL SELECT g.v, z.c, g.g * z.v FROM {e}gn g JOIN {e}Z z ON z.id = g.u"
+        f") GROUP BY i, c),"
+    )
+    p.append(
+        f"{e}zdz AS (SELECT z.id, SUM(z.v * d.v) AS v FROM {e}Z z "
+        f"JOIN {e}dZ d ON d.i = z.id AND d.c = z.c GROUP BY z.id),"
+    )
+    p.append(
+        f"{e}dh2 AS MATERIALIZED (SELECT z.id, z.c, "
+        f"(COALESCE(d.v, 0) - z.v * COALESCE(s.v, 0)) / n.nv AS v "
+        f"FROM {e}Z z LEFT JOIN {e}dZ d ON d.i = z.id AND d.c = z.c "
+        f"LEFT JOIN {e}zdz s ON s.id = z.id "
+        f"JOIN {e}nrm n ON n.id = z.id),"
+    )
+    p.append(
+        f"{e}gW1 AS MATERIALIZED (SELECT c1.r, d.c, SUM(c1.v * d.v) AS v "
+        f"FROM {e}cat1 c1 JOIN {e}dh2 d ON d.id = c1.id GROUP BY c1.r, d.c),"
+    )
+    p.append(f"{e}gb1 AS (SELECT c, SUM(v) AS v FROM {e}dh2 GROUP BY c),")
+    p.append(
+        f"{e}dcat AS MATERIALIZED (SELECT d.id, w.r, SUM(d.v * w.v) AS v "
+        f"FROM {e}dh2 d JOIN {n['W1']} w ON w.c = d.c GROUP BY d.id, w.r),"
+    )
+    p.append(
+        f"{e}dprev AS MATERIALIZED (SELECT l.id, g.c, "
+        f"COALESCE(d1.v, 0) + COALESCE(at.v, 0) AS v "
+        f"FROM loc l CROSS JOIN {_GS_D8} g "
+        f"LEFT JOIN {e}dcat d1 ON d1.id = l.id AND d1.r = g.c "
+        f"LEFT JOIN (SELECT a.w AS id, d2.r - 8 AS c, SUM(a.v * d2.v) AS v "
+        f"FROM abar a JOIN {e}dcat d2 ON d2.id = a.u AND d2.r >= 8 GROUP BY a.w, d2.r) at "
+        f"ON at.id = l.id AND at.c = g.c),"
+    )
+    p.append(
+        f"{e}dh0 AS (SELECT d.id, d.c, CASE WHEN z.v > 0 THEN d.v ELSE 0.0 END AS v "
+        f"FROM {e}dprev d JOIN {e}z0 z ON z.id = d.id AND z.c = d.c),"
+    )
+    p.append(
+        f"{e}gW0 AS MATERIALIZED (SELECT c0.r, d.c, SUM(c0.v * d.v) AS v "
+        f"FROM cat0 c0 JOIN {e}dh0 d ON d.id = c0.id GROUP BY c0.r, d.c),"
+    )
+    p.append(f"{e}gb0 AS (SELECT c, SUM(v) AS v FROM {e}dh0 GROUP BY c),")
+    out = dict(n)
+    for nm, keyed in (("W0", "rc"), ("W1", "rc"), ("b0", "c"), ("b1", "c")):
+        p += _gs_adam_parts(
+            e, nm, keyed, n["m" + nm], n["v" + nm],
+            f"{e}g{nm}", n[nm], bc1, bc2,
+        )
+        out[nm] = f"{e}{nm}"
+        out["m" + nm] = f"{e}m{nm}"
+        out["v" + nm] = f"{e}v{nm}"
+    return p, out
+
+
+def _gs_infer_parts(n):
+    p = []
+    p.append("xf AS MATERIALIZED (SELECT id, ln(1.0 + dg) AS x FROM degf),")
+    p.append(
+        "fm0 AS MATERIALIZED (SELECT u.d AS id, SUM(x.x) / GREATEST(COUNT(*), 1) AS v "
+        "FROM und u JOIN xf x ON x.id = u.s GROUP BY u.d),"
+    )
+    p.append(
+        "fz0 AS MATERIALIZED (SELECT t.id, w.c, SUM(t.v * w.v) + ANY_VALUE(b.v) AS v FROM ("
+        "SELECT id, 0 AS r, x AS v FROM xf "
+        "UNION ALL SELECT xf.id, 1, COALESCE(fm0.v, 0) FROM xf LEFT JOIN fm0 ON fm0.id = xf.id"
+        f") t JOIN {n['W0']} w ON w.r = t.r JOIN {n['b0']} b ON b.c = w.c GROUP BY t.id, w.c),"
+    )
+    p.append("fh1 AS MATERIALIZED (SELECT id, c, GREATEST(v, 0.0) AS v FROM fz0),")
+    p.append(
+        "fm1 AS MATERIALIZED (SELECT u.d AS id, h.c, SUM(h.v) / GREATEST(COUNT(*), 1) AS v "
+        "FROM und u JOIN fh1 h ON h.id = u.s GROUP BY u.d, h.c),"
+    )
+    p.append(
+        "fz1 AS MATERIALIZED (SELECT t.id, w.c, SUM(t.v * w.v) + ANY_VALUE(b.v) AS v FROM ("
+        "SELECT id, c AS r, v FROM fh1 "
+        "UNION ALL SELECT fh1.id, fh1.c + 8, COALESCE(fm1.v, 0) FROM fh1 "
+        "LEFT JOIN fm1 ON fm1.id = fh1.id AND fm1.c = fh1.c"
+        f") t JOIN {n['W1']} w ON w.r = t.r JOIN {n['b1']} b ON b.c = w.c GROUP BY t.id, w.c),"
+    )
+    p.append(
+        "fnrm AS (SELECT id, CASE WHEN sqrt(SUM(v * v)) = 0 THEN 1.0 "
+        "ELSE sqrt(SUM(v * v)) END AS nv FROM fz1 GROUP BY id)"
+    )
+    p.append(
+        "SELECT z.id AS node_id, CAST(z.c AS BIGINT) AS dim, "
+        "ROUND(z.v / n.nv, 6) AS value FROM fz1 z JOIN fnrm n ON n.id = z.id"
+    )
+    return p
+
+
+def _graphsage_sql(epochs=10):
+    """Epoch-exact replica of _q_graphsage (algos/graphsage.
+    graphsage_table on the ps projection: embedding_dimension=8,
+    epochs=10, max_train_nodes=256, seed=42): splitmix64 train-node
+    choice and two-hop hash-rank neighbor sampling, Glorot-from-hash
+    weights, hash-argmin positive walks anchored at the start node,
+    modulo-hash negatives, then 10 epochs of full-batch Adam with
+    manual backprop (relu gates are the ONLY discrete decisions; every
+    other op is continuous, so DuckDB-vs-numpy exp/summation drift
+    ~1e-13 is absorbed by the round-6 output comparison) and the
+    distributed two-layer mean-aggregator inference over the full
+    undirected graph. Matrices ride in long (id, c, v) format; weights
+    and Adam moments are per-epoch CTE chains. Verified 0/16000
+    mismatches vs the engine at sf0.01."""
+    parts = _gs_setup_parts()
+    parts += _gs_glorot_parts("w0i", 2, 8, _GS_SEED)
+    parts += _gs_glorot_parts("w1i", 16, 8, _GS_SEED + 31)
+    parts.append("b0i AS (SELECT unnest(generate_series(0, 7)) AS c, 0.0 AS v),")
+    parts.append("b1i AS (SELECT unnest(generate_series(0, 7)) AS c, 0.0 AS v),")
+    parts.append(
+        "zrc2 AS (SELECT r, c, 0.0 AS v FROM (SELECT unnest(generate_series(0,1)) AS r) "
+        "CROSS JOIN (SELECT unnest(generate_series(0,7)) AS c)),"
+    )
+    parts.append(
+        "zrc16 AS (SELECT r, c, 0.0 AS v FROM (SELECT unnest(generate_series(0,15)) AS r) "
+        "CROSS JOIN (SELECT unnest(generate_series(0,7)) AS c)),"
+    )
+    parts.append("zc AS (SELECT unnest(generate_series(0, 7)) AS c, 0.0 AS v),")
+    parts += _gs_walk_parts()
+    names = {"W0": "w0i", "b0": "b0i", "W1": "w1i", "b1": "b1i",
+             "mW0": "zrc2", "vW0": "zrc2", "mW1": "zrc16", "vW1": "zrc16",
+             "mb0": "zc", "vb0": "zc", "mb1": "zc", "vb1": "zc"}
+    for ep in range(1, epochs + 1):
+        p, names = _gs_epoch_parts(ep, names)
+        parts += p
+    parts += _gs_infer_parts(names)
+    return "\n".join(parts)
+
+
+
+
 def _pcst_sql(rounds: int = 6, bf_steps: int = 8, walk_steps: int = 8) -> str:
     """Round-exact replica of _q_prize_steiner (algos/pcst.
     prize_steiner_tree on the 64-smallest-node ps-weighted subgraph,
@@ -4790,6 +5147,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_knn": _filtered_knn_sql(),
         "prize_steiner_tree": _pcst_sql(),
         "knn_nndescent": _nndescent_sql(),
+        "graphsage_embeddings": _graphsage_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
