@@ -1721,8 +1721,13 @@ def _q_linkpred(sf_dir: str):
 
 
 def _q_nodeclass(sf_dir: str):
-    """Node-classification pipeline demo: learn part-vs-supplier on the
-    ps graph from FastRP embeddings (labels = appears-as-src)."""
+    """Node-classification pipeline demo on the ps graph from FastRP
+    embeddings. Labels = appears-as-dst (the supplier side, ~5%
+    positive — appears-as-src is degenerate here: every node id also
+    occurs as a part key, so y would be constant 1). Training is pinned
+    to exactly 20 full-batch GD epochs (tolerance=0 disables the loss
+    early-stop) so the _nodeclass_sql oracle can replay it epoch by
+    epoch."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -1732,18 +1737,19 @@ def _q_nodeclass(sf_dir: str):
 
     edges = _edges_ps(sf_dir)
     emb_t = fastrp_table(edges, embedding_dimension=16)
-    srcs = set(
-        edges.select_columns(["src_id"]).unique("src_id")
+    dsts = set(
+        edges.select_columns(["dst_id"]).unique("dst_id")
     )
     nid = emb_t.column("node_id").to_numpy(zero_copy_only=False)
     labels = pa.table(
         {"node_id": pa.array(nid, pa.int64()),
-         "label": pa.array(np.isin(nid, np.array(sorted(srcs), dtype=np.int64)).astype(np.int64), pa.int64())}
+         "label": pa.array(np.isin(nid, np.array(sorted(dsts), dtype=np.int64)).astype(np.int64), pa.int64())}
     )
     from graph_data_science_ray.algos.common import collect_arrow
 
     _, preds = node_classification(
-        ray.data.from_arrow(emb_t), labels, seed=42)
+        ray.data.from_arrow(emb_t), labels, seed=42,
+        model_config={"max_iter": 20, "tolerance": 0.0})
     t = collect_arrow(preds)
     o = np.argsort(t.column("node_id").to_numpy(zero_copy_only=False), kind="stable")
     return _round6(t.take(pa.array(o, pa.int64())), "probability")
@@ -4398,6 +4404,89 @@ def _nndescent_sql(
     return "\n".join(parts)
 
 
+def _nodeclass_sql(epochs: int = 20, dim: int = 16, seed: int = 42,
+                   frac: float = 0.3, penalty: float = 0.0, lr: float = 0.5) -> str:
+    """Epoch-exact replica of _q_nodeclass (pipelines/ml.
+    node_classification over FastRP dim-16 features, labels =
+    appears-as-dst, 20 pinned GD epochs, tolerance=0): features from the
+    verified _fastrp_parts chain, holdout via the _hash_uniform
+    threshold (identical uint64→float64 conversion both sides),
+    standardization = train mean / population std (numpy order: mean
+    CTE first, then sqrt(mean((x-mu)^2))), then ``epochs`` chained
+    epochs of full-batch softmax GD from zero init (ml/logreg.py:
+    z = Xs·W + b, max-subtracted softmax, G = (P−Y)/n, W ← W − lr·(XsᵀG
+    + penalty·W), b ← b − lr·ΣG) with weights in long (r, c, v) CTEs,
+    and prediction over ALL nodes through the final softmax. The only
+    discrete decision is the 2-class argmax (ties → class 0, numpy's
+    first-max rule, mirrored by the strict p1 > p0 CASE); round-6
+    absorbs the ~1e-13 cross-engine float drift. Verified 0 label and
+    0 probability mismatches vs the driver-side numpy trainer at
+    sf0.001 and sf0.01."""
+    parts = list(_fastrp_parts(dim, seed))
+    salt = (0x9E3779B97F4A7C15 * (seed + 1)) % _M64
+    unif = (
+        "(CAST("
+        + _sql_mix64(f"CAST(xor(CAST(n.node AS UBIGINT), CAST({salt} AS UBIGINT)) AS HUGEINT)")
+        + " AS DOUBLE) + 1.0) / 18446744073709551616.0"
+    )
+    parts += [
+        "dsts AS MATERIALIZED (SELECT DISTINCT dst_id AS node FROM e0),",
+        "labs AS MATERIALIZED (SELECT n.node, CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END AS y, "
+        f"({unif} < {frac}) AS te FROM nodes n LEFT JOIN dsts d ON d.node = n.node),",
+        "trn AS MATERIALIZED (SELECT node, y FROM labs WHERE NOT te),",
+        "ntr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM trn),",
+        "mu AS MATERIALIZED (SELECT el.j, AVG(el.v) AS m FROM el "
+        "JOIN trn t ON t.node = el.node GROUP BY el.j),",
+        "sg AS MATERIALIZED (SELECT el.j, GREATEST(sqrt(SUM((el.v - mu.m) * (el.v - mu.m)) "
+        "/ (SELECT c FROM ntr)), 1e-12) AS s FROM el JOIN trn t ON t.node = el.node "
+        "JOIN mu ON mu.j = el.j GROUP BY el.j),",
+        "xs AS MATERIALIZED (SELECT el.node, el.j, (el.v - mu.m) / sg.s AS v FROM el "
+        "JOIN trn t ON t.node = el.node JOIN mu ON mu.j = el.j JOIN sg ON sg.j = el.j),",
+        f"w0 AS (SELECT r, c, 0.0 AS v FROM (SELECT unnest(generate_series(0, {dim - 1})) AS r) "
+        "CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c)),",
+        "b0 AS (SELECT unnest(generate_series(0, 1)) AS c, 0.0 AS v),",
+    ]
+    for k in range(1, epochs + 1):
+        p = k - 1
+        pen = f" + {penalty!r} * ANY_VALUE(w.v)" if penalty else ""
+        parts += [
+            f"e{k}z AS MATERIALIZED (SELECT x.node, w.c, SUM(x.v * w.v) + ANY_VALUE(b.v) AS v "
+            f"FROM xs x JOIN w{p} w ON w.r = x.j JOIN b{p} b ON b.c = w.c GROUP BY x.node, w.c),",
+            f"e{k}m AS (SELECT node, MAX(v) AS m FROM e{k}z GROUP BY node),",
+            f"e{k}e AS MATERIALIZED (SELECT z.node, z.c, exp(z.v - m.m) AS v "
+            f"FROM e{k}z z JOIN e{k}m m ON m.node = z.node),",
+            f"e{k}s AS (SELECT node, SUM(v) AS s FROM e{k}e GROUP BY node),",
+            f"e{k}g AS MATERIALIZED (SELECT e.node, e.c, (e.v / s.s - "
+            f"CASE WHEN t.y = e.c THEN 1.0 ELSE 0.0 END) / (SELECT c FROM ntr) AS v "
+            f"FROM e{k}e e JOIN e{k}s s ON s.node = e.node JOIN trn t ON t.node = e.node),",
+            f"e{k}gw AS MATERIALIZED (SELECT w.r, w.c, SUM(x.v * g.v){pen} AS v "
+            f"FROM xs x JOIN e{k}g g ON g.node = x.node JOIN w{p} w ON w.r = x.j AND w.c = g.c "
+            f"GROUP BY w.r, w.c),",
+            f"e{k}gb AS (SELECT c, SUM(v) AS v FROM e{k}g GROUP BY c),",
+            f"w{k} AS MATERIALIZED (SELECT w.r, w.c, w.v - {lr!r} * g.v AS v "
+            f"FROM w{p} w JOIN e{k}gw g ON g.r = w.r AND g.c = w.c),",
+            f"b{k} AS (SELECT b.c, b.v - {lr!r} * g.v AS v FROM b{p} b JOIN e{k}gb g ON g.c = b.c),",
+        ]
+    E = epochs
+    parts += [
+        "xsa AS MATERIALIZED (SELECT el.node, el.j, (el.v - mu.m) / sg.s AS v FROM el "
+        "JOIN mu ON mu.j = el.j JOIN sg ON sg.j = el.j),",
+        f"fz AS MATERIALIZED (SELECT x.node, w.c, SUM(x.v * w.v) + ANY_VALUE(b.v) AS v "
+        f"FROM xsa x JOIN w{E} w ON w.r = x.j JOIN b{E} b ON b.c = w.c GROUP BY x.node, w.c),",
+        "fm AS (SELECT node, MAX(v) AS m FROM fz GROUP BY node),",
+        "fe AS MATERIALIZED (SELECT z.node, z.c, exp(z.v - m.m) AS v "
+        "FROM fz z JOIN fm m ON m.node = z.node),",
+        "fs AS (SELECT node, SUM(v) AS s FROM fe GROUP BY node),",
+        "fp AS (SELECT e.node, e.c, e.v / s.s AS p FROM fe e JOIN fs s ON s.node = e.node)",
+        "SELECT p0.node AS node_id, "
+        "CAST(CASE WHEN p1.p > p0.p THEN 1 ELSE 0 END AS BIGINT) AS predicted_label, "
+        "ROUND(CASE WHEN p1.p > p0.p THEN p1.p ELSE p0.p END, 6) AS probability "
+        "FROM fp p0 JOIN fp p1 ON p1.node = p0.node AND p1.c = 1 "
+        "WHERE p0.c = 0 ORDER BY p0.node",
+    ]
+    return "\n".join(parts)
+
+
 # --- GraphSAGE oracle (see _graphsage_sql docstring) -----------------------
 _GS_M64 = 2 ** 64
 _GS_GOLD = 0x9E3779B97F4A7C15
@@ -5148,6 +5237,7 @@ def oracle_sql() -> dict[str, str]:
         "prize_steiner_tree": _pcst_sql(),
         "knn_nndescent": _nndescent_sql(),
         "graphsage_embeddings": _graphsage_sql(),
+        "nodeclass_pipeline": _nodeclass_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
