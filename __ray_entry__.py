@@ -1757,7 +1757,10 @@ def _q_nodeclass(sf_dir: str):
 
 def _q_linkpred_pipeline(sf_dir: str):
     """Link-prediction pipeline demo: train on the ps edges + FastRP
-    embeddings, score the top-20 common-neighbor candidate pairs."""
+    embeddings, score the 20 lexicographically-smallest held edges.
+    Training is pinned to exactly 20 full-batch GD epochs (tolerance=0
+    disables the loss early-stop) so _linkpred_pipeline_sql can replay
+    it epoch by epoch."""
     import ray.data
 
     from graph_data_science_ray.algos.fastrp import fastrp_table
@@ -1765,7 +1768,9 @@ def _q_linkpred_pipeline(sf_dir: str):
 
     edges = _edges_ps(sf_dir)
     emb = ray.data.from_arrow(fastrp_table(edges, embedding_dimension=16))
-    _, model = link_prediction_pipeline(edges, emb, seed=42, max_train_pairs=5000)
+    _, model = link_prediction_pipeline(
+        edges, emb, seed=42, max_train_pairs=5000,
+        model_config={"max_iter": 20, "tolerance": 0.0})
     # candidates: the 20 lexicographically-smallest held edges (cheap,
     # deterministic; the exhaustive candidate scorer is linkpred_top20)
     from graph_data_science_ray.algos.common import collect_arrow as _ca
@@ -4487,6 +4492,151 @@ def _nodeclass_sql(epochs: int = 20, dim: int = 16, seed: int = 42,
     return "\n".join(parts)
 
 
+def _linkpred_pipeline_sql(epochs: int = 20, dim: int = 16, seed: int = 42,
+                           frac: float = 0.3, maxp: int = 5000,
+                           penalty: float = 1e-4, lr: float = 0.5,
+                           k_cand: int = 20, rounds: int = 6) -> str:
+    """Draw-exact + epoch-exact replica of _q_linkpred_pipeline
+    (pipelines/ml.link_prediction_pipeline, hadamard combiner, 20
+    pinned GD epochs, tolerance=0, max_train_pairs=5000): positives =
+    one representative per unordered pair hash (hadamard features are
+    orientation-symmetric, so the representative choice is free),
+    subset by the maxp smallest pick-uniforms; negatives = the
+    _sample_non_edges cursor-based rejection sampler replayed round by
+    round (``rounds`` CTE rounds — sf0.001 needs 4, sf0.01 needs 2; a
+    satisfied round has an empty window) with per-round first-draw
+    dedup, accumulated-set exclusion, and final truncation in (round,
+    hash) order; then hadamard pair features keyed by the pair hash,
+    the same hash-uniform holdout / standardize / softmax-GD chain as
+    _nodeclass_sql (penalty=1e-4 enters the weight gradient), and
+    scoring of the k_cand lexicographically-smallest edges through the
+    final softmax (probability = class-1 column, NOT the argmax).
+    Verified 0 probability mismatches vs the driver-side numpy trainer
+    at sf0.001 and sf0.01."""
+    parts = list(_fastrp_parts(dim, seed))
+    ph_edge = _sql_pair_hash("CAST(LEAST(src_id, dst_id) AS HUGEINT)",
+                             "GREATEST(src_id, dst_id)")
+    ph_cand = _sql_pair_hash("CAST(LEAST(ca, cb) AS HUGEINT)", "GREATEST(ca, cb)")
+    salt_pick = (0x9E3779B97F4A7C15 * (seed + 7 + 1)) % _M64
+    salt_split = (0x9E3779B97F4A7C15 * (seed + 13 + 1)) % _M64
+    s1, s2 = seed * 2 + 1, seed * 2 + 2
+
+    def unif(salt):
+        return ("(CAST(" + _sql_mix64(
+            f"CAST(xor(CAST(h AS UBIGINT), CAST({salt} AS UBIGINT)) AS HUGEINT)")
+            + " AS DOUBLE) + 1.0) / 18446744073709551616.0")
+
+    ra = _sql_mix64(f"CAST(xor(CAST(i AS UBIGINT), CAST({s1} AS UBIGINT)) AS HUGEINT)")
+    rb = _sql_mix64(f"CAST(xor(CAST(i AS UBIGINT), CAST({s2} AS UBIGINT)) AS HUGEINT)")
+    parts += [
+        f"e1 AS MATERIALIZED (SELECT src_id, dst_id, CAST({ph_edge} AS HUGEINT) AS h "
+        "FROM e0 WHERE src_id <> dst_id),",
+        "posall AS MATERIALIZED (SELECT src_id AS a, dst_id AS b, h FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY src_id, dst_id) rn FROM e1) "
+        "WHERE rn = 1),",
+        f"pos AS MATERIALIZED (SELECT a, b, h FROM (SELECT a, b, h, "
+        f"ROW_NUMBER() OVER (ORDER BY {unif(salt_pick)}) AS rn FROM posall) WHERE rn <= {maxp}),",
+        "nn AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM e1 UNION ALL SELECT dst_id FROM e1))),",
+        "nodesr AS MATERIALIZED (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS r FROM "
+        "(SELECT DISTINCT node FROM (SELECT src_id AS node FROM e1 UNION ALL SELECT dst_id FROM e1))),",
+        "par AS (SELECT (SELECT COUNT(*) FROM pos) AS n_neg, "
+        "2 * (SELECT COUNT(*) FROM pos) + 16 AS need1),",
+        "idx AS MATERIALIZED (SELECT CAST(i AS HUGEINT) AS i FROM range(0, 4194304) t(i) "
+        f"WHERE i < {rounds} * (SELECT need1 FROM par)),",
+        "cand AS MATERIALIZED (SELECT x.i, na.node AS ca, nb.node AS cb FROM "
+        f"(SELECT i, CAST({ra} AS HUGEINT) % (SELECT c FROM nn) AS ra, "
+        f"CAST({rb} AS HUGEINT) % (SELECT c FROM nn) AS rb FROM idx) x "
+        "JOIN nodesr na ON na.r = x.ra JOIN nodesr nb ON nb.r = x.rb),",
+        "okf AS MATERIALIZED (SELECT i, ca, cb, h FROM (SELECT i, ca, cb, "
+        f"CAST({ph_cand} AS HUGEINT) AS h FROM cand WHERE ca <> cb) "
+        "WHERE h NOT IN (SELECT h FROM e1)),",
+        "acc1 AS MATERIALIZED (SELECT ca, cb, h FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY i) rn FROM okf "
+        "WHERE i < (SELECT need1 FROM par)) WHERE rn = 1),",
+    ]
+    for r in range(2, rounds + 1):
+        done = " + ".join(f"(SELECT COUNT(*) FROM acc{q})" for q in range(1, r))
+        seen = " UNION ALL ".join(f"SELECT h FROM acc{q}" for q in range(1, r))
+        start = ("(SELECT need1 FROM par)" if r == 2 else
+                 f"(SELECT start{r-1} FROM p{r-1}) + (SELECT need{r-1} FROM p{r-1})")
+        parts += [
+            f"p{r} AS (SELECT {start} AS start{r}, "
+            f"GREATEST(((SELECT n_neg FROM par) - ({done})) * 2 + 16, 0) AS need{r}, "
+            f"((SELECT n_neg FROM par) > ({done})) AS more),",
+            f"acc{r} AS MATERIALIZED (SELECT ca, cb, h FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY i) rn FROM okf "
+            f"WHERE (SELECT more FROM p{r}) "
+            f"AND i >= (SELECT start{r} FROM p{r}) "
+            f"AND i < (SELECT start{r} FROM p{r}) + (SELECT need{r} FROM p{r}) "
+            f"AND h NOT IN ({seen})) WHERE rn = 1),",
+        ]
+    allacc = " UNION ALL ".join(
+        f"SELECT ca, cb, {r} AS rnd, h FROM acc{r}" for r in range(1, rounds + 1))
+    parts += [
+        "neg AS MATERIALIZED (SELECT ca, cb, h FROM "
+        f"(SELECT ca, cb, h, ROW_NUMBER() OVER (ORDER BY rnd, h) AS pos_i FROM ({allacc})) "
+        "WHERE pos_i <= (SELECT n_neg FROM par)),",
+        "tp AS MATERIALIZED (SELECT a, b, h, 1 AS y FROM pos "
+        "UNION ALL SELECT ca, cb, h, 0 FROM neg),",
+        "fx AS MATERIALIZED (SELECT tp.h AS node, ea.j, ea.v * eb.v AS v FROM tp "
+        "JOIN el ea ON ea.node = tp.a JOIN el eb ON eb.node = tp.b AND eb.j = ea.j),",
+        f"labs AS MATERIALIZED (SELECT h AS node, y, ({unif(salt_split)} < {frac}) AS te FROM tp),",
+        "trn AS MATERIALIZED (SELECT node, y FROM labs WHERE NOT te),",
+        "ntr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM trn),",
+        "mu AS MATERIALIZED (SELECT fx.j, AVG(fx.v) AS m FROM fx "
+        "JOIN trn t ON t.node = fx.node GROUP BY fx.j),",
+        "sg AS MATERIALIZED (SELECT fx.j, GREATEST(sqrt(SUM((fx.v - mu.m) * (fx.v - mu.m)) "
+        "/ (SELECT c FROM ntr)), 1e-12) AS s FROM fx JOIN trn t ON t.node = fx.node "
+        "JOIN mu ON mu.j = fx.j GROUP BY fx.j),",
+        "xs AS MATERIALIZED (SELECT fx.node, fx.j, (fx.v - mu.m) / sg.s AS v FROM fx "
+        "JOIN trn t ON t.node = fx.node JOIN mu ON mu.j = fx.j JOIN sg ON sg.j = fx.j),",
+        f"w0 AS (SELECT r, c, 0.0 AS v FROM (SELECT unnest(generate_series(0, {dim - 1})) AS r) "
+        "CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c)),",
+        "b0 AS (SELECT unnest(generate_series(0, 1)) AS c, 0.0 AS v),",
+    ]
+    for k in range(1, epochs + 1):
+        p = k - 1
+        pen = f" + {penalty!r} * ANY_VALUE(w.v)" if penalty else ""
+        parts += [
+            f"e{k}z AS MATERIALIZED (SELECT x.node, w.c, SUM(x.v * w.v) + ANY_VALUE(b.v) AS v "
+            f"FROM xs x JOIN w{p} w ON w.r = x.j JOIN b{p} b ON b.c = w.c GROUP BY x.node, w.c),",
+            f"e{k}m AS (SELECT node, MAX(v) AS m FROM e{k}z GROUP BY node),",
+            f"e{k}e AS MATERIALIZED (SELECT z.node, z.c, exp(z.v - m.m) AS v "
+            f"FROM e{k}z z JOIN e{k}m m ON m.node = z.node),",
+            f"e{k}s AS (SELECT node, SUM(v) AS s FROM e{k}e GROUP BY node),",
+            f"e{k}g AS MATERIALIZED (SELECT e.node, e.c, (e.v / s.s - "
+            f"CASE WHEN t.y = e.c THEN 1.0 ELSE 0.0 END) / (SELECT c FROM ntr) AS v "
+            f"FROM e{k}e e JOIN e{k}s s ON s.node = e.node JOIN trn t ON t.node = e.node),",
+            f"e{k}gw AS MATERIALIZED (SELECT w.r, w.c, SUM(x.v * g.v){pen} AS v "
+            f"FROM xs x JOIN e{k}g g ON g.node = x.node JOIN w{p} w ON w.r = x.j AND w.c = g.c "
+            f"GROUP BY w.r, w.c),",
+            f"e{k}gb AS (SELECT c, SUM(v) AS v FROM e{k}g GROUP BY c),",
+            f"w{k} AS MATERIALIZED (SELECT w.r, w.c, w.v - {lr!r} * g.v AS v "
+            f"FROM w{p} w JOIN e{k}gw g ON g.r = w.r AND g.c = w.c),",
+            f"b{k} AS (SELECT b.c, b.v - {lr!r} * g.v AS v FROM b{p} b JOIN e{k}gb g ON g.c = b.c),",
+        ]
+    E = epochs
+    parts += [
+        f"cd AS MATERIALIZED (SELECT src_id AS n1, dst_id AS n2 FROM e0 "
+        f"ORDER BY src_id, dst_id LIMIT {k_cand}),",
+        "cfx AS MATERIALIZED (SELECT cd.n1, cd.n2, ea.j, "
+        "(ea.v * eb.v - mu.m) / sg.s AS v FROM cd "
+        "JOIN el ea ON ea.node = cd.n1 JOIN el eb ON eb.node = cd.n2 AND eb.j = ea.j "
+        "JOIN mu ON mu.j = ea.j JOIN sg ON sg.j = ea.j),",
+        f"fz AS MATERIALIZED (SELECT x.n1, x.n2, w.c, SUM(x.v * w.v) + ANY_VALUE(b.v) AS v "
+        f"FROM cfx x JOIN w{E} w ON w.r = x.j JOIN b{E} b ON b.c = w.c GROUP BY x.n1, x.n2, w.c),",
+        "fm AS (SELECT n1, n2, MAX(v) AS m FROM fz GROUP BY n1, n2),",
+        "fe AS MATERIALIZED (SELECT z.n1, z.n2, z.c, exp(z.v - m.m) AS v "
+        "FROM fz z JOIN fm m ON m.n1 = z.n1 AND m.n2 = z.n2),",
+        "fs AS (SELECT n1, n2, SUM(v) AS s FROM fe GROUP BY n1, n2)",
+        "SELECT e.n1 AS node1, e.n2 AS node2, ROUND(e.v / s.s, 6) AS probability "
+        "FROM fe e JOIN fs s ON s.n1 = e.n1 AND s.n2 = e.n2 "
+        "WHERE e.c = 1 ORDER BY e.n1, e.n2",
+    ]
+    return "\n".join(parts)
+
+
 # --- GraphSAGE oracle (see _graphsage_sql docstring) -----------------------
 _GS_M64 = 2 ** 64
 _GS_GOLD = 0x9E3779B97F4A7C15
@@ -5238,6 +5388,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_nndescent": _nndescent_sql(),
         "graphsage_embeddings": _graphsage_sql(),
         "nodeclass_pipeline": _nodeclass_sql(),
+        "linkpred_pipeline": _linkpred_pipeline_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
