@@ -1864,8 +1864,8 @@ def _q_nodeclass_rf(sf_dir: str):
 
 def _q_nodereg_rf(sf_dir: str):
     """nodereg_pipeline with the randomForest regressor — step-function
-    fit of p_retailprice from p_size (rows-only; the OLS twin
-    nodereg_pipeline carries the SQL oracle)."""
+    fit of p_retailprice from p_size; DuckDB-matched via _nodereg_rf_sql
+    (level-exact CART replay; output integerized to cents)."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -4637,6 +4637,101 @@ def _linkpred_pipeline_sql(epochs: int = 20, dim: int = 16, seed: int = 42,
     return "\n".join(parts)
 
 
+def _nodereg_rf_sql(trees: int = 10, depth: int = 6, seed: int = 42,
+                    frac: float = 0.3) -> str:
+    """Level-exact replica of _q_nodereg_rf (pipelines/ml.
+    node_regression with the randomForest regressor, n_trees=10,
+    max_depth=6, on the 1-feature p_size → p_retailprice fit): the
+    hash-uniform holdout, per-tree splitmix64 bootstrap (draw i →
+    mix64(i ^ tree_salt) % n over train rows ranked by node_id — the
+    parquet is partkey-sorted, so ranks equal the engine's collection
+    positions), then ``depth`` unrolled CART levels: per (tree, path)
+    candidate thresholds at distinct-x boundaries (midpoints), SSE =
+    (ql − sl²/nl) + (qr − sr²/nr) from cumulative sums in x order,
+    winner = min SSE with the engine's first-minimum (smallest
+    threshold) tie-break; un-split groups re-evaluate to the same leaf
+    decision each level, so carrying them forward is a no-op. Leaf
+    value = mean y over the leaf's bootstrap rows; prediction = mean of
+    per-tree leaf means over all part rows, integerized with numpy's
+    rint (half-to-even, spelled out in the CASE). Splits compare exact
+    integer counts and price sums whose ulp drift is far below any SSE
+    gap, and the ×100 integerization absorbs leaf-mean drift. Verified
+    0 mismatches vs the driver-side numpy forest at sf0.001/sf0.01."""
+    salt_split = (0x9E3779B97F4A7C15 * (seed + 1)) % _M64
+    unif = (
+        "(CAST(" + _sql_mix64(
+            f"CAST(xor(CAST(node AS UBIGINT), CAST({salt_split} AS UBIGINT)) AS HUGEINT)")
+        + " AS DOUBLE) + 1.0) / 18446744073709551616.0"
+    )
+    salts = [(seed * 0x9E3779B97F4A7C15 + (t + 1) * 0xC2B2AE3D27D4EB4F) % _M64
+             for t in range(trees)]
+    tree_salt = "CASE " + " ".join(
+        f"WHEN t = {t} THEN CAST({s} AS UBIGINT)" for t, s in enumerate(salts)) + " END"
+    mix_draw = _sql_mix64(f"CAST(xor(CAST(i AS UBIGINT), {tree_salt}) AS HUGEINT)")
+    parts = [
+        "WITH pt AS MATERIALIZED (SELECT CAST(p_partkey AS BIGINT) AS node, "
+        "CAST(p_size AS DOUBLE) AS x, CAST(p_retailprice AS DOUBLE) AS y FROM part),",
+        f"lab AS MATERIALIZED (SELECT node, x, y, ({unif} < {frac}) AS te FROM pt),",
+        "trn AS MATERIALIZED (SELECT node, x, y, "
+        "ROW_NUMBER() OVER (ORDER BY node) - 1 AS pos FROM lab WHERE NOT te),",
+        "ntr AS (SELECT COUNT(*) AS c FROM trn),",
+        "boot AS MATERIALIZED (SELECT d.t, d.i, r.x, r.y FROM "
+        f"(SELECT t, i, CAST({mix_draw} % CAST((SELECT c FROM ntr) AS UBIGINT) AS BIGINT) AS pos "
+        f"FROM (SELECT unnest(generate_series(0, {trees - 1})) AS t) "
+        "CROSS JOIN (SELECT unnest(generate_series(0, (SELECT c FROM ntr) - 1)) AS i)) d "
+        "JOIN trn r ON r.pos = d.pos),",
+        "s0 AS MATERIALIZED (SELECT t, i, x, y, '' AS path FROM boot),",
+    ]
+    for d in range(depth):
+        parts += [
+            f"gx{d} AS MATERIALIZED (SELECT t, path, x, COUNT(*) AS cnt, SUM(y) AS sy, "
+            f"SUM(y * y) AS sy2 FROM s{d} WHERE length(path) = {d} GROUP BY t, path, x),",
+            f"cx{d} AS MATERIALIZED (SELECT t, path, x, "
+            "CAST(SUM(cnt) OVER w AS DOUBLE) AS nl, SUM(sy) OVER w AS sl, SUM(sy2) OVER w AS ql, "
+            "CAST(SUM(cnt) OVER (PARTITION BY t, path) AS DOUBLE) AS n, "
+            "SUM(sy) OVER (PARTITION BY t, path) AS sa, SUM(sy2) OVER (PARTITION BY t, path) AS qa, "
+            f"LEAD(x) OVER w AS nx FROM gx{d} "
+            "WINDOW w AS (PARTITION BY t, path ORDER BY x "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),",
+            f"sc{d} AS MATERIALIZED (SELECT t, path, 0.5 * (x + nx) AS thr, "
+            "(ql - sl * sl / nl) + ((qa - ql) - (sa - sl) * (sa - sl) / (n - nl)) AS sse "
+            f"FROM cx{d} WHERE nx IS NOT NULL AND nl >= 1 AND (n - nl) >= 1 AND n >= 2),",
+            f"sp{d} AS MATERIALIZED (SELECT t, path, thr FROM "
+            f"(SELECT t, path, thr, ROW_NUMBER() OVER (PARTITION BY t, path ORDER BY sse, thr) AS rn "
+            f"FROM sc{d}) WHERE rn = 1),",
+            f"s{d + 1} AS MATERIALIZED (SELECT s.t, s.i, s.x, s.y, "
+            "CASE WHEN sp.thr IS NULL THEN s.path "
+            "WHEN s.x <= sp.thr THEN s.path || 'L' ELSE s.path || 'R' END AS path "
+            f"FROM s{d} s LEFT JOIN sp{d} sp ON sp.t = s.t AND sp.path = s.path),",
+        ]
+    parts.append(
+        f"leaf AS MATERIALIZED (SELECT t, path, SUM(y) / COUNT(*) AS v "
+        f"FROM s{depth} GROUP BY t, path),"
+    )
+    parts.append(
+        "p0 AS MATERIALIZED (SELECT g.t, l.node, l.x, '' AS path FROM lab l "
+        f"CROSS JOIN (SELECT unnest(generate_series(0, {trees - 1})) AS t) g),"
+    )
+    for d in range(depth):
+        parts.append(
+            f"p{d + 1} AS MATERIALIZED (SELECT p.t, p.node, p.x, "
+            "CASE WHEN sp.thr IS NULL THEN p.path "
+            "WHEN p.x <= sp.thr THEN p.path || 'L' ELSE p.path || 'R' END AS path "
+            f"FROM p{d} p LEFT JOIN sp{d} sp ON sp.t = p.t AND sp.path = p.path),"
+        )
+    parts += [
+        f"pred AS (SELECT p.node, SUM(leaf.v) / {trees} AS v FROM p{depth} p "
+        "JOIN leaf ON leaf.t = p.t AND leaf.path = p.path GROUP BY p.node)",
+        "SELECT node AS node_id, CAST(CASE "
+        "WHEN v * 100 - floor(v * 100) > 0.5 THEN floor(v * 100) + 1 "
+        "WHEN v * 100 - floor(v * 100) < 0.5 THEN floor(v * 100) "
+        "WHEN CAST(floor(v * 100) AS BIGINT) % 2 = 0 THEN floor(v * 100) "
+        "ELSE floor(v * 100) + 1 END AS BIGINT) AS prediction_c "
+        "FROM pred ORDER BY node",
+    ]
+    return "\n".join(parts)
+
+
 # --- GraphSAGE oracle (see _graphsage_sql docstring) -----------------------
 _GS_M64 = 2 ** 64
 _GS_GOLD = 0x9E3779B97F4A7C15
@@ -5389,6 +5484,7 @@ def oracle_sql() -> dict[str, str]:
         "graphsage_embeddings": _graphsage_sql(),
         "nodeclass_pipeline": _nodeclass_sql(),
         "linkpred_pipeline": _linkpred_pipeline_sql(),
+        "nodereg_rf_pipeline": _nodereg_rf_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),

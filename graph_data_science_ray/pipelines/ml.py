@@ -151,6 +151,10 @@ def node_classification(
     configure_ray_data()
     lab_ids = labels.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
     lab_y = labels.column(label_col).to_numpy(zero_copy_only=False)
+    # canonicalize to node_id order: positional draws (randomForest
+    # bootstrap) must not depend on the caller's collection/block order
+    lo = np.argsort(lab_ids, kind="stable")
+    lab_ids, lab_y = lab_ids[lo], lab_y[lo]
 
     fid, X = _collect_features(features, lab_ids, feature_col)
     pos = np.searchsorted(fid, lab_ids)
@@ -234,6 +238,10 @@ def node_regression(
     configure_ray_data()
     lab_ids = targets.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
     lab_y = targets.column(target_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    # canonicalize to node_id order: positional draws (randomForest
+    # bootstrap) must not depend on the caller's collection/block order
+    lo = np.argsort(lab_ids, kind="stable")
+    lab_ids, lab_y = lab_ids[lo], lab_y[lo]
 
     fid, X = _collect_features(features, lab_ids, feature_col)
     pos = np.searchsorted(fid, lab_ids)
