@@ -1836,8 +1836,11 @@ def _q_nodereg(sf_dir: str):
 
 def _q_nodeclass_rf(sf_dir: str):
     """nodeclass_pipeline with the randomForest model candidate — same
-    FastRP features/labels, splitmix64-deterministic forest (rows-only:
-    leaf distributions are data-order-free but float)."""
+    FastRP features, labels = appears-as-dst (appears-as-src is constant
+    1 on this projection, see _q_nodeclass), splitmix64-deterministic
+    forest. max_features_ratio is pinned to 1.0 so per-node feature
+    subsets (a hash of the DFS node id) drop out and _nodeclass_rf_sql
+    can rebuild the trees level by level."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -1848,15 +1851,15 @@ def _q_nodeclass_rf(sf_dir: str):
 
     edges = _edges_ps(sf_dir)
     emb_t = fastrp_table(edges, embedding_dimension=16)
-    srcs = set(edges.select_columns(["src_id"]).unique("src_id"))
+    dsts = set(edges.select_columns(["dst_id"]).unique("dst_id"))
     nid = emb_t.column("node_id").to_numpy(zero_copy_only=False)
     labels = pa.table(
         {"node_id": pa.array(nid, pa.int64()),
-         "label": pa.array(np.isin(nid, np.array(sorted(srcs), dtype=np.int64)).astype(np.int64), pa.int64())}
+         "label": pa.array(np.isin(nid, np.array(sorted(dsts), dtype=np.int64)).astype(np.int64), pa.int64())}
     )
     _, preds = node_classification(
         ray.data.from_arrow(emb_t), labels, seed=42, model="randomForest",
-        model_config={"n_trees": 10, "max_depth": 8})
+        model_config={"n_trees": 10, "max_depth": 8, "max_features_ratio": 1.0})
     t = collect_arrow(preds)
     o = np.argsort(t.column("node_id").to_numpy(zero_copy_only=False), kind="stable")
     return _round6(t.take(pa.array(o, pa.int64())), "probability")
@@ -4732,6 +4735,112 @@ def _nodereg_rf_sql(trees: int = 10, depth: int = 6, seed: int = 42,
     return "\n".join(parts)
 
 
+def _nodeclass_rf_sql(trees: int = 10, depth: int = 8, dim: int = 16,
+                      seed: int = 42, frac: float = 0.3) -> str:
+    """Level-exact replica of _q_nodeclass_rf (randomForest classifier
+    over FastRP dim-16 features, n_trees=10, max_depth=8,
+    max_features_ratio=1.0 so every split sees all features and the
+    DFS-node-id feature-subset hash drops out): same holdout/bootstrap
+    scheme as _nodereg_rf_sql, then ``depth`` unrolled CART levels with
+    the weighted-Gini split search — candidates at distinct-value
+    boundaries per (tree, path, feature), score = (nl·gl + nr·gr)/n
+    with gl = 1 − ((l0/nl)² + (l1/nl)²) in the engine's exact float
+    order (class counts are exact integers, so scores are bit-identical
+    and the strict tie-breaks — first minimum within a feature, lowest
+    feature index across features, i.e. ORDER BY score, j, x — are
+    safe); gates = size ≥ 2 and not pure. Leaf value = class count
+    ratios; prediction = soft-vote (mean of leaf distributions over
+    trees), argmax ties → class 0 via the strict p1 > p0 CASE, round-6
+    probability. Verified 0 mismatches vs the driver-side numpy forest
+    at sf0.001/sf0.01."""
+    parts = list(_fastrp_parts(dim, seed))
+    salt_split = (0x9E3779B97F4A7C15 * (seed + 1)) % _M64
+    unif = (
+        "(CAST(" + _sql_mix64(
+            f"CAST(xor(CAST(n.node AS UBIGINT), CAST({salt_split} AS UBIGINT)) AS HUGEINT)")
+        + " AS DOUBLE) + 1.0) / 18446744073709551616.0"
+    )
+    salts = [(seed * 0x9E3779B97F4A7C15 + (t + 1) * 0xC2B2AE3D27D4EB4F) % _M64
+             for t in range(trees)]
+    tree_salt = "CASE " + " ".join(
+        f"WHEN t = {t} THEN CAST({s} AS UBIGINT)" for t, s in enumerate(salts)) + " END"
+    mix_draw = _sql_mix64(f"CAST(xor(CAST(i AS UBIGINT), {tree_salt}) AS HUGEINT)")
+    parts += [
+        "dsts AS MATERIALIZED (SELECT DISTINCT dst_id AS node FROM e0),",
+        "labs AS MATERIALIZED (SELECT n.node, CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END AS y, "
+        f"({unif} < {frac}) AS te FROM nodes n LEFT JOIN dsts d ON d.node = n.node),",
+        "trn AS MATERIALIZED (SELECT node, y, ROW_NUMBER() OVER (ORDER BY node) - 1 AS pos "
+        "FROM labs WHERE NOT te),",
+        "ntr AS (SELECT COUNT(*) AS c FROM trn),",
+        "boot AS MATERIALIZED (SELECT d.t, d.i, r.node, r.y FROM "
+        f"(SELECT t, i, CAST({mix_draw} % CAST((SELECT c FROM ntr) AS UBIGINT) AS BIGINT) AS pos "
+        f"FROM (SELECT unnest(generate_series(0, {trees - 1})) AS t) "
+        "CROSS JOIN (SELECT unnest(generate_series(0, (SELECT c FROM ntr) - 1)) AS i)) d "
+        "JOIN trn r ON r.pos = d.pos),",
+        "s0 AS MATERIALIZED (SELECT t, i, node, y, '' AS path FROM boot),",
+    ]
+    for d in range(depth):
+        parts += [
+            f"gx{d} AS MATERIALIZED (SELECT s.t, s.path, el.j, el.v AS x, "
+            "COUNT(*) AS cnt, SUM(s.y) AS c1 "
+            f"FROM s{d} s JOIN el ON el.node = s.node WHERE length(s.path) = {d} "
+            "GROUP BY s.t, s.path, el.j, el.v),",
+            f"cx{d} AS MATERIALIZED (SELECT t, path, j, x, "
+            "CAST(SUM(cnt) OVER w AS DOUBLE) AS nl, CAST(SUM(c1) OVER w AS DOUBLE) AS l1, "
+            "CAST(SUM(cnt) OVER (PARTITION BY t, path, j) AS DOUBLE) AS n, "
+            "CAST(SUM(c1) OVER (PARTITION BY t, path, j) AS DOUBLE) AS a1, "
+            f"LEAD(x) OVER w AS nx FROM gx{d} "
+            "WINDOW w AS (PARTITION BY t, path, j ORDER BY x "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),",
+            f"gate{d} AS (SELECT t, path FROM (SELECT t, path, COUNT(*) AS n, SUM(y) AS p1 "
+            f"FROM s{d} WHERE length(path) = {d} GROUP BY t, path) "
+            "WHERE n >= 2 AND p1 > 0 AND p1 < n),",
+            f"sc{d} AS MATERIALIZED (SELECT c.t, c.path, c.j, 0.5 * (c.x + c.nx) AS thr, c.x, "
+            "(c.nl * (1.0 - (((c.nl - c.l1) / c.nl) * ((c.nl - c.l1) / c.nl) "
+            "+ (c.l1 / c.nl) * (c.l1 / c.nl))) "
+            "+ (c.n - c.nl) * (1.0 - (((c.n - c.nl - (c.a1 - c.l1)) / (c.n - c.nl)) "
+            "* ((c.n - c.nl - (c.a1 - c.l1)) / (c.n - c.nl)) "
+            "+ ((c.a1 - c.l1) / (c.n - c.nl)) * ((c.a1 - c.l1) / (c.n - c.nl))))) / c.n AS score "
+            f"FROM cx{d} c JOIN gate{d} g ON g.t = c.t AND g.path = c.path "
+            "WHERE c.nx IS NOT NULL AND c.nl >= 1 AND (c.n - c.nl) >= 1),",
+            f"sp{d} AS MATERIALIZED (SELECT t, path, j, thr FROM "
+            f"(SELECT t, path, j, thr, ROW_NUMBER() OVER (PARTITION BY t, path "
+            f"ORDER BY score, j, x) AS rn FROM sc{d}) WHERE rn = 1),",
+            f"s{d + 1} AS MATERIALIZED (SELECT s.t, s.i, s.node, s.y, "
+            "CASE WHEN sp.thr IS NULL THEN s.path "
+            "WHEN ex.v <= sp.thr THEN s.path || 'L' ELSE s.path || 'R' END AS path "
+            f"FROM s{d} s LEFT JOIN sp{d} sp ON sp.t = s.t AND sp.path = s.path "
+            "LEFT JOIN el ex ON ex.node = s.node AND ex.j = sp.j),",
+        ]
+    parts.append(
+        f"leaf AS MATERIALIZED (SELECT t, path, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p1, "
+        "CAST(COUNT(*) - SUM(y) AS DOUBLE) / COUNT(*) AS q0 "
+        f"FROM s{depth} GROUP BY t, path),"
+    )
+    parts.append(
+        "p0 AS MATERIALIZED (SELECT g.t, n.node, '' AS path FROM nodes n "
+        f"CROSS JOIN (SELECT unnest(generate_series(0, {trees - 1})) AS t) g),"
+    )
+    for d in range(depth):
+        parts.append(
+            f"p{d + 1} AS MATERIALIZED (SELECT p.t, p.node, "
+            "CASE WHEN sp.thr IS NULL THEN p.path "
+            "WHEN ex.v <= sp.thr THEN p.path || 'L' ELSE p.path || 'R' END AS path "
+            f"FROM p{d} p LEFT JOIN sp{d} sp ON sp.t = p.t AND sp.path = p.path "
+            "LEFT JOIN el ex ON ex.node = p.node AND ex.j = sp.j),"
+        )
+    parts += [
+        f"pred AS (SELECT p.node, SUM(leaf.p1) / {trees} AS p1, "
+        f"SUM(leaf.q0) / {trees} AS p0 FROM p{depth} p "
+        "JOIN leaf ON leaf.t = p.t AND leaf.path = p.path GROUP BY p.node)",
+        "SELECT node AS node_id, "
+        "CAST(CASE WHEN p1 > p0 THEN 1 ELSE 0 END AS BIGINT) AS predicted_label, "
+        "ROUND(CASE WHEN p1 > p0 THEN p1 ELSE p0 END, 6) AS probability "
+        "FROM pred ORDER BY node",
+    ]
+    return "\n".join(parts)
+
+
 # --- GraphSAGE oracle (see _graphsage_sql docstring) -----------------------
 _GS_M64 = 2 ** 64
 _GS_GOLD = 0x9E3779B97F4A7C15
@@ -5485,6 +5594,7 @@ def oracle_sql() -> dict[str, str]:
         "nodeclass_pipeline": _nodeclass_sql(),
         "linkpred_pipeline": _linkpred_pipeline_sql(),
         "nodereg_rf_pipeline": _nodereg_rf_sql(),
+        "nodeclass_rf_pipeline": _nodeclass_rf_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),
