@@ -1704,13 +1704,28 @@ def _q_graphsage(sf_dir: str):
 
 
 def _q_node2vec(sf_dir: str):
+    """Node2Vec on the ps projection: 64 smallest start nodes × 2 walks
+    of length 10, window 3, 2 SGNS epochs. With p=q=1 the walk corpus
+    fits one 8192-pair SGD batch, so training is exactly two full-batch
+    steps (lr 0.025 then 0.0125) — replayed by _node2vec_sql. Output
+    exploded to round-6 (node_id, dim, value) rows."""
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.node2vec import node2vec
 
     edges = _edges_ps(sf_dir)
     ids = unique_node_ids(edges)
-    return node2vec(edges, ids[:64], dimension=16, walk_length=10,
-                    walks_per_node=2, window=3, epochs=1, seed=42)
+    t = node2vec(edges, ids[:64], dimension=16, walk_length=10,
+                 walks_per_node=2, window=3, epochs=2, seed=42)
+    nid = t.column("node_id").to_numpy(zero_copy_only=False)
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n, d = emb.shape
+    return pa.table(
+        {
+            "node_id": pa.array(np.repeat(nid, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+            "value": pa.array(np.round(emb.ravel(), 6), pa.float64()),
+        }
+    )
 
 
 def _q_linkpred(sf_dir: str):
@@ -4841,6 +4856,138 @@ def _nodeclass_rf_sql(trees: int = 10, depth: int = 8, dim: int = 16,
     return "\n".join(parts)
 
 
+def _n2v_key(walk_expr: str, dst_expr: str, step: int, seed: int = 42) -> str:
+    """SQL replica of algos/randomwalk._walk_key(seed, walk, step, dst)."""
+    base = ((seed * 0x9E3779B97F4A7C15) ^ (step * 0x85EBCA6B + 1)) % _M64
+    inner = (
+        f"CAST(xor(xor({_sql_mulmod64(f'CAST(({walk_expr}) AS HUGEINT)', 0xC2B2AE3D27D4EB4F)}, "
+        f"CAST(({dst_expr}) AS UBIGINT)), CAST({base} AS UBIGINT)) AS HUGEINT)"
+    )
+    return _sql_mix64(inner)
+
+
+def _node2vec_sql(epochs: int = 2, dim: int = 16, wlen: int = 10, wpn: int = 2,
+                  nstart: int = 64, window: int = 3, neg: int = 5,
+                  seed: int = 42) -> str:
+    """Walk- and step-exact replica of _q_node2vec (algos/node2vec with
+    p=q=1, 64 starts × 2 walks × length 10, window 3, 2 SGNS epochs):
+    walks on the symmetrized ps projection pick per step the neighbor
+    minimizing the exponential race -ln((walk_key+1)/2^64) (all second-
+    order weights are 1 at p=q=1), tie → smallest neighbor — one join +
+    window per step, NOT a LATERAL (the nested-loop re-evaluates the
+    mulmod key per pair and is ~100× slower). Skip-gram pairs are
+    numbered in the engine's construction order (offset k, direction,
+    walk, step) so the hash-drawn negatives (walk_key(seed^0xABCDEF,
+    pair, epoch, j) % |vocab| as a MATERIALIZED rank column — inlining
+    it in the join predicate also forces a nested loop) line up
+    draw-for-draw. With the context matrix starting at zero, epoch 1
+    leaves W exactly unchanged (σ(0)=1/2, gradients hit zero vectors)
+    and only updates Cm with ±0.5·lr·W0 scatter-sums; epoch 2 applies
+    the real clipped-sigmoid SGNS step at lr 0.0125. Init is one
+    splitmix64 uniform per (node, dim). Verified 0 round-6 mismatches
+    vs the engine at sf0.001 and sf0.01."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_E_PS}),",
+        "und AS MATERIALIZED (SELECT DISTINCT s, d FROM "
+        "(SELECT src_id AS s, dst_id AS d FROM e0 UNION ALL SELECT dst_id, src_id FROM e0)),",
+        "allids AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src_id AS node FROM e0 UNION ALL SELECT dst_id FROM e0)),",
+        f"st AS (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS r FROM allids "
+        f"ORDER BY node LIMIT {nstart}),",
+        f"wk0 AS MATERIALIZED (SELECT st.r * {wpn} + j.j AS w, st.node AS cur, "
+        f"0 AS step FROM st CROSS JOIN (SELECT unnest(generate_series(0, {wpn - 1})) AS j) j),",
+    ]
+    for s in range(1, wlen):
+        race = (f"-ln((CAST({_n2v_key('wkr.w', 'und.d', s, seed)} AS DOUBLE) + 1.0) "
+                "/ 18446744073709551616.0)")
+        parts.append(
+            f"wk{s} AS MATERIALIZED (SELECT w, cur, {s} AS step FROM "
+            f"(SELECT wkr.w, und.d AS cur, ROW_NUMBER() OVER (PARTITION BY wkr.w "
+            f"ORDER BY {race}, und.d) AS rn FROM wk{s-1} wkr "
+            "JOIN und ON und.s = wkr.cur) WHERE rn = 1),"
+        )
+    walk_union = " UNION ALL ".join(
+        f"SELECT w, step, cur AS node FROM wk{s}" for s in range(wlen))
+    parts += [
+        f"wt AS MATERIALIZED (SELECT * FROM ({walk_union})),",
+        "voc AS MATERIALIZED (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS r "
+        "FROM (SELECT DISTINCT node FROM wt)),",
+        "nv AS (SELECT COUNT(*) AS n FROM voc),",
+    ]
+    blocks = []
+    for k in range(1, window + 1):
+        blocks.append(
+            f"SELECT {k} AS k, 0 AS dir, a.w, a.step, a.node AS c, b.node AS x "
+            f"FROM wt a JOIN wt b ON b.w = a.w AND b.step = a.step + {k}"
+        )
+        blocks.append(
+            f"SELECT {k}, 1, a.w, a.step, b.node, a.node "
+            f"FROM wt a JOIN wt b ON b.w = a.w AND b.step = a.step + {k}"
+        )
+    parts += [
+        "pr AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY k, dir, w, step) - 1 AS p, "
+        "c, x FROM (" + " UNION ALL ".join(blocks) + ")),",
+        f"dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS j),",
+        "w0 AS MATERIALIZED (SELECT v.node, g.j, "
+        f"((CAST({_n2v_key('v.node', 'g.j', 0, seed)} AS DOUBLE) + 1.0) "
+        f"/ 18446744073709551616.0 - 0.5) / {dim} AS v FROM voc v CROSS JOIN dims g),",
+    ]
+    lrs = [0.025, 0.0125]
+    nseed = seed ^ 0xABCDEF
+    for ep in range(epochs):
+        e = f"n{ep}_"
+        kn = _n2v_key("ng.p", "ng.j", ep, nseed)
+        parts += [
+            f"{e}rk AS MATERIALIZED (SELECT ng.p, ng.j, "
+            f"CAST({kn} % CAST((SELECT n FROM nv) AS UBIGINT) AS BIGINT) AS r FROM "
+            f"(SELECT p, j FROM pr CROSS JOIN (SELECT unnest(generate_series(0, {neg - 1})) AS j)) ng),",
+            f"{e}neg AS MATERIALIZED (SELECT ng.p, ng.j, vv.node AS nd FROM "
+            f"{e}rk ng JOIN voc vv ON vv.r = ng.r),",
+        ]
+        if ep == 0:
+            parts += [
+                "c1x AS MATERIALIZED (SELECT pr.x AS node, w.j, SUM(0.5 * w.v) AS v "
+                "FROM pr JOIN w0 w ON w.node = pr.c GROUP BY pr.x, w.j),",
+                f"c1n AS MATERIALIZED (SELECT ng.nd AS node, w.j, SUM(-0.5 * w.v) AS v "
+                f"FROM {e}neg ng JOIN pr ON pr.p = ng.p JOIN w0 w ON w.node = pr.c "
+                "GROUP BY ng.nd, w.j),",
+                "cm1 AS MATERIALIZED (SELECT v.node, g.j, "
+                f"(0.0 + {lrs[0]!r} * COALESCE(cx.v, 0)) + {lrs[0]!r} * COALESCE(cn.v, 0) AS v "
+                "FROM voc v CROSS JOIN dims g "
+                "LEFT JOIN c1x cx ON cx.node = v.node AND cx.j = g.j "
+                "LEFT JOIN c1n cn ON cn.node = v.node AND cn.j = g.j),",
+            ]
+        else:
+            parts += [
+                f"{e}zp AS MATERIALIZED (SELECT pr.p, pr.c, pr.x, SUM(w.v * cm.v) AS z "
+                "FROM pr JOIN w0 w ON w.node = pr.c "
+                "JOIN cm1 cm ON cm.node = pr.x AND cm.j = w.j GROUP BY pr.p, pr.c, pr.x),",
+                f"{e}gp AS (SELECT p, c, x, "
+                f"1.0 - 1.0 / (1.0 + exp(-GREATEST(LEAST(z, 30.0), -30.0))) AS g FROM {e}zp),",
+                f"{e}zn AS MATERIALIZED (SELECT ng.p, ng.j AS nj, ng.nd, SUM(w.v * cm.v) AS z "
+                f"FROM {e}neg ng JOIN pr ON pr.p = ng.p JOIN w0 w ON w.node = pr.c "
+                "JOIN cm1 cm ON cm.node = ng.nd AND cm.j = w.j GROUP BY ng.p, ng.j, ng.nd),",
+                f"{e}gn AS (SELECT p, nj, nd, "
+                f"-(1.0 / (1.0 + exp(-GREATEST(LEAST(z, 30.0), -30.0)))) AS g FROM {e}zn),",
+                f"{e}gw AS MATERIALIZED (SELECT t.c AS node, t.j, SUM(t.v) AS v FROM ("
+                f"SELECT gp.p, gp.c, cm.j, gp.g * cm.v AS v FROM {e}gp gp "
+                "JOIN cm1 cm ON cm.node = gp.x "
+                f"UNION ALL SELECT gn.p, pr.c, cm.j, gn.g * cm.v FROM {e}gn gn "
+                "JOIN pr ON pr.p = gn.p JOIN cm1 cm ON cm.node = gn.nd) t "
+                "GROUP BY t.c, t.j),",
+                f"w{ep + 1} AS MATERIALIZED (SELECT w.node, w.j, "
+                f"w.v + {lrs[ep]!r} * COALESCE(g.v, 0) AS v FROM w0 w "
+                f"LEFT JOIN {e}gw g ON g.node = w.node AND g.j = w.j),",
+            ]
+    parts[-1] = parts[-1].rstrip(",")
+    final = f"w{epochs}" if epochs > 1 else "w0"
+    parts.append(
+        "SELECT node AS node_id, CAST(j AS BIGINT) AS dim, ROUND(v, 6) AS value "
+        f"FROM {final} ORDER BY node, j"
+    )
+    return "\n".join(parts)
+
+
 # --- GraphSAGE oracle (see _graphsage_sql docstring) -----------------------
 _GS_M64 = 2 ** 64
 _GS_GOLD = 0x9E3779B97F4A7C15
@@ -5595,6 +5742,7 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_pipeline": _linkpred_pipeline_sql(),
         "nodereg_rf_pipeline": _nodereg_rf_sql(),
         "nodeclass_rf_pipeline": _nodeclass_rf_sql(),
+        "node2vec_embeddings": _node2vec_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),

@@ -269,10 +269,13 @@ def node2vec(
     C = np.concatenate(centers)
     X = np.concatenate(contexts)
 
-    # deterministic init from node hash
-    h = _walk_key(seed, vocab, 0, np.arange(n, dtype=np.int64))
-    rng = np.random.default_rng(np.asarray(h, dtype=np.uint64))
-    W = (rng.random((n, dimension)) - 0.5) / dimension
+    # deterministic init: one splitmix64 uniform per (node, dim) — the
+    # repo's hash idiom (partitioning-invariant, replayable in SQL),
+    # not a stateful RNG stream
+    hk = _walk_key(seed, np.repeat(vocab, dimension),
+                   0, np.tile(np.arange(dimension, dtype=np.int64), n))
+    W = (((hk.astype(np.float64) + 1.0) / float(2**64)) - 0.5).reshape(
+        n, dimension) / dimension
     Cm = np.zeros((n, dimension))
 
     n_pairs = C.shape[0]
