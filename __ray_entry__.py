@@ -1531,12 +1531,18 @@ def _language_id_sql() -> str:
 
 
 def _q_hdbscan(sf_dir: str):
+    """HDBSCAN over the embeddings table, min_cluster_size=5 (the
+    classic default; 8 condenses this corpus to all-noise at sf0.01,
+    which would make the check trivial). Labels are canonical
+    (numbered by smallest member id); DuckDB-matched via _hdbscan_sql."""
     import ray.data
 
     from graph_data_science_ray.algos.hdbscan import hdbscan
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return hdbscan(ds, min_cluster_size=8).to_table()
+    t = hdbscan(ds, min_cluster_size=5).to_table()
+    o = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False), kind="stable")
+    return t.take(pa.array(o, pa.int64()))
 
 
 def _q_modularity_optimization(sf_dir: str):
@@ -4988,6 +4994,190 @@ def _node2vec_sql(epochs: int = 2, dim: int = 16, wlen: int = 10, wpn: int = 2,
     return "\n".join(parts)
 
 
+def _hdbscan_sql(mcs: int = 5, rounds: int = 8) -> str:
+    """Replica of _q_hdbscan (algos/hdbscan.hdbscan, candidate="exact",
+    min_cluster_size = min_samples = 5, canonical labels): (1) squared
+    distances via the engine's exact dot-trick float order (ss_a -
+    2*dot + ss_b), core distance = 5th-smallest-other; (2) Boruvka over
+    the implicit mutual-reachability graph — per-component champion =
+    lex-min (w, lo, hi) over outgoing pairs, equivalent to the engine's
+    per-row first-min-column + per-component lexsort pick; per-round
+    min-label merge by closure doubling (every g CTE MATERIALIZED —
+    inlined, the doubled self-references re-evaluate the chain
+    exponentially); champion graphs are 2-cycle-free under a consistent
+    total order, so every deduped champion edge joins the forest, which
+    the 0-mismatch validation confirms; (3) the single-linkage
+    dendrogram replayed as a 500-row-state recursive union-find over
+    edges ranked (w, round, lo, hi) — the engine's stable ascending
+    sort of the round-ordered forest — emitting a (step, point, label)
+    log from which per-step side sizes, per-point merge chains,
+    fall-out steps (max chain step with own side < mcs; own-side size
+    is monotone in rank, so this equals the engine's top-down first
+    failure), innermost true splits, and cluster keys (2*step+side for
+    split-born clusters, -(component+1) for roots) all come from plain
+    joins; (4) excess-of-mass selection bottom-up in 16 unrolled
+    resolution passes (a cluster resolves once all children have;
+    covers condensed trees up to depth 16 — this corpus has depth <=
+    4), root clusters unselectable when the forest has a single root
+    or the component is under min_cluster_size; descendant deselection
+    via ancestor closure; labels = canonical rank by smallest member
+    vec_id, matching the engine's canonical relabeling. All
+    discrete decisions compare integer counts or identical-float-order
+    expressions; MR-weight near-ties closer than the ~1e-13 cross-
+    engine dot drift are the only mismatch risk (measured min distinct-
+    weight gap here: 4.5e-8). Verified 0 label mismatches vs the
+    engine at sf0.001 and sf0.01."""
+    parts = [
+        "WITH RECURSIVE emb AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS p, "
+        "vec_id, embedding AS e FROM embeddings),",
+        "ssq AS MATERIALIZED (SELECT p, vec_id, e, list_inner_product(e, e) AS ss FROM emb),",
+        "d2 AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb, "
+        "(a.ss - 2.0 * list_inner_product(a.e, b.e)) + b.ss AS d FROM ssq a "
+        "JOIN ssq b ON a.p <> b.p),",
+        f"core AS MATERIALIZED (SELECT pa AS p, sqrt(GREATEST(d, 0.0)) AS c FROM "
+        f"(SELECT pa, d, ROW_NUMBER() OVER (PARTITION BY pa ORDER BY d) AS rn FROM d2) "
+        f"WHERE rn = {mcs}),",
+        "mr AS MATERIALIZED (SELECT d2.pa, d2.pb, "
+        "GREATEST(ca.c, cb.c, sqrt(GREATEST(d2.d, 0.0))) AS w, "
+        "LEAST(d2.pa, d2.pb) AS lo, GREATEST(d2.pa, d2.pb) AS hi FROM d2 "
+        "JOIN core ca ON ca.p = d2.pa JOIN core cb ON cb.p = d2.pb),",
+        "cmp0 AS MATERIALIZED (SELECT p, p AS c FROM emb),",
+    ]
+    for r in range(rounds):
+        parts += [
+            f"ch{r} AS MATERIALIZED (SELECT lo, hi, w FROM "
+            f"(SELECT ca.c AS cc, mr.w, mr.lo, mr.hi, ROW_NUMBER() OVER "
+            f"(PARTITION BY ca.c ORDER BY mr.w, mr.lo, mr.hi) AS rn FROM mr "
+            f"JOIN cmp{r} ca ON ca.p = mr.pa JOIN cmp{r} cb ON cb.p = mr.pb "
+            "WHERE ca.c <> cb.c) WHERE rn = 1),",
+            f"ea{r} AS MATERIALIZED (SELECT DISTINCT lo, hi, w FROM ch{r}),",
+            f"g{r}_0 AS MATERIALIZED (SELECT ca.c AS x, cb.c AS y FROM ea{r} e "
+            f"JOIN cmp{r} ca ON ca.p = e.lo JOIN cmp{r} cb ON cb.p = e.hi "
+            f"UNION SELECT cb.c, ca.c FROM ea{r} e "
+            f"JOIN cmp{r} ca ON ca.p = e.lo JOIN cmp{r} cb ON cb.p = e.hi "
+            f"UNION SELECT c, c FROM cmp{r}),",
+        ]
+        for k in range(9):
+            parts.append(
+                f"g{r}_{k+1} AS MATERIALIZED (SELECT DISTINCT a.x, b.y FROM g{r}_{k} a "
+                f"JOIN g{r}_{k} b ON b.x = a.y),"
+            )
+        parts.append(
+            f"cmp{r+1} AS MATERIALIZED (SELECT cm.p, mn.nc AS c FROM cmp{r} cm JOIN "
+            f"(SELECT x, MIN(y) AS nc FROM g{r}_9 GROUP BY x) mn ON mn.x = cm.c),"
+        )
+    all_edges = " UNION ALL ".join(
+        f"SELECT lo, hi, w, {r} AS rnd FROM ea{r}" for r in range(rounds))
+    parts += [
+        f"fe AS MATERIALIZED (SELECT lo, hi, w, "
+        f"ROW_NUMBER() OVER (ORDER BY w, rnd, lo, hi) - 1 AS i FROM ({all_edges})),",
+        "uf AS (SELECT 0 AS it, p, -(p + 1) AS lab FROM emb "
+        "UNION ALL SELECT s.it + 1, s.p, "
+        "CASE WHEN s.lab = su.lab OR s.lab = sv.lab THEN s.it ELSE s.lab END "
+        "FROM uf s JOIN fe e ON e.i = s.it "
+        "JOIN uf su ON su.p = e.lo JOIN uf sv ON sv.p = e.hi),",
+        "szl AS MATERIALIZED (SELECT it, lab, COUNT(*) AS n FROM uf GROUP BY it, lab),",
+        "st AS MATERIALIZED (SELECT e.i, e.w, e.lo, e.hi, su.lab AS lu, sv.lab AS lv, "
+        "na.n AS sa, nb.n AS sb, 1.0 / GREATEST(e.w, 1e-12) AS lam FROM fe e "
+        "JOIN uf su ON su.it = e.i AND su.p = e.lo "
+        "JOIN uf sv ON sv.it = e.i AND sv.p = e.hi "
+        "JOIN szl na ON na.it = e.i AND na.lab = su.lab "
+        "JOIN szl nb ON nb.it = e.i AND nb.lab = sv.lab),",
+        f"ts AS MATERIALIZED (SELECT * FROM st WHERE sa >= {mcs} AND sb >= {mcs}),",
+        "chain AS MATERIALIZED (SELECT a.p, a.it AS i, szl.n AS own FROM uf a "
+        "JOIN uf b ON b.p = a.p AND b.it = a.it + 1 AND b.lab <> a.lab "
+        "JOIN szl ON szl.it = a.it AND szl.lab = a.lab),",
+        f"fo AS MATERIALIZED (SELECT p, MAX(i) AS fi FROM chain WHERE own < {mcs} GROUP BY p),",
+        "ptl AS MATERIALIZED (SELECT fo.p, fo.fi, 1.0 / GREATEST(fe.w, 1e-12) AS lam "
+        "FROM fo JOIN fe ON fe.i = fo.fi),",
+        "tp AS MATERIALIZED (SELECT fo.p, MIN(ch.i) AS ti FROM fo "
+        "JOIN chain ch ON ch.p = fo.p AND ch.i > fo.fi "
+        "JOIN ts ON ts.i = ch.i GROUP BY fo.p),",
+        "mfin AS (SELECT COUNT(*) AS m FROM fe),",
+        "cmp_of AS MATERIALIZED (SELECT a.p, MIN(b.p) AS comp FROM uf a "
+        "JOIN uf b ON b.it = a.it AND b.lab = a.lab "
+        "WHERE a.it = (SELECT m FROM mfin) GROUP BY a.p),",
+        "onu AS MATERIALIZED (SELECT u2.p, ts.i FROM ts "
+        "JOIN uf u2 ON u2.it = ts.i AND u2.lab = ts.lu),",
+        "ptc AS MATERIALIZED (SELECT f.p, f.fi, pl.lam, "
+        "CASE WHEN t.ti IS NULL THEN -(c.comp + 1) "
+        "WHEN ou.p IS NOT NULL THEN 2 * t.ti ELSE 2 * t.ti + 1 END AS ck "
+        "FROM fo f JOIN ptl pl ON pl.p = f.p "
+        "LEFT JOIN tp t ON t.p = f.p "
+        "LEFT JOIN onu ou ON ou.p = f.p AND ou.i = t.ti "
+        "JOIN cmp_of c ON c.p = f.p),",
+        "iso AS (SELECT e.p FROM emb e WHERE e.p NOT IN (SELECT p FROM chain)),",
+        "ptall AS MATERIALIZED (SELECT p, ck, lam FROM ptc "
+        "UNION ALL SELECT p, -(p + 1), 1.0 / 1e-12 FROM iso),",
+        "comps AS MATERIALIZED (SELECT comp, COUNT(*) AS csz FROM "
+        "(SELECT p, comp FROM cmp_of UNION ALL SELECT p, p FROM iso) GROUP BY comp),",
+        "nroot AS (SELECT COUNT(*) AS k FROM comps),",
+        "tsp AS MATERIALIZED (SELECT ts.i, ts.lo, ts.lam, ts.sa + ts.sb AS sz, "
+        "(SELECT MIN(ch.i) FROM chain ch JOIN ts t2 ON t2.i = ch.i "
+        "WHERE ch.p = ts.lo AND ch.i > ts.i) AS pti, cf.comp FROM ts "
+        "JOIN cmp_of cf ON cf.p = ts.lo),",
+        "tck AS MATERIALIZED (SELECT tsp.i, tsp.lam, tsp.sz, "
+        "CASE WHEN tsp.pti IS NULL THEN -(tsp.comp + 1) "
+        "WHEN ou.p IS NOT NULL THEN 2 * tsp.pti ELSE 2 * tsp.pti + 1 END AS ck "
+        "FROM tsp LEFT JOIN onu ou ON ou.p = tsp.lo AND ou.i = tsp.pti),",
+        "cl AS MATERIALIZED ("
+        "SELECT -(comp + 1) AS ck, 0.0 AS birth, CAST(NULL AS BIGINT) AS pck, "
+        f"(csz < {mcs}) AS small FROM comps "
+        "UNION ALL SELECT 2 * i, lam, ck, FALSE FROM tck "
+        "UNION ALL SELECT 2 * i + 1, lam, ck, FALSE FROM tck),",
+        "stab AS MATERIALIZED (SELECT cl.ck, "
+        "COALESCE(pf.s, 0.0) + COALESCE(sf.s, 0.0) AS s FROM cl "
+        "LEFT JOIN (SELECT pt.ck, SUM(LEAST(pt.lam, 1.0 / 1e-12) - c2.birth) AS s "
+        "FROM ptall pt JOIN cl c2 ON c2.ck = pt.ck GROUP BY pt.ck) pf ON pf.ck = cl.ck "
+        "LEFT JOIN (SELECT t.ck, SUM((t.lam - c3.birth) * t.sz) AS s "
+        "FROM tck t JOIN cl c3 ON c3.ck = t.ck GROUP BY t.ck) sf ON sf.ck = cl.ck),",
+        "kidn AS (SELECT pck AS ck, COUNT(*) AS nk FROM cl "
+        "WHERE pck IS NOT NULL GROUP BY pck),",
+        # bottom-up excess-of-mass selection, unrolled passes
+        "res0 AS MATERIALIZED (SELECT cl.ck, "
+        "NOT (cl.pck IS NULL AND ((SELECT k FROM nroot) = 1 OR cl.small)) AS selected, "
+        "CASE WHEN cl.pck IS NULL AND ((SELECT k FROM nroot) = 1 OR cl.small) "
+        "THEN 0.0 ELSE stab.s END AS sub "
+        "FROM cl JOIN stab ON stab.ck = cl.ck "
+        "LEFT JOIN kidn ON kidn.ck = cl.ck WHERE kidn.ck IS NULL),",
+    ]
+    for k in range(16):
+        parts.append(
+            f"res{k+1} AS MATERIALIZED (SELECT * FROM res{k} "
+            "UNION ALL "
+            "SELECT cl.ck, "
+            "NOT ((cl.pck IS NULL AND ((SELECT k FROM nroot) = 1 OR cl.small)) "
+            "OR ks.ksum > stab.s) AS selected, "
+            "CASE WHEN (cl.pck IS NULL AND ((SELECT k FROM nroot) = 1 OR cl.small)) "
+            "OR ks.ksum > stab.s THEN ks.ksum ELSE stab.s END AS sub "
+            "FROM cl JOIN stab ON stab.ck = cl.ck JOIN kidn ON kidn.ck = cl.ck "
+            f"JOIN (SELECT c2.pck AS ck, SUM(r2.sub) AS ksum, COUNT(*) AS nres "
+            f"FROM res{k} r2 JOIN cl c2 ON c2.ck = r2.ck GROUP BY c2.pck) ks "
+            "ON ks.ck = cl.ck AND ks.nres = kidn.nk "
+            f"WHERE cl.ck NOT IN (SELECT ck FROM res{k})),"
+        )
+    RES = "res16"
+    parts += [
+        "anc AS MATERIALIZED (WITH RECURSIVE a AS ("
+        "SELECT ck, pck AS anc FROM cl WHERE pck IS NOT NULL "
+        "UNION ALL SELECT a.ck, cl.pck FROM a JOIN cl ON cl.ck = a.anc "
+        "WHERE cl.pck IS NOT NULL) SELECT * FROM a),",
+        f"fsel AS MATERIALIZED (SELECT s.ck FROM {RES} s WHERE s.selected "
+        "AND NOT EXISTS (SELECT 1 FROM anc "
+        f"JOIN {RES} s2 ON s2.ck = anc.anc AND s2.selected WHERE anc.ck = s.ck)),",
+        "ancself AS (SELECT ck, ck AS anc FROM cl UNION ALL SELECT ck, anc FROM anc),",
+        "plab AS MATERIALIZED (SELECT pt.p, f.ck FROM ptall pt "
+        "JOIN ancself ax ON ax.ck = pt.ck JOIN fsel f ON f.ck = ax.anc),",
+        "lmin AS (SELECT pl.ck, MIN(e.vec_id) AS mn FROM plab pl "
+        "JOIN emb e ON e.p = pl.p GROUP BY pl.ck),",
+        "lrank AS (SELECT ck, ROW_NUMBER() OVER (ORDER BY mn) - 1 AS lab FROM lmin)",
+        "SELECT e.vec_id, COALESCE(lr.lab, -1) AS cluster FROM emb e "
+        "LEFT JOIN plab pl ON pl.p = e.p "
+        "LEFT JOIN lrank lr ON lr.ck = pl.ck ORDER BY e.vec_id",
+    ]
+    return "\n".join(parts)
+
+
 # --- GraphSAGE oracle (see _graphsage_sql docstring) -----------------------
 _GS_M64 = 2 ** 64
 _GS_GOLD = 0x9E3779B97F4A7C15
@@ -5743,6 +5933,7 @@ def oracle_sql() -> dict[str, str]:
         "nodereg_rf_pipeline": _nodereg_rf_sql(),
         "nodeclass_rf_pipeline": _nodeclass_rf_sql(),
         "node2vec_embeddings": _node2vec_sql(),
+        "hdbscan_embeddings": _hdbscan_sql(),
         "betweenness_32src": _betweenness_sql(),
         "split_relationships": _split_relationships_sql(),
         "toposort_k6": _toposort_sql(6),

@@ -483,4 +483,14 @@ def _extract_labels(
             c = cl_parent[c]
         if c >= 0:
             labels[p] = label_of_cluster[c]
+    # canonical output labeling: clusters numbered by their smallest
+    # member (ids are sorted, so position order == id order) — the
+    # DFS-creation-order numbering above is traversal-dependent, which
+    # a replayed oracle cannot know without replaying the stack
+    present = [int(l) for l in np.unique(labels) if l >= 0]
+    if present:
+        firsts = {l: int(np.flatnonzero(labels == l)[0]) for l in present}
+        remap = {l: k for k, (_, l) in enumerate(
+            sorted((f, l) for l, f in firsts.items()))}
+        labels = np.array([remap.get(int(l), -1) for l in labels], dtype=np.int64)
     return labels
