@@ -962,6 +962,45 @@ def _q_mst(sf_dir: str):
     return _round6(res.edges, "weight")
 
 
+def _q_mst_max(sf_dir: str):
+    """``gds.spanningTree`` objective=maximum: identical Borůvka rounds
+    on negated weights, original weights reported back."""
+    from graph_data_science_ray.algos.mst import spanning_forest
+
+    res = spanning_forest(_edges_ps_weighted(sf_dir), objective="maximum")
+    return _round6(res.edges, "weight")
+
+
+def _q_delta_sssp(sf_dir: str):
+    """``gds.allShortestPaths.delta`` wrapper — Δ-independent; reaches
+    the identical min-plus fixpoint as sssp_bf8 after the same 8
+    frontier-limited rounds, so the two share one oracle."""
+    from graph_data_science_ray.algos.paths import delta_stepping
+
+    res = delta_stepping(_edges_ps_weighted(sf_dir), max_iterations=8)
+    m = np.isfinite(res.values)
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids[m], pa.int64()),
+            # l_quantity is integral ⇒ costs are exact integers
+            "cost_i": pa.array(np.round(res.values[m]).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _q_closeness_raw64(sf_dir: str):
+    """Closeness with useWassermanFaust=false (raw = reachable/Σd per
+    source) for the 64 smallest node ids — same MSBFS wave as the WF
+    variant, multiplier dropped."""
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.msbfs import closeness_centrality
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    t = closeness_centrality(edges, wf_improved=False, sources=ids[:64], max_depth=16)
+    return _round6(t, "closeness")
+
+
 def _q_scc(sf_dir: str):
     from graph_data_science_ray.algos.scc import strongly_connected_components
 
@@ -1243,6 +1282,30 @@ def _q_ann_topk(sf_dir: str):
     )
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     t = brute_force_topk(ds, np.array([q], dtype=np.float64), k=10)
+    t = t.drop_columns(["query_idx"])
+    return _round6(t, "score")
+
+
+def _q_sim_topk(sf_dir: str, metric: str):
+    """gds.similarity.pearson / gds.similarity.euclidean as distributed
+    top-k scans (stages/embed.brute_force_topk metric=): every vector
+    scored against the broadcast vec_id=0 query, local top-10 combiner
+    per batch. pearson = cosine of mean-centered vectors; euclidean
+    similarity = 1/(1+distance)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from graph_data_science_ray.stages.embed import brute_force_topk
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = brute_force_topk(ds, np.array([q], dtype=np.float64), k=10, metric=metric)
     t = t.drop_columns(["query_idx"])
     return _round6(t, "score")
 
@@ -2049,6 +2112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scaled": _q_scale_events,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
+        "pearson_topk": lambda sf: _q_sim_topk(sf, "pearson"),
+        "euclidean_topk": lambda sf: _q_sim_topk(sf, "euclidean"),
         "ngram_jaccard_25": _q_ngram_jaccard,
         "top_similar_pairs": _q_top_similar_pairs,
         "knn_nndescent": _q_knn_nndescent,
@@ -2060,6 +2125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_h8": _q_kcore_h8,
         "scc": _q_scc,
         "mst_forest": _q_mst,
+        "mst_maximum": _q_mst_max,
+        "delta_sssp8": _q_delta_sssp,
+        "closeness_raw_64src": _q_closeness_raw64,
         "louvain": _q_louvain,
         "leiden": _q_leiden,
         "sllpa": _q_sllpa,
@@ -3843,6 +3911,23 @@ def _mst_sql(rounds: int = 5, doubling: int = 5) -> str:
     parts[-1] = parts[-1].rstrip(",")
     sel = " UNION ALL ".join(
         f"SELECT lo AS u, hi AS v, ROUND(w, 6) AS weight FROM {nm}" for nm in pick_names
+    )
+    parts.append(f"SELECT * FROM ({sel})")
+    return "\n".join(parts)
+
+
+def _mst_max_sql(rounds: int = 5, doubling: int = 5) -> str:
+    """objective=maximum spanning forest (algos/mst.spanning_forest):
+    the engine negates weights and runs the identical Borůvka rounds
+    (arg-max = arg-min of −w, tie-break (lo, hi) unchanged), so the
+    oracle feeds _boruvka_parts the negated edge table and un-negates
+    the picked weights on output."""
+    neg = f"SELECT src_id, dst_id, -weight AS weight FROM ({_E_PS_W})"
+    parts, pick_names = _boruvka_parts(rounds, doubling, edges_sql=neg)
+    parts = list(parts)
+    parts[-1] = parts[-1].rstrip(",")
+    sel = " UNION ALL ".join(
+        f"SELECT lo AS u, hi AS v, ROUND(-w, 6) AS weight FROM {nm}" for nm in pick_names
     )
     parts.append(f"SELECT * FROM ({sel})")
     return "\n".join(parts)
@@ -5915,6 +6000,8 @@ def oracle_sql() -> dict[str, str]:
         "k1coloring": _k1coloring_sql(),
         "random_walks": _random_walks_sql(),
         "mst_forest": _mst_sql(),
+        "mst_maximum": _mst_max_sql(),
+        "delta_sssp8": _relax_sql(8, weighted=True),
         "k_spanning_tree_20": _k_spanning_sql(20),
         "bridges": _bridges_sql(),
         "articulation_points": _articulation_sql(),
@@ -5987,6 +6074,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT srcs.node AS node_id, "
             "ROUND(COALESCE((agg.cnt * 1.0 / agg.sumd) * (agg.cnt * 1.0 / (nn.n - 1)), 0), 6) AS closeness "
             "FROM srcs LEFT JOIN agg ON srcs.node = agg.src CROSS JOIN nn"
+        ),
+        "closeness_raw_64src": (
+            # closeness_64src without the WF multiplier: raw = cnt/Σd
+            f"WITH RECURSIVE e AS ({_E_PS}), "
+            "und AS (SELECT DISTINCT a, b FROM "
+            "(SELECT src_id a, dst_id b FROM e UNION ALL SELECT dst_id, src_id FROM e)), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT a AS node FROM und UNION ALL SELECT b FROM und)), "
+            "srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 64), "
+            "walk(src, node, d) AS ("
+            "SELECT node, node, 0 FROM srcs "
+            "UNION "
+            "SELECT walk.src, und.b, walk.d + 1 FROM walk JOIN und ON walk.node = und.a "
+            "WHERE walk.d < 16), "
+            "md AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY src, node), "
+            "agg AS (SELECT src, SUM(d) AS sumd, COUNT(*) AS cnt FROM md WHERE d > 0 GROUP BY src) "
+            "SELECT srcs.node AS node_id, "
+            "ROUND(COALESCE(agg.cnt * 1.0 / agg.sumd, 0), 6) AS closeness "
+            "FROM srcs LEFT JOIN agg ON srcs.node = agg.src"
         ),
         "all_shortest_paths_64src": (
             # same recursive walk as harmonic_64src, streamed as pairs
@@ -6090,6 +6196,22 @@ def oracle_sql() -> dict[str, str]:
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, ROUND(list_cosine_similarity("
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score "
+            "FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10"
+        ),
+        "pearson_topk": (
+            # pearson(a, b) == corr over the zip-unnested elements
+            # (cov/(sd·sd) — the n vs n−1 factors cancel)
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "z AS (SELECT e.vec_id, UNNEST(CAST(e.embedding AS DOUBLE[])) AS x, "
+            "UNNEST(CAST(q.qe AS DOUBLE[])) AS y FROM embeddings e, q), "
+            "c AS (SELECT vec_id, corr(x, y) AS r FROM z GROUP BY vec_id) "
+            "SELECT vec_id, ROUND(r, 6) AS score FROM c "
+            "ORDER BY score DESC, vec_id LIMIT 10"
+        ),
+        "euclidean_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, ROUND(1.0 / (1.0 + list_distance("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))), 6) AS score "
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10"
         ),
         "embedding_label_counts": "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label",

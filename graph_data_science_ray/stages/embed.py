@@ -42,18 +42,45 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> pa.Table:
-    """Exact cosine top-k for each query row. Returns
-    (query_idx, vec_id, score) sorted by (query_idx, -score, vec_id)."""
+    """Exact similarity top-k for each query row. Returns
+    (query_idx, vec_id, score) sorted by (query_idx, -score, vec_id).
+
+    ``metric``: the gds.similarity.* scalar family over vectors —
+    ``cosine`` (default), ``pearson`` (= cosine of mean-centered
+    vectors, functions/similarity.pearson_sim), or ``euclidean``
+    (similarity 1/(1+distance), functions/similarity.euclidean_sim;
+    top-k by similarity = nearest by distance)."""
+    if metric not in ("cosine", "pearson", "euclidean"):
+        raise ValueError("metric must be cosine|pearson|euclidean")
     configure_ray_data()
-    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    if metric == "pearson":
+        q = q - q.mean(axis=1, keepdims=True)
+    if metric != "euclidean":
+        q = _normalize(q)
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        m = _normalize(_batch_matrix(batch, vec_col))
-        sims = qm @ m.T  # (Q, n)
+        m = _batch_matrix(batch, vec_col)
+        if metric == "euclidean":
+            # ‖q−x‖² by dot expansion — O(Q·n) memory, one gemm; the
+            # float64 expansion error (~1e-12 relative) is far below
+            # the round-6 comparison grain, negatives clipped to 0
+            d2 = (
+                (qm * qm).sum(axis=1)[:, None]
+                - 2.0 * (qm @ m.T)
+                + (m * m).sum(axis=1)[None, :]
+            )
+            sims = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
+        else:
+            if metric == "pearson":
+                m = m - m.mean(axis=1, keepdims=True)
+            m = _normalize(m)
+            sims = qm @ m.T  # (Q, n)
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         qi = np.repeat(np.arange(qm.shape[0], dtype=np.int64), kk)

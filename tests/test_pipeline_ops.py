@@ -120,6 +120,31 @@ def test_brute_force_topk_exact():
     assert out.column("vec_id").to_pylist()[0] == 7  # self is top-1
 
 
+def test_brute_force_topk_pearson_euclidean():
+    from graph_data_science_ray.functions.similarity import euclidean_sim, pearson_sim
+    from graph_data_science_ray.stages.embed import brute_force_topk
+
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal((80, 12))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(80), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    q = m[3]
+    for metric, fn in (("pearson", pearson_sim), ("euclidean", euclidean_sim)):
+        out = brute_force_topk(ds, np.array([q]), k=5, metric=metric)
+        scalar = np.array([fn(q, m[i]) for i in range(80)])
+        order = np.lexsort((np.arange(80), -scalar))[:5]
+        assert out.column("vec_id").to_pylist() == order.tolist()
+        got = np.array(out.column("score").to_pylist())
+        assert np.allclose(got, scalar[order], atol=1e-9)
+        assert out.column("vec_id").to_pylist()[0] == 3  # self is top-1
+
+
 def test_lsh_topk_contains_self():
     from graph_data_science_ray.stages.embed import lsh_topk
 
