@@ -2186,29 +2186,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _E_OP = "SELECT DISTINCT l_orderkey AS src_id, l_partkey AS dst_id FROM lineitem"
 _E_PS = "SELECT DISTINCT l_partkey AS src_id, l_suppkey AS dst_id FROM lineitem"
 
-# SCC oracle: componentId(v) = min node of v's strongly connected
-# component = LEAST(v, min u with v→u AND u→v in the reachability
-# closure). The closure stays small on the ps projection (dst ids form
-# a small core, ~200k pairs at sf0.01). Mirrors algos/scc.py exactly:
-# self-loops dropped first, node universe from the remaining edges.
-_SCC_SQL = (
-    f"WITH eraw AS ({_E_PS}), "
-    "e AS (SELECT CAST(src_id AS BIGINT) AS src, CAST(dst_id AS BIGINT) AS dst "
-    "      FROM eraw WHERE src_id <> dst_id), "
-    "nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e), "
-    "reach AS (WITH RECURSIVE r(a, b) AS ("
-    "  SELECT src, dst FROM e"
-    "  UNION"
-    "  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b"
-    ") SELECT a, b FROM r), "
-    "mutual AS (SELECT f.a AS v, f.b AS u FROM reach f "
-    "           JOIN reach g ON g.a = f.b AND g.b = f.a) "
-    "SELECT n.node_id AS node_id, "
-    "LEAST(n.node_id, COALESCE(MIN(m.u), n.node_id)) AS component "
-    "FROM nodes n LEFT JOIN mutual m ON m.v = n.node_id "
-    "GROUP BY n.node_id"
-)
-
 # DFS visit-order oracle: single-row stack-machine recursive CTE (the
 # docs_packed pattern). State = explicit stack of (node, depth) encoded
 # as node*16+depth (max_depth=6 < 16) plus the visited list; each
@@ -5861,7 +5838,6 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)) END, 6) AS lcc "
             "FROM deg LEFT JOIN tcnt ON deg.node_id = tcnt.node_id"
         ),
-        "scc": _SCC_SQL,
         "dfs_order": _DFS_SQL,
         "minhash_candidates": _minhash_candidates_sql(),
         "simhash_signatures": _simhash_sql(),
