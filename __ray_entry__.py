@@ -726,6 +726,22 @@ def _q_cnarw_sample(sf_dir: str):
     return cnarw_walks(edges, ids[:8], walk_length=8, walks_per_node=2, seed=42)
 
 
+def _q_rwr_sample(sf_dir: str):
+    """gds.graph.sample.rwr: induced edge table over the nodes visited by
+    restart-probability random walks (algos/randomwalk.sample_rwr;
+    splitmix64 draws make the walks deterministic, so the oracle replays
+    them step-exactly)."""
+    from graph_data_science_ray.algos.common import unique_node_ids
+    from graph_data_science_ray.algos.randomwalk import sample_rwr
+
+    edges = _edges_ps(sf_dir)
+    ids = unique_node_ids(edges)
+    return sample_rwr(
+        edges, ids[:8], restart_prob=0.2, walk_length=8,
+        walks_per_node=2, seed=42, orientation="undirected",
+    ).sort(["src_id", "dst_id"])
+
+
 def _q_toposort(sf_dir: str):
     from graph_data_science_ray.algos.toposort import topological_sort
 
@@ -2141,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "cnarw_sample": _q_cnarw_sample,
+        "rwr_sample": _q_rwr_sample,
         "topological_sort": _q_toposort,
         "toposort_k6": _q_toposort_k6,
         "dag_longest_path": _q_dag_longest_path,
@@ -3660,6 +3677,59 @@ def _cnarw_sql(walk_length: int = 8, seed: int = 42) -> str:
             f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS node_id FROM w{t}"
             for t in range(walk_length)
         )
+    )
+    return " ".join(parts)
+
+
+def _rwr_sample_sql(walk_length: int = 8, seed: int = 42,
+                    restart_prob: float = 0.2) -> str:
+    """Step-exact replica of _q_rwr_sample (algos/randomwalk.sample_rwr
+    → random_walks with restart_prob): 2 walks from each of the 8
+    smallest node ids over the symmetrized view. At step t walk w first
+    teleports back to its start iff
+    _walk_key(seed^0x5CA1AB1E, w, t, cur) % 2^20 < floor(p·2^20), then
+    moves to the out-neighbor d minimizing _walk_key(seed, w, t, d)
+    (64-bit keys → ties impossible in practice; v is the SQL tiebreak).
+    On the symmetrized view every visited node has a neighbor, so walks
+    never stop. Output = original directed edges with both endpoints in
+    the visited set (w0..w{L-1} positions), mirroring sample_rwr's
+    induced filter."""
+    thresh = int(restart_prob * (1 << 20))
+    rsalt = seed ^ 0x5CA1AB1E
+    parts = [
+        f"WITH eraw AS ({_E_PS}),",
+        "e0 AS MATERIALIZED (SELECT CAST(src_id AS BIGINT) AS src, "
+        "CAST(dst_id AS BIGINT) AS dst FROM eraw),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst, src FROM e0),",
+        "s8 AS MATERIALIZED (SELECT node_id, ROW_NUMBER() OVER (ORDER BY node_id) - 1 AS rk "
+        "FROM (SELECT DISTINCT src AS node_id FROM sym) ORDER BY node_id LIMIT 8),",
+        "w0 AS MATERIALIZED (SELECT rk * 2 + rep AS walk_id, node_id AS start, node_id AS cur "
+        "FROM s8 CROSS JOIN (VALUES (0), (1)) reps(rep)),",
+    ]
+    for t in range(1, walk_length):
+        dk = _sql_walk_key("walk_id", "cur", rsalt, t)
+        parts.append(
+            f"rs{t} AS MATERIALIZED (SELECT walk_id, start, "
+            f"CASE WHEN ({dk}) % 1048576 < {thresh} THEN start ELSE cur END AS cur "
+            f"FROM w{t - 1}),"
+        )
+        sk = _sql_walk_key("w.walk_id", "e.dst", seed, t)
+        parts.append(
+            f"cand{t} AS MATERIALIZED (SELECT w.walk_id, w.start, e.dst AS v, {sk} AS k "
+            f"FROM rs{t} w JOIN sym e ON e.src = w.cur),"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, start, v AS cur FROM ("
+            "SELECT walk_id, start, v, ROW_NUMBER() OVER (PARTITION BY walk_id "
+            f"ORDER BY k ASC, v ASC) AS rn FROM cand{t}) WHERE rn = 1),"
+        )
+    vis_union = " UNION ".join(f"SELECT cur FROM w{t}" for t in range(walk_length))
+    parts.append(f"vis AS MATERIALIZED ({vis_union})")
+    parts.append(
+        "SELECT e.src AS src_id, e.dst AS dst_id FROM e0 e "
+        "JOIN vis a ON a.cur = e.src JOIN vis b ON b.cur = e.dst "
+        "ORDER BY src_id, dst_id"
     )
     return " ".join(parts)
 
@@ -5843,6 +5913,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_sql(),
         "celf_im": _celf_sql(),
         "cnarw_sample": _cnarw_sql(),
+        "rwr_sample": _rwr_sample_sql(),
         "hashgnn_embeddings": _hashgnn_sql(),
         "quality_scores": _QUALITY_FLOAT_SQL,
         "max_k_cut": _maxkcut_sql(),
