@@ -1382,6 +1382,20 @@ def _q_top_similar_pairs(sf_dir: str):
     return top_similar_pairs(ds, n=50, id_col="vec_id")
 
 
+def _q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (stages/embed.
+    embedding_cosine_pairs): sign-LSH bucketing (bits=4) for candidate
+    generation, within-bucket cosine ≥ threshold — the embedding-space
+    member of the dedup family (threshold variant of top_similar_pairs)."""
+    import ray.data
+
+    from graph_data_science_ray.stages.embed import embedding_cosine_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_cosine_pairs(ds, threshold=0.3, bits=4)
+    return pairs.map_batches(lambda t: _round6(t, "score"), batch_format="pyarrow")
+
+
 def _q_knn_nndescent(sf_dir: str):
     """gds.knn's real algorithm (algos/nndescent.knn_nndescent, Dong et
     al. WWW'11): hash-deterministic NN-Descent over the embeddings
@@ -2132,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euclidean_topk": lambda sf: _q_sim_topk(sf, "euclidean"),
         "ngram_jaccard_25": _q_ngram_jaccard,
         "top_similar_pairs": _q_top_similar_pairs,
+        "embed_neardup": _q_embed_neardup,
         "knn_nndescent": _q_knn_nndescent,
         "kge_transe_topk": lambda sf: _q_kge(sf, "transe"),
         "kge_distmult_topk": lambda sf: _q_kge(sf, "distmult"),
@@ -3347,6 +3362,36 @@ def _lsh_ann_sql(bits: int = 4, k: int = 10, seed: int = 42, dim: int = 64) -> s
         "SELECT eb.vec_id, ROUND(list_cosine_similarity(eb.v, q.v), 6) AS score "
         "FROM eb, q, qb WHERE eb.bucket = qb.bucket "
         f"ORDER BY list_cosine_similarity(eb.v, q.v) DESC, eb.vec_id LIMIT {k}"
+    )
+
+
+def _embed_neardup_sql(threshold: float = 0.3, bits: int = 4, seed: int = 42,
+                       dim: int = 64) -> str:
+    """Replica of _q_embed_neardup (stages/embed.embedding_cosine_pairs):
+    same inlined sign-LSH hyperplanes as _lsh_ann_sql, bucket column
+    MATERIALIZED (hash exprs never in join predicates), then within-bucket
+    pairs (vec_id ascending) with cosine ≥ threshold. The nearest pair
+    sits 7e-5 from the 0.3 cut — 9 orders above double reassociation
+    noise, so the cross-engine threshold test cannot flip; scores round
+    to 6 like ann_topk."""
+    import numpy as _np
+
+    planes = _np.random.default_rng(seed).standard_normal((bits, dim))
+    rows = ", ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in planes[b])}]::DOUBLE[])" for b in range(bits)
+    )
+    bexpr = (
+        "(SELECT SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.p) > 0 "
+        "THEN (1 << pl.b) ELSE 0 END) FROM planes pl)"
+    )
+    return (
+        f"WITH planes(b, p) AS (VALUES {rows}), "
+        "eb AS MATERIALIZED (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, "
+        f"{bexpr} AS bucket FROM embeddings e) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS score "
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"
     )
 
 
@@ -5925,6 +5970,7 @@ def oracle_sql() -> dict[str, str]:
         "yens_k2": _yens_sql(),
         "betweenness_weighted_32src": _btww_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
+        "embed_neardup": _embed_neardup_sql(),
         "wcc": _WCC_SQL_CORE + "SELECT node AS node_id, MIN(label) AS component FROM reach GROUP BY node",
         "wcc_consecutive": _WCC_SQL_CORE + (
             "SELECT node AS node_id, DENSE_RANK() OVER (ORDER BY component) - 1 AS component "
