@@ -621,6 +621,27 @@ def _comm_mod7(sf_dir: str):
     return edges, NodeVector(ids, ids % 7)
 
 
+def _q_collapse_path(sf_dir: str):
+    """gds.collapsePath: two-hop collapse (order→part)∘(part→supp) →
+    deduped direct order→supp edges (sources/edges.collapse_path — one
+    partitioned hash join on the middle node). First leg bounded to
+    orderkey ≤ 600 to keep the compare small (~40k rows)."""
+    from graph_data_science_ray.sources.edges import collapse_path
+
+    first = _edges_op(sf_dir).filter(expr="src_id <= 600")
+    return collapse_path(first, _edges_ps(sf_dir))
+
+
+def _q_community_stats(sf_dir: str):
+    """Per-community stats-mode tallies (algos/community.community_stats)
+    over the mod-7 partition: internal/cut edge counts + degree volume on
+    the undirected simple view — integer-exact cross-engine."""
+    from graph_data_science_ray.algos.community import community_stats
+
+    edges, vec = _comm_mod7(sf_dir)
+    return community_stats(edges, vec)
+
+
 def _q_modularity(sf_dir: str):
     from graph_data_science_ray.algos.community import modularity
 
@@ -2125,6 +2146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prize_steiner_tree": _q_prize_steiner,
         "modularity_mod7": _q_modularity,
         "conductance_mod7": _q_conductance,
+        "community_stats_mod7": _q_community_stats,
+        "collapse_path": _q_collapse_path,
         "harmonic_64src": _q_harmonic64,
         "closeness_64src": _q_closeness64,
         "all_shortest_paths_64src": _q_allsp64,
@@ -6122,6 +6145,12 @@ def oracle_sql() -> dict[str, str]:
         "topological_sort": _toposort_sql(12),
         "dag_longest_path": _dag_longest_path_sql(),
         "bellman_ford_negative": _bellman_ford_negative_sql(),
+        "community_stats_mod7": _COMM_SQL_CORE
+        + "SELECT community, internal_edges, cut_edges, volume FROM per",
+        "collapse_path": (
+            f"SELECT DISTINCT a.src_id, b.dst_id FROM ({_E_OP}) a "
+            f"JOIN ({_E_PS}) b ON a.dst_id = b.src_id WHERE a.src_id <= 600"
+        ),
         "modularity_mod7": _COMM_SQL_CORE + (
             "SELECT community, internal_edges, cut_edges, volume, "
             "ROUND(internal_edges / (tot.two_m / 2.0) "

@@ -473,3 +473,53 @@ def test_multimodal_resize_and_audio_features():
     assert w.shape[0] == 8000 and np.abs(w).max() <= 1.0
     with pytest.raises(NotImplementedError):
         real_decode_audio(b"")
+
+
+def test_collapse_path_two_hop():
+    from graph_data_science_ray.fixtures import edges_table
+    from graph_data_science_ray.sources.edges import collapse_path
+
+    # a→b legs: (0→1),(0→2),(5→1); b→c legs: (1→7),(1→8),(2→7),(9→9)
+    first = ray.data.from_arrow(edges_table([(0, 1), (0, 2), (5, 1)]))
+    second = ray.data.from_arrow(edges_table([(1, 7), (1, 8), (2, 7), (9, 9)]))
+    got = sorted(
+        (r["src_id"], r["dst_id"])
+        for r in collapse_path(first, second, num_partitions=2).take_all()
+    )
+    # 0→{7 (via 1 and 2, deduped), 8}, 5→{7, 8}; middle 9 unused
+    assert got == [(0, 7), (0, 8), (5, 7), (5, 8)]
+
+
+def test_community_stats_tallies():
+    from graph_data_science_ray.algos.common import NodeVector
+    from graph_data_science_ray.algos.community import community_stats
+    from graph_data_science_ray.fixtures import edges_table
+
+    # undirected view: square 0-1-2-3-0 plus chord 0-2; community A={0,1}, B={2,3}
+    edges = ray.data.from_arrow(edges_table([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]))
+    vec = NodeVector(np.array([0, 1, 2, 3]), np.array([10, 10, 20, 20]))
+    rows = {r["community"]: r for r in community_stats(edges, vec, num_partitions=2).take_all()}
+    # A: internal {0-1}; cut {1-2, 3-0, 0-2}; volume = deg0+deg1 = 3+2
+    assert rows[10]["internal_edges"] == 1
+    assert rows[10]["cut_edges"] == 3
+    assert rows[10]["volume"] == 5
+    # B: internal {2-3}; same 3 cut edges from the other side; volume = 3+2
+    assert rows[20]["internal_edges"] == 1
+    assert rows[20]["cut_edges"] == 3
+    assert rows[20]["volume"] == 5
+
+
+def test_generate_graph_deterministic():
+    from graph_data_science_ray.sources.edges import generate_graph
+
+    a = generate_graph(300, mean_degree=4.0, seed=7).to_pandas()
+    b = generate_graph(300, mean_degree=4.0, seed=7).to_pandas()
+    a = a.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+    b = b.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 300  # mean degree ~4 over 300 nodes
+    assert a["src_id"].between(0, 299).all() and a["dst_id"].between(0, 299).all()
+    # different seed ⇒ different edge multiset
+    c = generate_graph(300, mean_degree=4.0, seed=8).to_pandas()
+    c = c.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+    assert not a.equals(c)
