@@ -523,3 +523,43 @@ def test_generate_graph_deterministic():
     c = generate_graph(300, mean_degree=4.0, seed=8).to_pandas()
     c = c.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
     assert not a.equals(c)
+
+
+def test_scalar_similarity_functions():
+    from graph_data_science_ray.functions.similarity import (
+        batch_cosine_to_query, cosine_sim, euclidean_distance,
+        jaccard_sim, overlap_sim,
+    )
+
+    assert jaccard_sim([1, 2, 3], [2, 3, 4]) == 2 / 4
+    assert jaccard_sim([], []) == 1.0
+    assert overlap_sim([1, 2, 3], [2, 3]) == 1.0  # smaller set fully inside
+    assert overlap_sim([1], []) == 1.0
+    assert abs(euclidean_distance([0.0, 0.0], [3.0, 4.0]) - 5.0) < 1e-12
+    assert abs(cosine_sim([1.0, 0.0], [0.0, 1.0])) < 1e-12
+    assert cosine_sim([0.0, 0.0], [1.0, 0.0]) == 0.0  # zero-norm guard
+    t = pa.table({
+        "embedding": pa.array([[1.0, 0.0], [0.0, 2.0], [1.0, 1.0]], pa.list_(pa.float64()))})
+    out = batch_cosine_to_query(t, np.array([1.0, 0.0]))
+    got = out.column("score").to_pylist()
+    assert abs(got[0] - 1.0) < 1e-12 and abs(got[1]) < 1e-12
+    assert abs(got[2] - 1 / np.sqrt(2)) < 1e-12
+
+
+def test_rolling_fingerprint_windowed():
+    from graph_data_science_ray.stages.textstats import rolling_fingerprint
+
+    long_a = "x" * 40 + "the quick brown fox " * 20
+    long_b = "y" * 40 + "the quick brown fox " * 20  # local edit far from min window
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["short", "short", long_a, long_b]),
+    })
+    out = rolling_fingerprint(t)
+    fp = out.column("fingerprint64").to_pylist()
+    assert fp[0] == fp[1]                    # identical short texts agree
+    assert out.column("doc_id").to_pylist() == [0, 1, 2, 3]
+    out2 = rolling_fingerprint(t)            # deterministic
+    assert out2.column("fingerprint64").to_pylist() == fp
+    # min-over-windows robustness: the shared repeated region dominates
+    assert fp[2] == fp[3]
