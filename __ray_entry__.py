@@ -1454,6 +1454,19 @@ def _q_minhash_candidates(sf_dir: str):
     return minhash_candidates(ds, num_partitions=4)
 
 
+def _q_minhash_clusters(sf_dir: str):
+    """Fully-distributed near-dup clustering (stages/dedup.
+    minhash_dedup_clusters): LSH candidates → hash-join text attach →
+    vectorized shingle-set Jaccard verify → wcc_star components →
+    left-join cluster assignment. Nothing corpus-sized on the driver."""
+    import ray.data
+
+    from graph_data_science_ray.stages.dedup import minhash_dedup_clusters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_clusters(ds, jaccard_threshold=0.8, num_partitions=4)
+
+
 def _q_simhash(sf_dir: str):
     import ray.data
 
@@ -2203,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_32src": _q_betweenness32,
         "betweenness_weighted_32src": _q_betweenness_weighted32,
         "minhash_candidates": _q_minhash_candidates,
+        "minhash_dedup_clusters": _q_minhash_clusters,
         "simhash_signatures": _q_simhash,
         "quality_scores": _q_quality_scores,
         "docs_quality": _q_docs_quality,
@@ -2595,22 +2609,25 @@ def _sql_pair_hash(lo: str, hi: str) -> str:
     return _sql_mix64(inner)
 
 
-def _minhash_candidates_sql(num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42) -> str:
-    """Bit-exact replica of stages/dedup.minhash_candidates: shingle
-    hash = chained mix64 fold over the k-char window's codepoints
-    (h ← mix64(h ⊕ c), h₀=0; ascii() = ord() on this corpus), permutation
-    i = mix64(x ⊕ salt_i), band hash = mix64 fold over the band's
-    signature values, candidates = per-(band,hash)-bucket star pairing
-    against the bucket minimum, DISTINCT. Salts are inlined literals from
-    the same seeded _perm_salts the engine uses. Fold steps are chained
-    MATERIALIZED CTEs because one inlined mix64 grows 32× per nesting."""
+def _minhash_cte_parts(num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42) -> list[str]:
+    """Shared CTE chain for the MinHash oracles — bit-exact replica of
+    stages/dedup: shingle hash = chained mix64 fold over the k-char
+    window's codepoints (h ← mix64(h ⊕ c), h₀=0; ascii() = ord() on this
+    corpus), permutation i = mix64(x ⊕ salt_i), band hash = mix64 fold
+    over the band's signature values, candidates = per-(band,hash)-bucket
+    star pairing against the bucket minimum, DISTINCT. Salts are inlined
+    literals from the same seeded _perm_salts the engine uses. Fold steps
+    are chained MATERIALIZED CTEs because one inlined mix64 grows 32× per
+    nesting. Returns comma-terminated CTE strings (no leading WITH) up to
+    ``grams`` (doc_id, distinct shingle hash) and ``cand`` (id_a < id_b
+    candidate pairs) for callers to extend."""
     from graph_data_science_ray.stages.dedup import _perm_salts
 
     rpb = num_perm // bands
     salts = _perm_salts(num_perm, seed)
     perm_rows = ", ".join(f"({i}, CAST({int(g)} AS UBIGINT))" for i, g in enumerate(salts.tolist()))
     parts = [
-        "WITH docs AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents),",
+        "docs AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents),",
         f"pos AS MATERIALIZED (SELECT doc_id, t, "
         f"unnest(generate_series(1, length(t) - {k - 1})) AS p FROM docs),",
         "g0 AS MATERIALIZED (SELECT doc_id, t, p, CAST(0 AS UBIGINT) AS h FROM pos),",
@@ -2643,11 +2660,60 @@ def _minhash_candidates_sql(num_perm: int = 64, bands: int = 16, k: int = 5, see
         )
     parts.append(
         f"bh AS MATERIALIZED (SELECT doc_id, band_id, h AS band_hash FROM b{rpb}), "
-        "lo AS (SELECT band_id, band_hash, MIN(doc_id) AS id_a FROM bh GROUP BY band_id, band_hash) "
-        "SELECT DISTINCT l.id_a AS id_a, b.doc_id AS id_b "
-        "FROM bh b JOIN lo l USING (band_id, band_hash) WHERE b.doc_id > l.id_a"
+        "lo AS (SELECT band_id, band_hash, MIN(doc_id) AS id_a FROM bh GROUP BY band_id, band_hash), "
+        "cand AS MATERIALIZED (SELECT DISTINCT l.id_a AS id_a, b.doc_id AS id_b "
+        "FROM bh b JOIN lo l USING (band_id, band_hash) WHERE b.doc_id > l.id_a),"
     )
-    return " ".join(parts)
+    return parts
+
+
+def _minhash_candidates_sql(num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42) -> str:
+    parts = _minhash_cte_parts(num_perm, bands, k, seed)
+    body = " ".join(parts).rstrip(",")
+    return f"WITH {body} SELECT id_a, id_b FROM cand"
+
+
+def _minhash_clusters_sql(
+    threshold: float = 0.8, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42
+) -> str:
+    """stages/dedup.minhash_dedup_clusters oracle: LSH candidates (shared
+    CTE chain) → Jaccard verify over the distinct shingle-hash sets
+    (|∩|/|∪| in exact-int→IEEE-double division, identical rounding in
+    numpy and DuckDB) → connected components via recursive min-label
+    closure over the symmetric verified edges → every doc left-joined,
+    no-dup docs keep their own id. Matches the engine's wcc_star contract
+    (cluster id = min doc_id in the near-dup component)."""
+    parts = _minhash_cte_parts(num_perm, bands, k, seed)
+    parts.append("gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),")
+    parts.append(
+        "inter AS MATERIALIZED (SELECT c.id_a, c.id_b, COUNT(*) AS ni FROM cand c "
+        "JOIN grams ga ON ga.doc_id = c.id_a "
+        "JOIN grams gb ON gb.doc_id = c.id_b AND gb.h = ga.h "
+        "GROUP BY c.id_a, c.id_b),"
+    )
+    parts.append(
+        "vedge AS MATERIALIZED (SELECT i.id_a AS u, i.id_b AS v FROM inter i "
+        "JOIN gsz sa ON sa.doc_id = i.id_a JOIN gsz sb ON sb.doc_id = i.id_b "
+        f"WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= {threshold!r}),"
+    )
+    parts.append(
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM vedge UNION ALL SELECT v, u FROM vedge)),"
+    )
+    parts.append("vn AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),")
+    parts.append(
+        "reach(node, lbl) AS (SELECT node, node FROM vn "
+        "UNION SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),"
+    )
+    parts.append(
+        "comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),"
+    )
+    body = " ".join(parts).rstrip(",")
+    return (
+        f"WITH RECURSIVE {body} "
+        "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+    )
 
 
 def _celf_sql(k: int = 5, p: float = 0.02, sims: int = 4, seed: int = 42) -> str:
@@ -5978,6 +6044,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dfs_order": _DFS_SQL,
         "minhash_candidates": _minhash_candidates_sql(),
+        "minhash_dedup_clusters": _minhash_clusters_sql(),
         "simhash_signatures": _simhash_sql(),
         "celf_im": _celf_sql(),
         "cnarw_sample": _cnarw_sql(),

@@ -72,6 +72,83 @@ def minhash_signature(text: str, salts: np.ndarray, k: int = 5) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def minhash_signatures_batch(
+    texts: pa.Array | pa.ChunkedArray, salts: np.ndarray, k: int = 5
+) -> np.ndarray:
+    """(n × num_perm) MinHash signatures for a whole Arrow string column,
+    vectorized ACROSS documents — no per-document Python loop on the
+    ASCII fast path (the overwhelming majority of a web corpus).
+
+    All ASCII docs are processed as ONE concatenated byte array: the
+    k-pass mix64 window fold runs over every global window once, a
+    ragged-arange gather selects the windows that stay inside a single
+    document, and per-permutation minima come from np.minimum.reduceat
+    over the per-doc segments. Duplicate shingles need no dedup — min is
+    idempotent — so the result is bit-identical to per-doc
+    ``minhash_signature`` (which uniquifies first). Non-ASCII or
+    shorter-than-k docs fall back to the scalar kernel."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    num_perm = salts.shape[0]
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    lower = pc.utf8_lower(pc.fill_null(texts, ""))
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(lower.type) else np.int32
+    offs = np.frombuffer(lower.buffers()[1], dtype=off_dtype)[
+        lower.offset : lower.offset + n + 1
+    ].astype(np.int64)
+    dbuf = lower.buffers()[2]
+    data = np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None else np.empty(0, np.uint8)
+    byte_lens = np.diff(offs)
+    cp_lens = pc.utf8_length(lower).to_numpy(zero_copy_only=False).astype(np.int64)
+    fast = (byte_lens == cp_lens) & (byte_lens >= k)  # pure-ASCII, full windows
+    slow_idx = np.nonzero(~fast)[0]
+    for i in slow_idx:  # rare: non-ASCII or shorter-than-k docs
+        sigs[i] = minhash_signature(str(lower[i]), salts, k)
+    fidx = np.nonzero(fast)[0]
+    if fidx.size == 0:
+        return sigs
+    # the Arrow data buffer is already the concatenation of all docs —
+    # fold over it contiguously (5 strided passes, no gather, no copy per
+    # doc), then pick the window positions that belong to fast docs
+    blob = data[offs[0] : offs[-1]].astype(np.uint64)
+    base = offs[0]
+    total_b = blob.shape[0]
+    if total_b < k:
+        for i in fidx:
+            sigs[i] = minhash_signature(str(lower[i]), salts, k)
+        return sigs
+    M = total_b - k + 1
+    hg = np.zeros(M, dtype=np.uint64)
+    for j in range(k):
+        hg = _mix64(hg ^ blob[j : j + M])
+    m = byte_lens[fidx] - k + 1  # windows per fast doc
+    total = int(m.sum())
+    # ragged arange: global window-start index of every valid window
+    starts = np.repeat(offs[fidx] - base, m) + (
+        np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    )
+    h = hg[starts]
+    seg_starts = np.concatenate([[0], np.cumsum(m)])[:-1]
+    # cache-blocked salt-min: process docs in blocks whose (windows × perms)
+    # 2D outer product stays L2-resident — a single global per-perm pass
+    # streams ~6 temporaries of the full window array per mix64 and is
+    # memory-bandwidth-bound (measured 4× slower than this)
+    target = max(1, 1024 // max(1, int(m.mean())))
+    for b0 in range(0, fidx.size, target):
+        b1 = min(b0 + target, fidx.size)
+        lo, hi = seg_starts[b0], seg_starts[b1 - 1] + m[b1 - 1]
+        vals = _mix64(h[lo:hi, None] ^ salts[None, :])
+        sigs[fidx[b0:b1]] = np.minimum.reduceat(vals, seg_starts[b0:b1] - lo, axis=0)
+    return sigs
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     sa, sb = set(shingle_hashes(text_a, k).tolist()), set(shingle_hashes(text_b, k).tolist())
     if not sa and not sb:
@@ -108,13 +185,10 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
+        n = batch.num_rows
         out_id = np.repeat(ids, self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(t, self.salts, self.k)
+        sigs = minhash_signatures_batch(batch.column(self.text_col), self.salts, self.k)
         # band hash = mix64 fold over the band's signature values
         # (h ← mix64(h ⊕ v), h₀=0) — vectorized across all docs × bands
         s = sigs.reshape(n * self.bands, self.rows_per_band)
@@ -183,54 +257,105 @@ def minhash_dedup_clusters(
     shingle_k: int = 5,
     num_partitions: int | None = None,
 ) -> Dataset:
-    """(id, cluster_id) for near-duplicate groups: LSH candidates →
-    Jaccard verify (broadcast text lookup) → connected components over the
-    verified pair graph via the engine's WCC. Docs with no near-dup map to
-    their own id."""
-    import ray
+    """(id, cluster_id) for near-duplicate groups — fully distributed,
+    nothing corpus-sized ever lands on the driver:
 
-    from graph_data_science_ray.algos.wcc import wcc
-    from graph_data_science_ray.sources.edges import from_arrow
+        LSH candidates → texts attached to pairs via two partitioned
+        hash joins (the ngram_jaccard pattern) → per-batch vectorized
+        Jaccard verify over true shingle-hash sets → connected
+        components via ``wcc_star`` (all state stays in the edge list)
+        → cluster assignment via a left-outer hash join back onto the
+        corpus ids (no-dup docs map to their own id).
+
+    The round-1 version broadcast the whole corpus text as a driver
+    dict and the WCC labels as another — a 100-TB scale-killer; this
+    shape shuffles texts only for candidate pairs (LSH output, linear
+    in corpus size) and never materializes global state."""
+    from graph_data_science_ray.algos.wcc import wcc_star
+    from graph_data_science_ray.functions.joins import hash_join
 
     configure_ray_data()
-    cand = minhash_candidates(ds, id_col, text_col, num_perm, bands, shingle_k, num_partitions)
+    num_partitions = num_partitions or shuffle_partitions_for()
 
-    # verify: jaccard over true shingle sets; texts broadcast (dedup corpora
-    # verify against a sampled/partitioned text store at larger scale)
-    from graph_data_science_ray.algos.common import collect_arrow
+    def _all_singletons() -> Dataset:
+        def own(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).cast(pa.int64())
+            return pa.table({id_col: ids, "cluster_id": ids})
 
-    texts_t = collect_arrow(ds.select_columns([id_col, text_col]))
-    tmap = dict(
-        zip(texts_t.column(id_col).to_pylist(), texts_t.column(text_col).to_pylist())
-    )
-    tmap_ref = ray.put(tmap)
-
-    def verify(t: pa.Table) -> pa.Table:
-        m = ray.get(tmap_ref)
-        a = t.column("id_a").to_pylist()
-        b = t.column("id_b").to_pylist()
-        keep = [jaccard(m.get(x, ""), m.get(y, ""), shingle_k) >= jaccard_threshold for x, y in zip(a, b)]
-        return t.filter(pa.array(keep, pa.bool_()))
-
-    verified = cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    edges = verified.rename_columns({"id_a": "src_id", "id_b": "dst_id"})
-    comp = wcc(edges, num_partitions=num_partitions)
-    cluster = dict(zip(comp.node_ids.tolist(), comp.values.tolist()))
-    cl_ref = ray.put(cluster)
-
-    def assign(t: pa.Table) -> pa.Table:
-        cl = ray.get(cl_ref)
-        ids = t.column(id_col).to_pylist()
-        return pa.table(
-            {
-                id_col: t.column(id_col),
-                "cluster_id": pa.array([cl.get(i, i) for i in ids], pa.int64()),
-            }
+        return ds.select_columns([id_col]).map_batches(
+            own, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    return ds.select_columns([id_col]).map_batches(
-        assign, batch_format="pyarrow", zero_copy_batch=True
+    cand = minhash_candidates(
+        ds, id_col, text_col, num_perm, bands, shingle_k, num_partitions
+    ).materialize()
+    if cand.count() == 0:  # no LSH collisions at all — every doc is its own cluster
+        return _all_singletons()
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def _as(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": t.column(id_col).cast(pa.int64()),
+                             f"text_{side}": t.column(text_col)})
+        return fn
+
+    ta = docs.map_batches(_as("a"), batch_format="pyarrow", zero_copy_batch=True)
+    tb = docs.map_batches(_as("b"), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(cand, ta, on=("id_a",), num_partitions=num_partitions)
+    j = hash_join(j, tb, on=("id_b",), num_partitions=num_partitions)
+
+    thr = float(jaccard_threshold)
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"src_id": pa.array([], pa.int64()),
+                             "dst_id": pa.array([], pa.int64())})
+        a_ids = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ids = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_txt = t.column("text_a").to_pylist()
+        b_txt = t.column("text_b").to_pylist()
+        # shingle sets computed once per distinct doc in the batch
+        # (sorted-unique arrays from shingle_hashes → C-speed intersect)
+        cache: dict[int, np.ndarray] = {}
+        for ids_, txts_ in ((a_ids, a_txt), (b_ids, b_txt)):
+            for i, txt in zip(ids_.tolist(), txts_):
+                if i not in cache:
+                    cache[i] = shingle_hashes(txt or "", shingle_k)
+        keep = np.zeros(n, dtype=bool)
+        for r in range(n):
+            sa, sb = cache[int(a_ids[r])], cache[int(b_ids[r])]
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            union = sa.shape[0] + sb.shape[0] - inter
+            keep[r] = (union == 0) or (inter / union >= thr)
+        return pa.table({"src_id": pa.array(a_ids[keep], pa.int64()),
+                         "dst_id": pa.array(b_ids[keep], pa.int64())})
+
+    edges = j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if edges.count() == 0:  # every candidate failed verify
+        return _all_singletons()
+    comp = wcc_star(edges, num_partitions=num_partitions)
+
+    def _comp_proj(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column("node_id").cast(pa.int64()),
+                         "cluster_id": t.column("component").cast(pa.int64())})
+
+    compp = comp.map_batches(_comp_proj, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        ds.select_columns([id_col]), compp, on=(id_col,),
+        join_type="left_outer", num_partitions=num_partitions,
     )
+
+    def fill_own(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        cl = np.where(pa.compute.is_null(t.column("cluster_id")).to_numpy(
+            zero_copy_only=False), ids, cl).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(cl, pa.int64())})
+
+    return joined.map_batches(fill_own, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _fold_hashes(words: list[str]) -> np.ndarray:
