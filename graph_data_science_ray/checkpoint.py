@@ -95,6 +95,23 @@ class CheckpointManager:
         return os.path.join(it_dir, f"part-{bucket:05d}.parquet")
 
     # -- resume ----------------------------------------------------------
+    def latest_meta(self) -> dict[str, Any] | None:
+        """Manifest dict of the newest complete iteration with a matching
+        config hash, WITHOUT loading any state partitions — resume can
+        then be per-partition (each CSR shard reads only its own part)."""
+        best = None
+        for name in os.listdir(self.dir):
+            m = _MANIFEST_RE.match(name)
+            if not m:
+                continue
+            with open(os.path.join(self.dir, name)) as f:
+                manifest = json.load(f)
+            if manifest.get("config_hash") != self._hash:
+                continue
+            if best is None or manifest["iteration"] > best["iteration"]:
+                best = manifest
+        return best
+
     def latest(self) -> tuple[int, np.ndarray, np.ndarray, dict[str, Any]] | None:
         """(iteration, node_ids, values, metrics) of the newest complete
         iteration with a matching config hash, else None."""

@@ -217,6 +217,65 @@ class CsrShard:
         self.owned_out_w = owned_out_w.astype(np.float64)
         return int(owned_ids.shape[0])
 
+    def _absorb_universe_tables(self, tables) -> int:
+        """Slice this shard's owned (ids, out_w) from bucketed universe
+        tables (node_id, w, kind, bucket) — kind 0 = src row with summed
+        out-weight, kind 2 = universe row. Worker-side: the driver never
+        holds the node universe (round-1 scale finding #2)."""
+        own_l: list[np.ndarray] = []
+        ow_l: list[np.ndarray] = []
+        for t in tables:
+            if t.num_rows == 0 or "node_id" not in t.schema.names:
+                continue
+            bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+            m = bucket == self.shard_id
+            if not m.any():
+                continue
+            tt = t.filter(pa.array(m))
+            kind = tt.column("kind").to_numpy(zero_copy_only=False)
+            nid = tt.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = tt.column("w").to_numpy(zero_copy_only=False)
+            sm = kind == 0
+            s_order = np.argsort(nid[sm], kind="stable")
+            src_ids, src_w = nid[sm][s_order], w[sm][s_order]
+            own = np.sort(nid[kind == 2])
+            ow = np.zeros(own.shape[0], dtype=np.float64)
+            if src_ids.shape[0]:
+                pos = np.searchsorted(src_ids, own)
+                posc = np.minimum(pos, src_ids.shape[0] - 1)
+                valid = src_ids[posc] == own
+                ow[valid] = src_w[posc[valid]]
+            own_l.append(own)
+            ow_l.append(ow)
+        if own_l:
+            ids = np.concatenate(own_l)
+            ow = np.concatenate(ow_l)
+            order = np.argsort(ids, kind="stable")
+            self.owned_ids = ids[order]
+            self.owned_out_w = ow[order]
+        else:
+            self.owned_ids = np.empty(0, dtype=np.int64)
+            self.owned_out_w = np.empty(0, dtype=np.float64)
+        return int(self.owned_ids.shape[0])
+
+    def set_owned_from_universe(self, *uni_blocks) -> int:
+        """Scan path: every shard receives ALL universe blocks as
+        top-level refs (zero-copy plasma views) and filters its own."""
+        return self._absorb_universe_tables(uni_blocks)
+
+    def load_universe_parquet(self, paths: list[str]) -> int:
+        """Spill path: read only this shard's universe partition (hive
+        partitioning strips the bucket column — restore it)."""
+        tabs = []
+        for p in paths:
+            t = pq.read_table(p)
+            if "bucket" not in t.schema.names:
+                t = t.append_column(
+                    "bucket", pa.array(np.full(t.num_rows, self.shard_id), pa.int64())
+                )
+            tabs.append(t)
+        return self._absorb_universe_tables(tabs)
+
     def init_state(self, kind: str, values: np.ndarray | None = None) -> None:
         # labels are 63-bit ids — float64 would corrupt them, so label
         # state stays int64; rank state is float64.
@@ -236,6 +295,25 @@ class CsrShard:
                 "val": pa.array(self.state),
             }
         )
+
+    def get_state_named(self, value_name: str, as_int: bool = False) -> pa.Table:
+        """This shard's result partition with the algorithm's column name
+        — one block of the distributed result Dataset (the driver never
+        concatenates shard state; see engine.ShardedIterativeResult)."""
+        vals = self.state.astype(np.int64) if as_int else self.state
+        return pa.table(
+            {"node_id": pa.array(self.owned_ids, pa.int64()), value_name: pa.array(vals)}
+        )
+
+    def load_checkpoint(self, path: str, value_name: str) -> int:
+        """Resume: read THIS shard's checkpoint partition (written by
+        ``checkpoint`` with the same bucket function, so ids match the
+        owned slice bitwise) — per-partition resume, no driver scatter."""
+        t = pq.read_table(path)
+        ids = t.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        assert np.array_equal(ids, self.owned_ids), "checkpoint partition universe mismatch"
+        self.state = t.column(value_name).to_numpy(zero_copy_only=False).copy()
+        return t.num_rows
 
     def get_values(self, ids: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(self.owned_ids, ids)

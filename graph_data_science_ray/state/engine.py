@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graph_data_science_ray.algos.common import collect_arrow, unique_inverse
+from graph_data_science_ray.algos.common import unique_inverse
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
 from graph_data_science_ray.context import configure_ray_data
@@ -31,14 +31,18 @@ from graph_data_science_ray.stages.ids import bucket_of
 from graph_data_science_ray.state.csr import CsrShard
 
 
-def _universe_partials(edges: Dataset, weighted: bool) -> tuple:
-    """ONE scan for ALL build inputs: per-src out-weight sums, the unique
-    dst universe AND the full src∪dst universe, returned as
-    (src_ids, src_w, dst_ids, all_ids), each sorted ascending (kind 0 =
-    src row with weight, kind 1 = dst row, kind 2 = union row). Every
-    merge/sort runs worker-side via Arrow hash aggregation — the driver
-    only slices; see the combine notes below for the measured hazards
-    (idle-worker-starved driver merges, allocation-heavy numpy sorts)."""
+def _build_universe(edges: Dataset, weighted: bool, P: int) -> Dataset:
+    """Per-bucket node universe, built and kept OFF the driver: one scan
+    emits per-batch (node_id, out-weight partial, kind) rows (kind 0 =
+    src with weight, kind 1 = dst), a bucket hash shuffle co-locates each
+    node's rows with the CSR shard that will own it, and ONE merge task
+    per bucket aggregates (Arrow hash aggregation — radix-argsorting
+    ~12M-row blocks allocated ~100 MB/sort and measured 136 s on this
+    host vs 2.8 s via group_by), appends the bucket's kind-2 universe
+    rows and sorts. The result is a materialized Dataset with exactly one
+    group per bucket; shards slice their own rows worker-side and the
+    driver only ever sees per-bucket scalars (round-1 finding #2: the
+    driver previously held the full sorted universe + out-weights)."""
 
     def partials(t: pa.Table) -> pa.Table:
         src = t.column("src_id").to_numpy(zero_copy_only=False)
@@ -50,9 +54,10 @@ def _universe_partials(edges: Dataset, weighted: bool) -> tuple:
         u, inv = unique_inverse(src)
         sw = np.bincount(inv, weights=w, minlength=u.shape[0])
         ud = np.unique(t.column("dst_id").to_numpy(zero_copy_only=False))
+        nid = np.concatenate([u, ud])
         return pa.table(
             {
-                "node_id": pa.array(np.concatenate([u, ud]), pa.int64()),
+                "node_id": pa.array(nid, pa.int64()),
                 "w": pa.array(np.concatenate([sw, np.zeros(ud.shape[0])]), pa.float64()),
                 "kind": pa.array(
                     np.concatenate(
@@ -60,31 +65,29 @@ def _universe_partials(edges: Dataset, weighted: bool) -> tuple:
                     ),
                     pa.int8(),
                 ),
+                "bucket": pa.array(bucket_of(nid, P), pa.int64()),
             }
         )
 
-    # Merge with Arrow's C++ hash aggregation, NOT a numpy
-    # unique_inverse: radix-argsorting ~12M-row partial blocks allocates
-    # ~100 MB per sort and measured 136 s on this host (fresh-page-fault
-    # throttling; the same merge via group_by is 2.8 s — see
-    # BENCH/BASELINE.md). Grouping on (kind, node_id) is also immune to
-    # the int64-key-packing overflow for 63-bit url-hash ids.
-    def combine(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        g = t.group_by(["kind", "node_id"], use_threads=False).aggregate([("w", "sum")])
-        return pa.table(
-            {"node_id": g.column("node_id"), "w": g.column("w_sum"), "kind": g.column("kind")}
-        )
-
-    def combine_final(t: pa.Table) -> pa.Table:
-        t = combine(t)
-        if t.num_rows == 0:
-            return t
-        # kind 2 = src ∪ dst universe, computed here so the driver never
-        # sorts either (build's np.union1d is the same starvation hazard)
+    def combine_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # drop the keep-alive sentinel (bucket P, see below)
+        if g.num_rows and g.column("bucket")[0].as_py() == P:
+            g = g.slice(0, 0)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "node_id": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.float64()),
+                    "kind": pa.array([], pa.int8()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        a = g.group_by(["kind", "node_id"], use_threads=False).aggregate([("w", "sum")])
+        t = pa.table(
+            {"node_id": a.column("node_id"), "w": a.column("w_sum"), "kind": a.column("kind")}
+        )
         uni = pc.unique(t.column("node_id"))
         t = pa.concat_tables(
             [
@@ -97,39 +100,137 @@ def _universe_partials(edges: Dataset, weighted: bool) -> tuple:
                     }
                 ),
             ]
+        ).sort_by([("kind", "ascending"), ("node_id", "ascending")])
+        return t.append_column(
+            "bucket",
+            pa.array(
+                bucket_of(t.column("node_id").to_numpy(zero_copy_only=False), P), pa.int64()
+            ),
         )
-        return t.sort_by([("kind", "ascending"), ("node_id", "ascending")])
 
-    # two combine levels, the SECOND over one block: both the final merge
-    # AND the final sort run in a busy worker, so the driver only slices
-    # (a 4M-row driver lexsort right after the big scan measured 12.9 s
-    # under the same idle-worker starvation vs ~0.5 s worker-side).
-    t = collect_arrow(
-        edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(4)
-        .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(combine_final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    import ray.data as _rd
+
+    sentinel = pa.table(
+        {
+            "node_id": pa.array([0], pa.int64()),
+            "w": pa.array([0.0], pa.float64()),
+            "kind": pa.array([0], pa.int8()),
+            "bucket": pa.array([P], pa.int64()),
+        }
     )
-    if t.num_rows == 0:
-        e = np.empty(0, np.int64)
-        return (e, np.empty(0, np.float64), e, e)
-    ids = t.column("node_id").to_numpy(zero_copy_only=False)
-    w = t.column("w").to_numpy(zero_copy_only=False)
-    kind = t.column("kind").to_numpy(zero_copy_only=False)
-    s1 = int(np.searchsorted(kind, 1))  # kind-sorted: src, dst, union rows
-    s2 = int(np.searchsorted(kind, 2))
-    return ids[:s1], w[:s1], ids[s1:s2], ids[s2:]
+    return (
+        edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .union(_rd.from_arrow(sentinel))
+        .groupby("bucket", num_partitions=P)
+        .map_groups(combine_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+@ray.remote
+def _universe_summary(hub_threshold, *blocks):
+    """The only universe facts the driver needs, computed worker-side:
+    (n_nodes, n_src, edge-weight sum, hub ids, hub out-weights). Hubs are
+    few by construction (degree > threshold on a power-law graph)."""
+    n_nodes = 0
+    n_src = 0
+    w_sum = 0.0
+    hub_l: list[np.ndarray] = []
+    hubw_l: list[np.ndarray] = []
+    for t in blocks:
+        if t.num_rows == 0 or "node_id" not in t.schema.names:
+            continue
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        sm = kind == 0
+        n_src += int(sm.sum())
+        n_nodes += int((kind == 2).sum())
+        w_sum += float(w[sm].sum())
+        if hub_threshold is not None:
+            nid = t.column("node_id").to_numpy(zero_copy_only=False)
+            hm = sm & (w > hub_threshold)
+            hub_l.append(nid[hm].astype(np.int64))
+            hubw_l.append(w[hm])
+    if hub_l:
+        hub_ids = np.concatenate(hub_l)
+        hub_w = np.concatenate(hubw_l)
+        order = np.argsort(hub_ids, kind="stable")
+        hub_ids, hub_w = hub_ids[order], hub_w[order]
+    else:
+        hub_ids, hub_w = np.empty(0, np.int64), np.empty(0, np.float64)
+    return n_nodes, n_src, w_sum, hub_ids, hub_w
+
+
+class ShardedIterativeResult:
+    """Duck-type of ``algos.pagerank.IterativeResult`` whose per-node
+    state lives in the OBJECT STORE as one block per CSR shard (the
+    shard's own ``get_state_named`` table). ``to_dataset()`` is the scale
+    surface — downstream stages consume the result without it ever
+    landing on the driver; ``node_ids``/``values`` materialize lazily on
+    first access for tests and small graphs. Block refs are owned by the
+    driver process, so they outlive ``CsrEngine.shutdown()``."""
+
+    def __init__(self, state_refs, value_name, iterations, converged, metrics):
+        self._state_refs = list(state_refs)
+        self.value_name = value_name
+        self.iterations = iterations
+        self.converged = converged
+        self.metrics = metrics
+        self._ids = None
+        self._vals = None
+
+    def to_dataset(self):
+        import ray.data
+
+        return ray.data.from_arrow_refs(self._state_refs)
+
+    def _materialize(self) -> None:
+        if self._ids is None:
+            t = pa.concat_tables(ray.get(self._state_refs))
+            ids = t.column("node_id").to_numpy(zero_copy_only=False)
+            vals = t.column(self.value_name).to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            self._ids, self._vals = ids[order], vals[order]
+
+    @property
+    def node_ids(self) -> np.ndarray:
+        self._materialize()
+        return self._ids
+
+    @node_ids.setter
+    def node_ids(self, v) -> None:
+        self._materialize()
+        self._ids = v
+
+    @property
+    def values(self) -> np.ndarray:
+        self._materialize()
+        return self._vals
+
+    @values.setter
+    def values(self, v) -> None:
+        self._materialize()
+        self._vals = v
+
+    def to_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.array(self.node_ids, pa.int64()),
+                self.value_name: pa.array(self.values),
+            }
+        )
+
+    def as_dict(self) -> dict:
+        return dict(zip(self.node_ids.tolist(), self.values.tolist()))
 
 
 class CsrEngine:
-    def __init__(self, shards, num_shards: int, node_ids: np.ndarray, out_w: np.ndarray,
+    def __init__(self, shards, num_shards: int, n_nodes: int,
                  hub_ids: np.ndarray, hub_out_w: np.ndarray):
         self.shards = shards
         self.P = num_shards
-        self.node_ids = node_ids          # full sorted universe (driver keeps ids only)
-        self.out_w = out_w
-        self.hub_ids = hub_ids            # sorted
+        self.n_nodes = n_nodes            # scalar — the universe itself stays sharded
+        self.hub_ids = hub_ids            # sorted, few by construction
         self.hub_out_w = hub_out_w
         self.hub_owner = bucket_of(hub_ids, num_shards) if hub_ids.shape[0] else np.empty(0, np.int64)
 
@@ -161,16 +262,16 @@ class CsrEngine:
         # re-executed three times over (measured 3-4x of build wall)
         cols = ["src_id", "dst_id"] + (["weight"] if weighted else [])
         edges = edges.select_columns(cols).materialize()
-        # out-degrees + dst universe from ONE fused scan, merged while
-        # NO actor is alive (idle actors starve long driver-side numpy)
-        src_ids, src_w, dst_ids, all_ids = _universe_partials(edges, weighted)
-        if hub_threshold is not None:
-            hub_mask = src_w > hub_threshold
-            hub_ids = src_ids[hub_mask]
-        else:
-            hub_ids = np.empty(0, dtype=np.int64)
+        # out-degrees + universe from ONE fused scan, merged per bucket
+        # while NO actor is alive (idle actors starve driver-side numpy);
+        # the driver receives only scalars + the (few) hub rows
+        universe = _build_universe(edges, weighted, P)
+        uni_refs = universe.to_arrow_refs()
+        n_nodes, n_src, w_sum, hub_ids, hub_out_w = ray.get(
+            _universe_summary.remote(hub_threshold, *uni_refs)
+        )
 
-        n_total_edges = int(src_w.sum()) if not weighted and src_w.shape[0] else None
+        n_total_edges = int(w_sum) if not weighted and n_src else None
         if routing == "auto":
             routing = (
                 "scan"
@@ -196,14 +297,17 @@ class CsrEngine:
             edges.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
                 spill_dir, partition_cols=["shard"]
             )
+            # spill the universe too: each shard reads ONLY its own
+            # bucket partition (no P× scan amplification at cluster scale)
+            universe.write_parquet(os.path.join(spill_dir, "universe"), partition_cols=["bucket"])
 
         # estimate gate (the reference's memory-estimation admission,
         # pipelines/modes.estimate): refuse silently-doomed builds
         from graph_data_science_ray.pipelines.modes import estimate
 
-        n_edges_hint = int(src_w.sum()) if not weighted else None
+        n_edges_hint = int(w_sum) if not weighted else None
         if n_edges_hint:
-            est = estimate(len(src_ids) or 1, n_edges_hint, num_shards=P, weighted=weighted)
+            est = estimate(n_src or 1, n_edges_hint, num_shards=P, weighted=weighted)
             avail = ray.available_resources().get("memory", None)
             if avail is not None and est["per_shard_bytes"] * P > avail * 4:
                 raise MemoryError(
@@ -234,25 +338,28 @@ class CsrEngine:
             )
         ray.get([s.build.remote(hub_ids) for s in shards])
 
-        out_w = np.zeros(all_ids.shape[0], dtype=np.float64)
-        if src_ids.shape[0]:
-            out_w[np.searchsorted(all_ids, src_ids)] = src_w
-        hub_out_w = out_w[np.searchsorted(all_ids, hub_ids)] if hub_ids.shape[0] else np.empty(0)
-
-        # hand each shard its owned slice of (ids, out_w)
-        owner = bucket_of(all_ids, P)
-        sets = []
-        for b, s in enumerate(shards):
-            m = owner == b
-            sets.append(s.set_owned.remote(all_ids[m], out_w[m]))
-        ray.get(sets)
+        # each shard slices its owned (ids, out_w) from the bucketed
+        # universe WORKER-SIDE — the driver never holds either array
+        if routing == "spill":
+            sets = []
+            for b, s in enumerate(shards):
+                d = os.path.join(spill_dir, "universe", f"bucket={b}")
+                files = (
+                    [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+                    if os.path.isdir(d)
+                    else []
+                )
+                sets.append(s.load_universe_parquet.remote(files))
+            ray.get(sets)
+        else:
+            ray.get([s.set_owned_from_universe.remote(*uni_refs) for s in shards])
 
         # static routing-layout exchange (once): each shard publishes ONE
         # coalesced (offsets, ids) object; every destination slices its
         # segment and caches positions — later iterations ship values only
         layouts = [s.get_layouts.remote() for s in shards]
         ray.get([shards[j].register_incoming.remote(j, *layouts) for j in range(P)])
-        return cls(shards, P, all_ids, out_w, hub_ids, hub_out_w)
+        return cls(shards, P, n_nodes, hub_ids, hub_out_w)
 
     def shutdown(self) -> None:
         """Kill shard actors and release their CSR + state memory NOW
@@ -330,15 +437,19 @@ class CsrEngine:
         start_iter = 0
         resumed = False
         if checkpoint is not None and resume:
-            latest = checkpoint.latest()
-            if latest is not None:
-                it, ids, vals, _ = latest
-                assert np.array_equal(ids, self.node_ids), "checkpoint universe mismatch"
-                owner = bucket_of(ids, self.P)
+            meta = checkpoint.latest_meta()
+            if meta is not None:
+                it = meta["iteration"]
+                vname = meta.get("value_name", checkpoint.value_name)
+                # per-partition resume: every shard reads ONLY its own
+                # part (same bucket function ⇒ ids match the owned slice
+                # bitwise, asserted shard-side) — no driver scatter
                 ray.get(
                     [
-                        self.shards[b].init_state.remote("values", vals[owner == b])
-                        for b in range(self.P)
+                        self.shards[part["bucket"]].load_checkpoint.remote(
+                            os.path.join(checkpoint.dir, part["file"]), vname
+                        )
+                        for part in meta["parts"]
                     ]
                 )
                 start_iter, resumed = it + 1, True
@@ -368,17 +479,12 @@ class CsrEngine:
                 converged = True
                 break
 
-        t = pa.concat_tables(ray.get([s.get_state.remote() for s in self.shards]))
-        ids = t.column("node_id").to_numpy(zero_copy_only=False)
-        vals = t.column("val").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        return IterativeResult(
-            node_ids=ids[order],
-            values=vals[order],
-            value_name=value_name,
-            iterations=iteration + 1,
-            converged=converged,
-            metrics=metrics,
+        # result stays sharded: one named-state block per shard in the
+        # object store; ShardedIterativeResult materializes only on demand
+        as_int = value_name in ("component", "label")
+        refs = [s.get_state_named.remote(value_name, as_int) for s in self.shards]
+        return ShardedIterativeResult(
+            refs, value_name, iteration + 1, converged, metrics
         )
 
     # ------------------------------------------------------------------
@@ -410,18 +516,15 @@ class CsrEngine:
             resume=resume,
         )
 
-    def wcc(self, max_iterations: int = 100, checkpoint=None, resume=False) -> IterativeResult:
-        res = self._run(
+    def wcc(self, max_iterations: int = 100, checkpoint=None, resume=False) -> "ShardedIterativeResult":
+        # int64 cast happens shard-side in get_state_named
+        return self._run(
             "min_label", "min_label", "identity", "component", max_iterations, 0.0,
             checkpoint=checkpoint, resume=resume,
         )
-        res.values = res.values.astype(np.int64)
-        return res
 
-    def label_propagation(self, max_iterations: int = 10, checkpoint=None, resume=False) -> IterativeResult:
-        res = self._run(
+    def label_propagation(self, max_iterations: int = 10, checkpoint=None, resume=False) -> "ShardedIterativeResult":
+        return self._run(
             "label_votes", "label_argmax", "identity", "label", max_iterations, 0.0,
             checkpoint=checkpoint, resume=resume,
         )
-        res.values = res.values.astype(np.int64)
-        return res
