@@ -392,6 +392,109 @@ def shortest_path_tree(
     return res, pred
 
 
+def shortest_path_stream(
+    edges: Dataset,
+    source: int | None = None,
+    weighted: bool = True,
+    max_iterations: int = 50,
+    undirected: bool = False,
+    num_partitions: int | None = None,
+    targets: list | np.ndarray | None = None,
+) -> Dataset:
+    """``gds.shortestPath.dijkstra.stream`` / ``gds.allShortestPaths
+    .dijkstra.stream`` parity [GDS-pub: paths/dijkstra/ stream mode]:
+    one row per reachable target with the FULL node sequence, not just
+    the cost (round-1 gap #1). Exploded row shape — SQL-comparable and
+    shuffle-friendly at scale (a list column would concentrate a hub's
+    whole path set in one row):
+
+        (target_node, step, node_id, cost)
+
+    ``step`` counts from the target back to the source (0 = target);
+    ``cost`` is the shortest-path cost from the source to ``node_id``.
+    Deterministic tree: ties broken by smallest predecessor id
+    (shortest_path_tree's lexicographic (cand, pred) argmin).
+
+    The unfold is DISTRIBUTED: the predecessor tree is a Dataset and
+    each round hash-joins the unfinished path heads against it — O(max
+    path length) rounds of frontier-sized joins, never a driver-side
+    per-target walk."""
+    import ray.data
+
+    from graph_data_science_ray.functions.joins import hash_join
+
+    res, pred = shortest_path_tree(
+        edges, source=source, weighted=weighted, max_iterations=max_iterations,
+        undirected=undirected, num_partitions=num_partitions,
+    )
+    node_arr, dist = res.node_ids, res.values
+    finite = np.isfinite(dist)
+    pred_t = pa.table(
+        {
+            "node_id": pa.array(node_arr[finite], pa.int64()),
+            "pred": pa.array(pred[finite], pa.int64()),
+            "cost": pa.array(dist[finite], pa.float64()),
+        }
+    )
+    pred_ds = ray.data.from_arrow(pred_t)
+
+    if targets is not None:
+        want = np.unique(np.asarray(list(targets), dtype=np.int64))
+        tmask = finite & np.isin(node_arr, want)
+    else:
+        tmask = finite
+    heads = pa.table(
+        {
+            "target_node": pa.array(node_arr[tmask], pa.int64()),
+            "step": pa.array(np.zeros(int(tmask.sum()), np.int64), pa.int64()),
+            "node_id": pa.array(node_arr[tmask], pa.int64()),
+        }
+    )
+    frontier = ray.data.from_arrow(heads)
+    parts: list[Dataset] = []
+    guard = int(node_arr.shape[0]) + 1
+    while guard:
+        guard -= 1
+        # attach (pred, cost) to the current heads, emit the rows, and
+        # advance the heads whose predecessor chain continues
+        j = hash_join(frontier, pred_ds, on=("node_id",), num_partitions=num_partitions)
+
+        def emit(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "target_node": t.column("target_node"),
+                    "step": t.column("step"),
+                    "node_id": t.column("node_id"),
+                    "cost": t.column("cost"),
+                }
+            )
+
+        def advance(t: pa.Table) -> pa.Table:
+            p = t.column("pred").to_numpy(zero_copy_only=False)
+            keep = p >= 0
+            tt = t.filter(pa.array(keep))
+            step = tt.column("step").to_numpy(zero_copy_only=False) + 1
+            return pa.table(
+                {
+                    "target_node": tt.column("target_node"),
+                    "step": pa.array(step, pa.int64()),
+                    "node_id": tt.column("pred").cast(pa.int64()),
+                }
+            )
+
+        j = j.materialize()
+        parts.append(j.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True))
+        frontier = j.map_batches(
+            advance, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if frontier.count() == 0:
+            break
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def reconstruct_path(res: IterativeResult, pred: np.ndarray, target: int) -> list[int]:
     """Walk the predecessor tree driver-side: source→target node ids
     (empty list when the target is unreachable)."""
