@@ -37,12 +37,13 @@ def knn_graph(
     seed: int = 42,
     num_partitions: int | None = None,
     similarity_cutoff: float = -1.0,
+    max_exact_rows: int | None = None,
 ) -> Dataset:
     """KNN over FastRP embeddings of the graph itself."""
     node_ids, emb = fastrp(edges, embedding_dimension=embedding_dimension, seed=seed)
     return knn_matrix(
         node_ids, emb, k=k, num_partitions=num_partitions,
-        similarity_cutoff=similarity_cutoff,
+        similarity_cutoff=similarity_cutoff, max_exact_rows=max_exact_rows,
     )
 
 
@@ -75,9 +76,55 @@ def knn_matrix(
     source_nodes=None,
     target_nodes=None,
     similarity_cutoff: float = -1.0,
+    max_exact_rows: int | None = None,
 ) -> Dataset:
     """``similarity_cutoff`` mirrors gds.knn's similarityCutoff: pairs
-    below it are dropped (cosine ∈ [-1, 1]; default keeps all)."""
+    below it are dropped (cosine ∈ [-1, 1]; default keeps all).
+
+    Auto-dispatch (round-1 finding #3): above ``max_exact_rows`` (default
+    stages/embed.EXACT_SIM_MAX_ROWS) the exact O(n²) broadcast-matrix
+    kernel routes to NN-Descent (gds.knn's own algorithm — logged;
+    approximate), except when source/target filters are set (NN-Descent
+    has no filtered twin — refuse so the caller decides). At or below the
+    cap the exact path logs that it ran exact."""
+    import logging
+
+    from graph_data_science_ray.stages.embed import EXACT_SIM_MAX_ROWS
+
+    log = logging.getLogger("graph_data_science_ray.similarity")
+    cap = EXACT_SIM_MAX_ROWS if max_exact_rows is None else int(max_exact_rows)
+    n = int(node_ids.shape[0])
+    if n > cap:
+        if source_nodes is not None or target_nodes is not None:
+            raise ValueError(
+                f"knn_matrix: {n} rows > max_exact_rows={cap} with node filters — "
+                "NN-Descent has no filtered variant; raise max_exact_rows explicitly "
+                "to force the O(n²) exact scan"
+            )
+        log.warning(
+            "knn_matrix: %d rows > max_exact_rows=%d — dispatching to NN-Descent "
+            "(approximate)", n, cap,
+        )
+        import ray.data as _rd
+
+        from graph_data_science_ray.algos.nndescent import knn_nndescent
+
+        emb_ds = _rd.from_arrow(
+            pa.table(
+                {
+                    "node_id": pa.array(np.asarray(node_ids, np.int64), pa.int64()),
+                    "embedding": pa.array(
+                        np.asarray(emb, np.float64).tolist(), pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+        res, _ = knn_nndescent(
+            emb_ds, k=k, similarity_cutoff=similarity_cutoff,
+            num_partitions=num_partitions,
+        )
+        return res
+    log.info("knn_matrix: exact O(n²) path over %d rows (cap %d)", n, cap)
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
     norms = np.linalg.norm(emb, axis=1, keepdims=True)

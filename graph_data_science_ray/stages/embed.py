@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 
@@ -19,6 +21,15 @@ import ray
 from ray.data import Dataset
 
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
+
+_LOG = logging.getLogger("graph_data_science_ray.similarity")
+
+# Auto-dispatch guard for the exact O(n·Q)/O(n²) broadcast-matrix family
+# (round-1 finding #3: nothing routed to the bucketed scale paths and
+# nothing logged when the quadratic path ran). Above this many corpus
+# rows the exact kernels route to IVF/LSH (or refuse when no approximate
+# twin preserves the semantics); at or below it they LOG the exact path.
+EXACT_SIM_MAX_ROWS = 500_000
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -43,6 +54,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    max_exact_rows: int | None = None,
 ) -> pa.Table:
     """Exact similarity top-k for each query row. Returns
     (query_idx, vec_id, score) sorted by (query_idx, -score, vec_id).
@@ -51,10 +63,30 @@ def brute_force_topk(
     ``cosine`` (default), ``pearson`` (= cosine of mean-centered
     vectors, functions/similarity.pearson_sim), or ``euclidean``
     (similarity 1/(1+distance), functions/similarity.euclidean_sim;
-    top-k by similarity = nearest by distance)."""
+    top-k by similarity = nearest by distance).
+
+    Auto-dispatch: corpora above ``max_exact_rows`` (default
+    EXACT_SIM_MAX_ROWS) route to ``ivf_topk`` for cosine — logged — and
+    refuse for pearson/euclidean (no approximate twin preserves those
+    semantics); at or below, the exact path logs that it ran exact."""
     if metric not in ("cosine", "pearson", "euclidean"):
         raise ValueError("metric must be cosine|pearson|euclidean")
     configure_ray_data()
+    cap = EXACT_SIM_MAX_ROWS if max_exact_rows is None else int(max_exact_rows)
+    n_rows = ds.count()
+    if n_rows > cap:
+        if metric == "cosine":
+            _LOG.warning(
+                "brute_force_topk: %d rows > max_exact_rows=%d — dispatching to "
+                "ivf_topk (approximate)", n_rows, cap,
+            )
+            return ivf_topk(ds, queries, k=k, id_col=id_col, vec_col=vec_col)
+        raise ValueError(
+            f"brute_force_topk: {n_rows} rows > max_exact_rows={cap} and metric="
+            f"{metric!r} has no approximate twin — raise max_exact_rows explicitly "
+            "to force the O(n·Q) exact scan"
+        )
+    _LOG.info("brute_force_topk: exact O(n·Q) path over %d rows (cap %d)", n_rows, cap)
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     if metric == "pearson":
         q = q - q.mean(axis=1, keepdims=True)
@@ -304,6 +336,7 @@ def top_similar_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     similarity_cutoff: float = -1.0,
+    max_exact_rows: int | None = None,
 ) -> pa.Table:
     """Exact global top-N most-similar pairs by cosine (id_a < id_b) —
     the embedding near-dup primitive when no threshold is known a priori
@@ -311,10 +344,45 @@ def top_similar_pairs(
     broadcast + per-batch-combiner shape as brute_force_topk: each batch
     scores its rows against the broadcast matrix, masks j ≤ i, keeps the
     batch-local top-N; the driver merges |blocks|·N partial rows.
-    Returns (id_a, id_b, score) by (-score, id_a, id_b), score round-6."""
+    Returns (id_a, id_b, score) by (-score, id_a, id_b), score round-6.
+
+    Auto-dispatch: above ``max_exact_rows`` (default EXACT_SIM_MAX_ROWS)
+    the O(n²) scan refuses unless a ``similarity_cutoff`` > -1 is given,
+    in which case it routes to the LSH-bucketed ``embedding_cosine_pairs``
+    and takes the top-N of the thresholded pairs (logged)."""
     configure_ray_data()
     from graph_data_science_ray.algos.common import collect_arrow
 
+    cap = EXACT_SIM_MAX_ROWS if max_exact_rows is None else int(max_exact_rows)
+    n_rows = ds.count()
+    if n_rows > cap:
+        if similarity_cutoff > -1.0:
+            _LOG.warning(
+                "top_similar_pairs: %d rows > max_exact_rows=%d — dispatching to "
+                "LSH-bucketed embedding_cosine_pairs(threshold=%s) + top-%d",
+                n_rows, cap, similarity_cutoff, n,
+            )
+            pairs = embedding_cosine_pairs(
+                ds, threshold=similarity_cutoff, id_col=id_col, vec_col=vec_col
+            )
+            t = collect_arrow(pairs)
+            if t.num_rows == 0 or "id_a" not in t.column_names:
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            b = t.column("id_b").to_numpy(zero_copy_only=False)
+            sc = np.round(t.column("score").to_numpy(zero_copy_only=False), 6)
+            o = np.lexsort((b, a, -sc))[:n]
+            return pa.table({"id_a": pa.array(a[o], pa.int64()),
+                             "id_b": pa.array(b[o], pa.int64()),
+                             "score": pa.array(sc[o], pa.float64())})
+        raise ValueError(
+            f"top_similar_pairs: {n_rows} rows > max_exact_rows={cap} — the exact "
+            "global-pair scan is O(n²); pass similarity_cutoff to enable the "
+            "LSH-bucketed route, or raise max_exact_rows explicitly"
+        )
+    _LOG.info("top_similar_pairs: exact O(n²) path over %d rows (cap %d)", n_rows, cap)
     full = collect_arrow(ds.select_columns([id_col, vec_col]))
     ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids, kind="stable")
