@@ -129,19 +129,35 @@ def eigenvector(
     power iteration from the uniform unit vector restricted to the given
     nodes (the converged direction is unchanged on the reachable strongly
     connected core, but partial runs and disconnected parts differ).
-    ``scaler``: GDS scaler config — post-scales the converged scores."""
+    ``scaler``: GDS scaler config — post-scales the converged scores.
+
+    Implemented THROUGH the engine's Pregel surface (algos/iterate.
+    pregel) as its reference instantiation: send = state (×weight),
+    combine = sum, update = received sum, masterCompute = global L2
+    normalization — the GDS Pregel hook set, exercised by this
+    algorithm's own oracle-checked harness queries."""
+    from graph_data_science_ray.algos.iterate import pregel
+
     configure_ray_data()
     edges = edges.materialize()
     node_arr = unique_node_ids(edges)
     n = node_arr.shape[0]
 
-    def scale(state):
-        return state
+    if weighted:
+        def send(s: np.ndarray, b: pa.Table) -> np.ndarray:
+            return s * b.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        def send(s: np.ndarray, b: pa.Table) -> np.ndarray:
+            return s
 
-    def apply(state, in_sum):
-        norm = np.linalg.norm(in_sum)
-        new = in_sum / norm if norm > 0 else np.full(n, 1.0 / np.sqrt(n) if n else 0.0)
-        return new, float(np.abs(new - state).max()) if n else 0.0
+    def update(state, combined, has_msg, ids):
+        return combined
+
+    def master(v: np.ndarray) -> np.ndarray:
+        norm = np.linalg.norm(v)
+        if norm > 0:
+            return v / norm
+        return np.full(v.shape[0], 1.0 / np.sqrt(v.shape[0]) if v.shape[0] else 0.0)
 
     if source_nodes is not None and n:
         src = np.asarray(source_nodes, dtype=np.int64)
@@ -153,9 +169,10 @@ def eigenvector(
         init = init / nrm if nrm > 0 else np.full(n, 1.0 / np.sqrt(n))
     else:
         init = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
-    res = _iterate_scaled(
-        edges, node_arr, scale, apply, max_iterations, tolerance, "eigenvector", init,
-        weighted=weighted,
+    res = pregel(
+        edges, send, update, init=init, combine="sum", master=master,
+        max_iterations=max_iterations, tolerance=tolerance,
+        value_name="eigenvector", node_ids=node_arr,
     )
     if scaler is not None:
         from graph_data_science_ray.functions.scalers import scale_values

@@ -31,6 +31,171 @@ from graph_data_science_ray.checkpoint import CheckpointManager
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 
 
+def pregel(
+    edges: Dataset,
+    send: Callable[[np.ndarray, pa.Table], np.ndarray],
+    update: Callable[[np.ndarray, np.ndarray, np.ndarray, np.ndarray], np.ndarray],
+    init: "float | int | np.ndarray | Callable[[np.ndarray], np.ndarray]" = 0.0,
+    combine: str = "sum",
+    master: Callable[[np.ndarray], np.ndarray] | None = None,
+    vote_to_halt: bool = False,
+    max_iterations: int = 20,
+    tolerance: float = 0.0,
+    value_name: str = "value",
+    node_ids: np.ndarray | None = None,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    reduce: str = "driver",
+) -> IterativeResult:
+    """GDS-Pregel-parity user extension surface (SURVEY.md §2.11; the
+    reference exposes init/compute/sendToNeighbors/voteToHalt plus
+    masterCompute as ITS extension API). The dataflow mapping, all hooks
+    user-supplied and vectorized:
+
+    - ``init``: scalar fill, per-node array, or ``f(node_ids) → array``
+      (GDS ``init``; dtype decides int/float residual semantics).
+    - ``send(src_state_per_edge, edge_batch) → message value per edge``
+      (GDS ``compute`` + ``sendToNeighbors``): an arbitrary numpy kernel
+      over the source states and the batch's edge columns (weights,
+      properties …).
+    - ``combine``: "sum" | "min" | "max" — the message combiner (GDS
+      ``Reducer``), applied BOTH within each scatter batch and in the
+      gather, so the shuffle only moves pre-combined partials.
+    - ``update(state, combined, has_msg, node_ids) → new state`` (GDS
+      ``compute`` on received messages): vectorized over ALL nodes;
+      ``has_msg`` marks nodes that received any message this round.
+    - ``master`` (GDS ``masterCompute``): optional global step applied
+      to the full state vector after every round (normalization,
+      global thresholds …).
+    - ``vote_to_halt``: every node halts unless its value changed; a
+      changed neighbor's messages reactivate it next round (the
+      frontier semantics monotone algorithms want — only active
+      sources scatter). Without it, every node computes every round.
+
+    Residual: max |Δ| for float state, #changed for int state; the run
+    halts at ``residual <= tolerance`` or ``max_iterations``. Returns an
+    ``IterativeResult``, so stream/stats/mutate/write and the estimate
+    gate (pipelines/modes) come for free — mode parity with GDS Pregel.
+
+    Scale shape: identical to every built-in dataflow algorithm (state
+    broadcast via ``ray.put``, per-batch combiners, driver or shuffle
+    reduce) — see ``run_iterative``; ``reduce="shuffle"`` is the
+    beyond-driver-memory gather."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from graph_data_science_ray.algos.common import merge_min, merge_sum, unique_inverse
+
+    if combine not in ("sum", "min", "max"):
+        raise ValueError("combine must be sum|min|max")
+    configure_ray_data()
+    edges = edges.materialize()
+    if node_ids is None:
+        from graph_data_science_ray.algos.common import unique_node_ids
+
+        node_ids = unique_node_ids(edges)
+    if callable(init):
+        init_arr = np.asarray(init(node_ids))
+    elif isinstance(init, np.ndarray):
+        init_arr = init
+    else:
+        init_arr = np.full(
+            node_ids.shape[0], init,
+            dtype=np.int64 if isinstance(init, (int, np.integer)) else np.float64,
+        )
+    is_int = np.issubdtype(init_arr.dtype, np.integer)
+
+    def make_stage(state_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            got = ray.get(state_ref)
+            ids, st = got[0], got[1]
+            changed = got[2] if len(got) > 2 else None
+            src = batch.column("src_id").to_numpy(zero_copy_only=False)
+            spos = np.minimum(np.searchsorted(ids, src), ids.shape[0] - 1)
+            if changed is not None:
+                act = changed[spos]
+                if not act.any():
+                    return pa.table(
+                        {"node_id": pa.array([], pa.int64()),
+                         "msg": pa.array([], pa.from_numpy_dtype(st.dtype))}
+                    )
+                batch = batch.filter(pa.array(act))
+                spos = spos[act]
+            msg = np.asarray(send(st[spos], batch))
+            dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+            keep = np.isfinite(msg) if not is_int else np.ones(msg.shape[0], bool)
+            dst, msg = dst[keep], msg[keep]
+            u, inv = unique_inverse(dst)
+            if combine == "sum":
+                agg = np.bincount(inv, weights=msg, minlength=u.shape[0]).astype(msg.dtype)
+            else:
+                fill = (np.iinfo(np.int64).max if is_int else np.inf)
+                agg = np.full(u.shape[0], fill if combine == "min" else -fill, dtype=msg.dtype)
+                (np.minimum if combine == "min" else np.maximum).at(agg, inv, msg)
+            return pa.table({"node_id": pa.array(u, pa.int64()), "msg": pa.array(agg)})
+
+        return fn
+
+    def gather_aggs():
+        return [
+            {"sum": Sum, "min": Min, "max": Max}[combine]("msg", alias_name="msg")
+        ]
+
+    def driver_reduce(partials: pa.Table) -> pa.Table:
+        if partials.num_rows == 0 or "node_id" not in partials.column_names:
+            return pa.table({"node_id": pa.array([], pa.int64()),
+                             "msg": pa.array([], pa.from_numpy_dtype(init_arr.dtype))})
+        if combine == "sum":
+            u, v = merge_sum(partials, "node_id", "msg")
+        elif combine == "min":
+            u, v = merge_min(partials, "node_id", "msg")
+        else:
+            neg = pa.table({"node_id": partials.column("node_id"),
+                            "msg": pa.array(-partials.column("msg").to_numpy(
+                                zero_copy_only=False))})
+            u, v = merge_min(neg, "node_id", "msg")
+            v = -v
+        return pa.table({"node_id": pa.array(u, pa.int64()), "msg": pa.array(v)})
+
+    def apply_fn(state, gathered, ids):
+        combined = np.zeros(ids.shape[0], dtype=state.dtype)
+        has_msg = np.zeros(ids.shape[0], dtype=bool)
+        if gathered.num_rows and "node_id" in gathered.column_names:
+            g_ids = gathered.column("node_id").to_numpy(zero_copy_only=False)
+            g_vals = gathered.column("msg").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, g_ids)
+            combined[pos] = g_vals.astype(state.dtype)
+            has_msg[pos] = True
+        new = np.asarray(update(state, combined, has_msg, ids), dtype=state.dtype)
+        if master is not None:
+            new = np.asarray(master(new), dtype=state.dtype)
+        if is_int:
+            residual = float((new != state).sum())
+        else:
+            residual = float(np.abs(new - state).max()) if ids.shape[0] else 0.0
+        return new, residual
+
+    return run_iterative(
+        edges=edges,
+        node_ids=node_ids,
+        init=init_arr,
+        make_stage=make_stage,
+        gather_key="node_id",
+        gather_aggs=gather_aggs,
+        apply_fn=apply_fn,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        value_name=value_name,
+        checkpoint=checkpoint,
+        resume=resume,
+        num_partitions=num_partitions,
+        materialize_edges=False,
+        reduce=reduce,
+        driver_reduce=driver_reduce,
+        pass_frontier=vote_to_halt,
+    )
+
+
 def run_iterative(
     edges: Dataset,
     node_ids: np.ndarray,
