@@ -197,11 +197,50 @@ def test_multimodal_image_features_deterministic():
     assert (frames.groupby("media_id").size() >= 1).all()
 
 
-def test_real_decoder_is_stubbed():
-    from graph_data_science_ray.stages.multimodal import real_decode_image
+def test_real_decoders_roundtrip_and_reject():
+    from graph_data_science_ray.stages.multimodal import (
+        encode_png_rgb, encode_wav_pcm16, real_decode_audio, real_decode_image,
+    )
 
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(real_decode_image(encode_png_rgb(img)), img)
+    w = (rng.standard_normal(4000) * 0.3).astype(np.float32)
+    dw = real_decode_audio(encode_wav_pcm16(w, 8000))
+    assert dw.shape[0] == 4000
+    assert np.abs(dw - np.clip(w, -1, 1)).max() < 1e-4  # PCM16 quantization
+    # non-PNG / non-WAV payloads still raise (no codec library here)
     with pytest.raises(NotImplementedError):
-        real_decode_image(b"xx")
+        real_decode_image(b"\xff\xd8\xffnotpng")
+    with pytest.raises(NotImplementedError):
+        real_decode_audio(b"xx")
+
+
+def test_image_features_with_real_png_decoder():
+    from graph_data_science_ray.stages.multimodal import encode_png_rgb, image_features
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(4)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(4), pa.int64()),
+                "payload": pa.array([encode_png_rgb(im) for im in imgs], pa.binary()),
+                "width": pa.array([5] * 4, pa.int32()),
+                "height": pa.array([6] * 4, pa.int32()),
+            }
+        )
+    )
+    from graph_data_science_ray.stages.multimodal import ImageFeatures
+
+    out = ds.map_batches(
+        ImageFeatures, fn_constructor_kwargs=dict(decoder=__import__(
+            "graph_data_science_ray.stages.multimodal", fromlist=["real_decode_image"]
+        ).real_decode_image),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas().set_index("media_id")
+    for i, im in enumerate(imgs):
+        assert abs(out.loc[i, "mean_r"] - im[:, :, 0].mean()) < 1e-9
 
 
 def test_scalers_match_numpy():
@@ -472,7 +511,7 @@ def test_multimodal_resize_and_audio_features():
     w = fake_decode_audio(b"x", 1000)
     assert w.shape[0] == 8000 and np.abs(w).max() <= 1.0
     with pytest.raises(NotImplementedError):
-        real_decode_audio(b"")
+        real_decode_audio(b"")  # not a WAV container, no codec library
 
 
 def test_collapse_path_two_hop():
