@@ -1025,6 +1025,32 @@ def _q_delta_sssp(sf_dir: str):
     )
 
 
+def _q_sssp_paths(sf_dir: str):
+    """``gds.shortestPath.dijkstra.stream`` parity (algos/paths.
+    shortest_path_stream): per-target FULL node sequences from the
+    deterministic predecessor tree (ties → smallest pred id), unfolded
+    DISTRIBUTED via per-round hash joins against the pred Dataset.
+    Exploded rows (target_node, step, node_id, cost_i); step 0 = target,
+    increasing toward the source. Run to the exact fixpoint (tolerance
+    0) so the oracle's k-round replay + argmin-pred tree coincides."""
+    from graph_data_science_ray.algos.paths import shortest_path_stream
+
+    ds = shortest_path_stream(_edges_ps_weighted(sf_dir), max_iterations=50)
+
+    def int_cost(t: pa.Table) -> pa.Table:
+        c = np.round(t.column("cost").to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "target_node": t.column("target_node"),
+                "step": t.column("step"),
+                "node_id": t.column("node_id"),
+                "cost_i": pa.array(c, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(int_cost, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_closeness_raw64(sf_dir: str):
     """Closeness with useWassermanFaust=false (raw = reachable/Σd per
     source) for the 64 smallest node ids — same MSBFS wave as the WF
@@ -2155,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_k5": _q_hits,
         "bfs_hops8": _q_bfs_hops,
         "sssp_bf8": _q_sssp,
+        "sssp_paths": _q_sssp_paths,
         "allsp_weighted8": _q_allsp_weighted8,
         "prize_steiner_tree": _q_prize_steiner,
         "modularity_mod7": _q_modularity,
@@ -2445,6 +2472,45 @@ def _allsp_weighted_sql(k: int = 8, n_src: int = 8) -> str:
     return sql + (
         f"\nSELECT s AS source_id, node AS target_id, "
         f"CAST(ROUND(val) AS BIGINT) AS cost_i FROM d{k}"
+    )
+
+
+def _sssp_paths_sql(k: int = 20) -> str:
+    """_q_sssp_paths oracle: the _relax_sql(weighted) k-round distance
+    chain to the fixpoint, the deterministic predecessor tree pred(v) =
+    MIN(u) over edges with d*(u) + w(u,v) = d*(v) (exactly the engine's
+    lexicographic (cand, pred) argmin at convergence), and a recursive
+    unfold from every reachable target along the pred chain."""
+    e = ("SELECT l_partkey AS src_id, l_suppkey AS dst_id, MIN(l_quantity) AS w "
+         "FROM lineitem GROUP BY 1, 2")
+    parts = [
+        f"WITH RECURSIVE e AS MATERIALIZED ({e}),",
+        "s AS MATERIALIZED (SELECT MIN(src_id) AS v FROM e),",
+        "d0 AS MATERIALIZED (SELECT v AS node, CAST(0 AS DOUBLE) AS val FROM s),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, MIN(val) AS val FROM ("
+            f"SELECT node, val FROM d{i-1} UNION ALL "
+            f"SELECT e.dst_id, d{i-1}.val + e.w FROM e JOIN d{i-1} ON e.src_id = d{i-1}.node"
+            f") GROUP BY node),"
+        )
+    parts.append(
+        "predt AS MATERIALIZED (SELECT dv.node, "
+        "COALESCE(MIN(CASE WHEN du.val + e.w = dv.val THEN e.src_id END), -1) AS pred "
+        f"FROM d{k} dv LEFT JOIN e ON e.dst_id = dv.node "
+        f"LEFT JOIN d{k} du ON du.node = e.src_id GROUP BY dv.node),"
+    )
+    parts.append(
+        "paths(target, step, node) AS ("
+        f"SELECT node, CAST(0 AS BIGINT), node FROM d{k} "
+        "UNION ALL SELECT p.target, p.step + 1, pr.pred FROM paths p "
+        "JOIN predt pr ON pr.node = p.node WHERE pr.pred >= 0)"
+    )
+    return (
+        " ".join(parts)
+        + " SELECT p.target AS target_node, p.step, p.node AS node_id, "
+        f"CAST(ROUND(d.val) AS BIGINT) AS cost_i FROM paths p JOIN d{k} d ON d.node = p.node"
     )
 
 
@@ -6172,6 +6238,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_k5": _hits_sql(),
         "bfs_hops8": _relax_sql(8, weighted=False),
         "sssp_bf8": _relax_sql(8, weighted=True),
+        "sssp_paths": _sssp_paths_sql(),
         "allsp_weighted8": _allsp_weighted_sql(8, 8),
         "eigenvector_k10": _eigenvector_sql(10),
         "label_propagation": _lpa_sql(10),
