@@ -1433,14 +1433,38 @@ def _q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (stages/embed.
     embedding_cosine_pairs): sign-LSH bucketing (bits=4) for candidate
     generation, within-bucket cosine ≥ threshold — the embedding-space
-    member of the dedup family (threshold variant of top_similar_pairs)."""
+    member of the dedup family (threshold variant of top_similar_pairs).
+
+    Cross-engine safety (round-1 ADVICE): the run uses a widened cut
+    (threshold − ε) and ASSERTS no score lands inside the ±ε band, so a
+    fixture regeneration that moves a pair onto the 0.3 boundary fails
+    loudly instead of flaking; scores are emitted as half-away-rounded
+    integer micro-units (score_u6) — the spelled-out CASE idiom, immune
+    to the np.round/DuckDB-ROUND half-even-vs-half-away divergence."""
     import ray.data
 
+    from graph_data_science_ray.algos.common import collect_arrow
     from graph_data_science_ray.stages.embed import embedding_cosine_pairs
 
+    thr, eps = 0.3, 1e-6
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    pairs = embedding_cosine_pairs(ds, threshold=0.3, bits=4)
-    return pairs.map_batches(lambda t: _round6(t, "score"), batch_format="pyarrow")
+    t = collect_arrow(embedding_cosine_pairs(ds, threshold=thr - eps, bits=4))
+    sc = t.column("score").to_numpy(zero_copy_only=False)
+    band = np.abs(sc - thr) < eps
+    assert not band.any(), (
+        f"embed_neardup: {int(band.sum())} score(s) within {eps} of the {thr} "
+        "threshold — cross-engine membership would be representation-dependent"
+    )
+    keep = sc >= thr
+    sk = sc[keep]
+    u6 = np.where(sk >= 0, np.floor(sk * 1e6 + 0.5), np.ceil(sk * 1e6 - 0.5)).astype(np.int64)
+    return pa.table(
+        {
+            "id_a": t.column("id_a").filter(pa.array(keep)),
+            "id_b": t.column("id_b").filter(pa.array(keep)),
+            "score_u6": pa.array(u6, pa.int64()),
+        }
+    )
 
 
 def _q_knn_nndescent(sf_dir: str):
@@ -3525,10 +3549,10 @@ def _embed_neardup_sql(threshold: float = 0.3, bits: int = 4, seed: int = 42,
     """Replica of _q_embed_neardup (stages/embed.embedding_cosine_pairs):
     same inlined sign-LSH hyperplanes as _lsh_ann_sql, bucket column
     MATERIALIZED (hash exprs never in join predicates), then within-bucket
-    pairs (vec_id ascending) with cosine ≥ threshold. The nearest pair
-    sits 7e-5 from the 0.3 cut — 9 orders above double reassociation
-    noise, so the cross-engine threshold test cannot flip; scores round
-    to 6 like ann_topk."""
+    pairs (vec_id ascending) with cosine ≥ threshold. The engine side
+    asserts a ±1e-6 guard band around the cut (see _q_embed_neardup), and
+    scores compare as half-away integer micro-units (score_u6) via the
+    spelled-out CASE idiom — no ROUND half-mode dependence."""
     import numpy as _np
 
     planes = _np.random.default_rng(seed).standard_normal((bits, dim))
@@ -3544,7 +3568,9 @@ def _embed_neardup_sql(threshold: float = 0.3, bits: int = 4, seed: int = 42,
         "eb AS MATERIALIZED (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, "
         f"{bexpr} AS bucket FROM embeddings e) "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS score "
+        "CAST(CASE WHEN list_cosine_similarity(a.v, b.v) >= 0 "
+        "THEN FLOOR(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) "
+        "ELSE CEIL(list_cosine_similarity(a.v, b.v) * 1e6 - 0.5) END AS BIGINT) AS score_u6 "
         "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"
     )
