@@ -31,10 +31,50 @@ DAMPING = 0.85
 
 
 # ---------------------------------------------------------------------------
+# per-process projection cache
+#
+# The driver (and tools/check_harness.py) runs every queries() entry in
+# ONE process; ~80 of them start from the same handful of lineitem
+# projections. Rebuilding a projection is a parquet read + a dedup
+# shuffle (~1.5-5 s of fixed Ray overhead per query at sf0.01), so the
+# harness materializes each projection once and reuses the immutable
+# Dataset — downstream ops never mutate their input, they derive new
+# Datasets. Cache keys carry sf_dir so entry() (sf0.001) and queries()
+# (driver sf) never collide. Node-id universes are memoized per cached
+# Dataset object (ids are a pure function of the projection).
+# ---------------------------------------------------------------------------
+
+_DS_CACHE: dict = {}
+_IDS_CACHE: dict = {}
+
+
+def _cached_ds(key: tuple, build):
+    ds = _DS_CACHE.get(key)
+    if ds is None:
+        ds = _DS_CACHE[key] = build().materialize()
+    return ds
+
+
+def _node_ids(ds):
+    """unique_node_ids memoized by Dataset identity — safe because the
+    only Datasets passed here are the forever-cached projections."""
+    v = _IDS_CACHE.get(id(ds))
+    if v is None:
+        from graph_data_science_ray.algos.common import unique_node_ids
+
+        v = _IDS_CACHE[id(ds)] = unique_node_ids(ds)
+    return v
+
+
+# ---------------------------------------------------------------------------
 # projections
 # ---------------------------------------------------------------------------
 
 def _edges_op(sf_dir: str):
+    return _cached_ds(("op", sf_dir), lambda: _build_edges_op(sf_dir))
+
+
+def _build_edges_op(sf_dir: str):
     import ray.data
 
     from graph_data_science_ray.context import configure_ray_data
@@ -48,6 +88,10 @@ def _edges_op(sf_dir: str):
 
 
 def _edges_ps(sf_dir: str):
+    return _cached_ds(("ps", sf_dir), lambda: _build_edges_ps(sf_dir))
+
+
+def _build_edges_ps(sf_dir: str):
     import ray.data
 
     from graph_data_science_ray.context import configure_ray_data
@@ -61,6 +105,11 @@ def _edges_ps(sf_dir: str):
 
 
 def _edges_chain(sf_dir: str, cap: int = 200, shift: float = 0.0):
+    return _cached_ds(("chain", sf_dir, cap, shift),
+                      lambda: _build_edges_chain(sf_dir, cap, shift))
+
+
+def _build_edges_chain(sf_dir: str, cap: int = 200, shift: float = 0.0):
     """Deterministic weighted DAG from lineitem: consecutive lineitems of
     each order (by l_linenumber) become a part→part edge directed low→high
     id (acyclic by construction), weight = the later line's quantity,
@@ -227,7 +276,7 @@ def _q_pagerank_personalized(sf_dir: str):
     from graph_data_science_ray.algos.pagerank import pagerank
 
     edges = _edges_op(sf_dir)
-    srcs = unique_node_ids(edges)[:4].tolist()
+    srcs = _node_ids(edges)[:4].tolist()
     res = pagerank(
         edges,
         damping=DAMPING,
@@ -292,6 +341,10 @@ def _q_wcc_sizes(sf_dir: str):
 
 
 def _edges_ps_raw(sf_dir: str):
+    return _cached_ds(("ps_raw", sf_dir), lambda: _build_edges_ps_raw(sf_dir))
+
+
+def _build_edges_ps_raw(sf_dir: str):
     """ps projection WITHOUT the distinct (the triangle counter's own
     canonicalization dedups — skipping the pre-distinct saves a shuffle)."""
     import ray.data
@@ -490,6 +543,10 @@ def _q_bfs_hops(sf_dir: str):
 
 
 def _edges_ps_weighted(sf_dir: str):
+    return _cached_ds(("ps_w", sf_dir), lambda: _build_edges_ps_weighted(sf_dir))
+
+
+def _build_edges_ps_weighted(sf_dir: str):
     """ps projection with weight = MIN(l_quantity) per distinct edge
     (the reference's Aggregation.MIN at projection time)."""
     import ray.data
@@ -505,6 +562,11 @@ def _edges_ps_weighted(sf_dir: str):
 
 
 def _edges_ps_weighted_small(sf_dir: str):
+    return _cached_ds(("ps_w_small", sf_dir),
+                      lambda: _build_edges_ps_weighted_small(sf_dir))
+
+
+def _build_edges_ps_weighted_small(sf_dir: str):
     """Small ps projection (part<=300, supp<=12; ~300 nodes / ~2100
     edges at sf0.01), row-filtered at the parquet read so only matching
     row groups are decoded. Used where the DuckDB oracle is inherently
@@ -526,6 +588,10 @@ def _edges_ps_weighted_small(sf_dir: str):
 
 
 def _edges_ps_small(sf_dir: str):
+    return _cached_ds(("ps_small", sf_dir), lambda: _build_edges_ps_small(sf_dir))
+
+
+def _build_edges_ps_small(sf_dir: str):
     """Unweighted small ps projection (part<=300, supp<=12), SINGLE
     dedup, row-filtered at the parquet read. Used by bridges /
     articulation points whose per-candidate-removal oracles need a
@@ -554,7 +620,7 @@ def _q_prize_steiner(sf_dir: str):
     from graph_data_science_ray.algos.pcst import prize_steiner_tree
 
     edges = _edges_ps_weighted(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     # deterministic prizes: node_id mod 37 + 5 on a 64-node subset
     sub = ids[:64]
     prizes = {int(n): float(n % 37 + 5) for n in sub}
@@ -617,7 +683,7 @@ def _comm_mod7(sf_dir: str):
     from graph_data_science_ray.algos.common import NodeVector, unique_node_ids
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return edges, NodeVector(ids, ids % 7)
 
 
@@ -670,7 +736,7 @@ def _q_harmonic64(sf_dir: str):
     from graph_data_science_ray.algos.msbfs import harmonic_centrality
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     t = harmonic_centrality(edges, sources=ids[:64], max_depth=16)
     return _round6(t, "harmonic")
 
@@ -683,7 +749,7 @@ def _q_closeness64(sf_dir: str):
     from graph_data_science_ray.algos.msbfs import closeness_centrality
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     t = closeness_centrality(edges, sources=ids[:64], max_depth=16)
     return _round6(t, "closeness")
 
@@ -696,7 +762,7 @@ def _q_allsp64(sf_dir: str):
     from graph_data_science_ray.algos.msbfs import all_shortest_paths
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return all_shortest_paths(edges, sources=ids[:64], max_depth=16)
 
 
@@ -711,7 +777,7 @@ def _q_betweenness32(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return _round6(betweenness_centrality(edges, sources=ids[:32]), "betweenness")
 
 
@@ -723,7 +789,7 @@ def _q_betweenness_weighted32(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
 
     edges = _edges_ps_weighted(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return _round6(betweenness_centrality_weighted(edges, sources=ids[:32]), "betweenness")
 
 
@@ -732,7 +798,7 @@ def _q_random_walks(sf_dir: str):
     from graph_data_science_ray.algos.randomwalk import random_walks
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return random_walks(edges, ids[:8], walk_length=10, walks_per_node=2, seed=42)
 
 
@@ -743,7 +809,7 @@ def _q_cnarw_sample(sf_dir: str):
     from graph_data_science_ray.algos.randomwalk import cnarw_walks
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return cnarw_walks(edges, ids[:8], walk_length=8, walks_per_node=2, seed=42)
 
 
@@ -756,7 +822,7 @@ def _q_rwr_sample(sf_dir: str):
     from graph_data_science_ray.algos.randomwalk import sample_rwr
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return sample_rwr(
         edges, ids[:8], restart_prob=0.2, walk_length=8,
         walks_per_node=2, seed=42, orientation="undirected",
@@ -903,7 +969,7 @@ def _q_steiner(sf_dir: str):
     from graph_data_science_ray.algos.steiner import steiner_tree
 
     edges = _edges_ps_weighted(sf_dir)
-    terms = unique_node_ids(edges)[:5].tolist()
+    terms = _node_ids(edges)[:5].tolist()
     return _round6(steiner_tree(edges, terms).edges, "weight")
 
 
@@ -912,7 +978,7 @@ def _q_yens(sf_dir: str):
     from graph_data_science_ray.algos.yens import yens_k_shortest_paths
 
     edges = _edges_ps_weighted(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     return yens_k_shortest_paths(edges, int(ids[0]), int(ids[-1]), k=2)
 
 
@@ -1059,7 +1125,7 @@ def _q_closeness_raw64(sf_dir: str):
     from graph_data_science_ray.algos.msbfs import closeness_centrality
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     t = closeness_centrality(edges, wf_improved=False, sources=ids[:64], max_depth=16)
     return _round6(t, "closeness")
 
@@ -1752,7 +1818,7 @@ def _q_filtered_knn(sf_dir: str):
     from graph_data_science_ray.algos.knn import filtered_knn_graph
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     sources = set(ids[: max(1, ids.shape[0] // 10)].tolist())
     targets = set(ids[ids.shape[0] // 2 :].tolist())
     ds = filtered_knn_graph(
@@ -1896,7 +1962,7 @@ def _q_node2vec(sf_dir: str):
     from graph_data_science_ray.algos.node2vec import node2vec
 
     edges = _edges_ps(sf_dir)
-    ids = unique_node_ids(edges)
+    ids = _node_ids(edges)
     t = node2vec(edges, ids[:64], dimension=16, walk_length=10,
                  walks_per_node=2, window=3, epochs=2, seed=42)
     nid = t.column("node_id").to_numpy(zero_copy_only=False)
@@ -2109,7 +2175,7 @@ def _q_dfs(sf_dir: str):
     from graph_data_science_ray.algos.traversal import dfs
 
     edges = _edges_ps(sf_dir)
-    src = int(unique_node_ids(edges)[0])
+    src = int(_node_ids(edges)[0])
     return dfs(edges, source=src, max_depth=6)
 
 

@@ -35,6 +35,13 @@ from graph_data_science_ray.ml.logreg import (
     auc_roc,
     macro_f1,
 )
+from graph_data_science_ray.ml.metrics import (
+    classification_report,
+    classification_scorer,
+    expand_candidates,
+    regression_report,
+    regression_scorer,
+)
 from graph_data_science_ray.ml.mlp import MLPClassifier
 from graph_data_science_ray.ml.tree import RandomForestClassifier, RandomForestRegressor
 
@@ -65,7 +72,8 @@ def _make_regressor(model: str, model_config: dict | None, penalty: float, seed:
     raise ValueError(f"model must be linearRegression | randomForest, got {model!r}")
 
 
-def _select_candidate(X, y, ids, candidates, make, score_fn, folds, seed):
+def _select_candidate(X, y, ids, candidates, make, score_fn, folds, seed,
+                      score_on_train: bool = False):
     """GDS pipeline model selection ([GDS-pub: ml/ml-core training
     RandomSearch/CrossValidation; public docs: train with multiple
     addXxx candidates + validationFolds]): k-fold cross-validation on
@@ -86,10 +94,32 @@ def _select_candidate(X, y, ids, candidates, make, score_fn, folds, seed):
                 continue
             m = make(cand)
             m.fit(X[~va], y[~va])
-            vals.append(score_fn(y[va], m, X[va]))
+            # OUT_OF_BAG_ERROR scores on the rows the model was FIT on —
+            # the bootstrap holdout is inside the forest, not the fold
+            ev = ~va if score_on_train else va
+            vals.append(score_fn(y[ev], m, X[ev]))
         scores.append(float(np.mean(vals)) if vals else float("-inf"))
     best = int(np.argmax(scores))  # argmax keeps the FIRST max (tie rule)
     return best, scores
+
+
+def _clf_score_fn(metric: str):
+    """Adapt a GDS classification metric name to the `(y_val, model,
+    X_val) -> float` contract of `_select_candidate` (higher = better).
+    Positive-class probabilities are attached when the label set is
+    binary {0,1} and the model exposes them (AUCPR's requirement)."""
+    scorer = classification_scorer(metric)
+
+    def fn(yv, m, Xv):
+        pred = m.predict(Xv) if Xv.shape[0] else np.empty(0, np.int64)
+        proba = None
+        classes = list(getattr(m, "classes_", []))
+        if (Xv.shape[0] and set(classes) <= {0, 1} and 1 in classes
+                and hasattr(m, "predict_proba")):
+            proba = m.predict_proba(Xv)[:, classes.index(1)]
+        return scorer(yv, pred, proba, m, Xv)
+
+    return fn
 
 
 def _hash_uniform(ids: np.ndarray, seed: int) -> np.ndarray:
@@ -133,14 +163,24 @@ def node_classification(
     model_config: dict | None = None,
     model_candidates: list[dict] | None = None,
     validation_folds: int = 3,
+    metric: str = "ACCURACY",
+    metrics: list[str] | None = None,
+    max_trials: int = 10,
 ) -> tuple[dict, Dataset]:
     """Train on the labeled nodes, return (metrics, predictions).
 
     ``model_candidates``: optional list of {"model": name, **config}
     dicts — when given, the GDS train-mode selection runs: k-fold
     cross-validation (``validation_folds``) on the train split picks the
-    winner by mean validation accuracy, which is then refit on the full
-    train split; metrics gain ``selected_model`` + ``candidate_scores``.
+    winner by mean validation ``metric`` (GDS's primary metric — any of
+    ACCURACY, F1_MACRO, F1_WEIGHTED, AUCPR, OUT_OF_BAG_ERROR,
+    F1/PRECISION/RECALL(class=c)), which is then refit on the full train
+    split; metrics gain ``selected_model`` + ``selected_config`` +
+    ``candidate_scores``. Candidates may carry range-valued params
+    ({"range": [lo, hi], "scale": "log"?}) — expanded to ``max_trials``
+    deterministic random-search trials (GDS autoTuningConfig).
+    ``metrics``: extra metric names evaluated on the test split and
+    reported as ``test_<NAME>``.
 
     ``features``: Dataset (node_id, <feature_col>: list<double>).
     ``labels``: in-memory table (node_id, <label_col>: int) — the
@@ -169,18 +209,21 @@ def node_classification(
             c = dict(c)
             return _make_classifier(c.pop("model"), c, penalty, max_iter, seed)
 
+        cands, _origin = expand_candidates(model_candidates, max_trials, seed)
+        oob = metric.upper().replace(" ", "") == "OUT_OF_BAG_ERROR"
         best, scores = _select_candidate(
-            Xl[~test], lab_y[~test], lab_ids[~test], model_candidates, mk,
-            lambda yv, m, Xv: accuracy(yv, m.predict(Xv)),
-            validation_folds, seed)
-        cand = dict(model_candidates[best])
+            Xl[~test], lab_y[~test], lab_ids[~test], cands, mk,
+            _clf_score_fn(metric), validation_folds, seed,
+            score_on_train=oob)
+        cand = dict(cands[best])
         model, model_config = cand.pop("model"), cand
-        extra = {"selected_model": model, "candidate_scores": scores}
+        extra = {"selected_model": model, "selected_config": dict(model_config),
+                 "selection_metric": metric, "candidate_scores": scores}
     model = _make_classifier(model, model_config, penalty, max_iter, seed)
     model.fit(Xl[~test], lab_y[~test])
     pred_tr = model.predict(Xl[~test])
     pred_te = model.predict(Xl[test]) if test.any() else np.empty(0, lab_y.dtype)
-    metrics = {
+    report = {
         "n_train": int((~test).sum()),
         "n_test": int(test.sum()),
         "n_iter": getattr(model, "n_iter_", 1),
@@ -189,6 +232,20 @@ def node_classification(
         "test_f1_macro": macro_f1(lab_y[test], pred_te),
         **extra,
     }
+    if metrics:
+        classes = list(getattr(model, "classes_", []))
+        proba_te = None
+        if (test.any() and set(classes) <= {0, 1} and 1 in classes
+                and hasattr(model, "predict_proba")):
+            proba_te = model.predict_proba(Xl[test])[:, classes.index(1)]
+        rep = classification_report(
+            metrics, lab_y[test], pred_te, proba_te, model, Xl[test])
+        for k in metrics:
+            # OUT_OF_BAG_ERROR evaluates on the rows the forest was fit on
+            if k.upper().replace(" ", "") == "OUT_OF_BAG_ERROR":
+                rep[k] = classification_report([k], lab_y[~test], pred_tr,
+                                               None, model, Xl[~test])[k]
+        report.update({f"test_{k}": v for k, v in rep.items()})
 
     params_ref = ray.put(model.params())
 
@@ -211,8 +268,8 @@ def node_classification(
             }
         )
 
-    return metrics, features.map_batches(score, batch_format="pyarrow",
-                                         zero_copy_batch=True)
+    return report, features.map_batches(score, batch_format="pyarrow",
+                                        zero_copy_batch=True)
 
 
 def node_regression(
@@ -227,10 +284,19 @@ def node_regression(
     model_config: dict | None = None,
     model_candidates: list[dict] | None = None,
     validation_folds: int = 3,
+    metric: str = "ROOT_MEAN_SQUARED_ERROR",
+    metrics: list[str] | None = None,
+    max_trials: int = 10,
 ) -> tuple[dict, Dataset]:
     """Train a regression model on the target-labeled nodes,
     return (metrics, predictions) — the ``gds.alpha.pipeline.
     nodeRegression`` surface [GDS-pub: proc/ml + public docs].
+
+    ``metric``: the GDS primary selection metric (MEAN_SQUARED_ERROR,
+    ROOT_MEAN_SQUARED_ERROR, MEAN_ABSOLUTE_ERROR, R2); ``metrics``:
+    extra names reported as ``test_<NAME>``; range-valued candidate
+    params expand to ``max_trials`` random-search trials
+    (ml/metrics.expand_candidates — GDS autoTuningConfig).
 
     Same split as node_classification (hash-deterministic holdout);
     closed-form ridge/OLS fit driver-side (ml/linreg.py); distributed
@@ -256,18 +322,21 @@ def node_regression(
             c = dict(c)
             return _make_regressor(c.pop("model"), c, penalty, seed)
 
+        cands, _origin = expand_candidates(model_candidates, max_trials, seed)
+        sc = regression_scorer(metric)
         best, scores = _select_candidate(
-            Xl[~test], lab_y[~test], lab_ids[~test], model_candidates, mk,
-            lambda yv, m, Xv: -rmse(yv, m.predict(Xv)),  # higher = better
+            Xl[~test], lab_y[~test], lab_ids[~test], cands, mk,
+            lambda yv, m, Xv: sc(yv, m.predict(Xv)),  # higher = better
             validation_folds, seed)
-        cand = dict(model_candidates[best])
+        cand = dict(cands[best])
         model, model_config = cand.pop("model"), cand
-        extra = {"selected_model": model, "candidate_scores": scores}
+        extra = {"selected_model": model, "selected_config": dict(model_config),
+                 "selection_metric": metric, "candidate_scores": scores}
     model = _make_regressor(model, model_config, penalty, seed)
     model.fit(Xl[~test], lab_y[~test])
     pred_tr = model.predict(Xl[~test])
     pred_te = model.predict(Xl[test]) if test.any() else np.empty(0)
-    metrics = {
+    report = {
         "n_train": int((~test).sum()),
         "n_test": int(test.sum()),
         "train_rmse": rmse(lab_y[~test], pred_tr),
@@ -276,6 +345,9 @@ def node_regression(
         "test_r2": r2(lab_y[test], pred_te),
         **extra,
     }
+    if metrics:
+        report.update({f"test_{k}": v for k, v in
+                       regression_report(metrics, lab_y[test], pred_te).items()})
 
     params_ref = ray.put(model.params())
 
@@ -292,8 +364,8 @@ def node_regression(
              "prediction": pa.array(regressor_predict(p, Xb), pa.float64())}
         )
 
-    return metrics, features.map_batches(score, batch_format="pyarrow",
-                                         zero_copy_batch=True)
+    return report, features.map_batches(score, batch_format="pyarrow",
+                                        zero_copy_batch=True)
 
 
 _COMBINERS = ("hadamard", "l2", "cosine")
@@ -419,9 +491,18 @@ def link_prediction_pipeline(
     seed: int = 42,
     model: str = "logisticRegression",
     model_config: dict | None = None,
+    model_candidates: list[dict] | None = None,
+    validation_folds: int = 3,
+    metric: str = "AUCPR",
+    metrics: list[str] | None = None,
+    max_trials: int = 10,
 ) -> tuple[dict, "LinkPredictionModel"]:
     """Train a link classifier from positive edges + hash-sampled
-    non-edges; returns (metrics, model). Metrics: test AUC + accuracy.
+    non-edges; returns (metrics, model). Metrics: test AUC + accuracy +
+    test AUCPR (GDS's LP metric); ``model_candidates`` runs the GDS
+    train-mode selection by mean validation ``metric`` (default AUCPR)
+    with autotuning of range-valued params (``max_trials`` trials);
+    ``metrics``: extra names reported as ``test_<NAME>``.
 
     The positive sample (≤ max_train_pairs, hash-chosen), the negative
     sample and the split are all deterministic in ``seed``. The edge
@@ -468,20 +549,44 @@ def link_prediction_pipeline(
     F = _pair_features(X[ia], X[ib], combiner)
 
     test = _hash_uniform(_pair_hash(pa_all, pb_all).astype(np.int64), seed + 13) < holdout_fraction
+    extra = {}
+    if model_candidates:
+        def mk(c):
+            c = dict(c)
+            return _make_classifier(c.pop("model"), c, penalty, max_iter, seed)
+
+        cands, _origin = expand_candidates(model_candidates, max_trials, seed)
+        pair_ids = _pair_hash(pa_all, pb_all).astype(np.int64)
+        best, scores = _select_candidate(
+            F[~test], y[~test], pair_ids[~test], cands, mk,
+            _clf_score_fn(metric), validation_folds, seed,
+            score_on_train=metric.upper().replace(" ", "") == "OUT_OF_BAG_ERROR")
+        cand = dict(cands[best])
+        model, model_config = cand.pop("model"), cand
+        extra = {"selected_model": model, "selected_config": dict(model_config),
+                 "selection_metric": metric, "candidate_scores": scores}
     model = _make_classifier(model, model_config, penalty, max_iter, seed)
     model.fit(F[~test], y[~test])
     proba_te = (model.predict_proba(F[test])[:, list(model.classes_).index(1)]
                 if test.any() else np.empty(0))
     pred_te = model.predict(F[test]) if test.any() else np.empty(0, np.int64)
-    metrics = {
+    from graph_data_science_ray.ml.metrics import aucpr as _aucpr
+
+    report = {
         "n_train": int((~test).sum()),
         "n_test": int(test.sum()),
         "n_positive": int(y.sum()),
         "n_iter": getattr(model, "n_iter_", 1),
         "test_accuracy": accuracy(y[test], pred_te),
         "test_auc": auc_roc(y[test], proba_te),
+        "test_aucpr": _aucpr(y[test] == 1, proba_te),
+        **extra,
     }
-    return metrics, LinkPredictionModel(model, combiner, feature_col)
+    if metrics:
+        rep = classification_report(metrics, y[test], pred_te, proba_te,
+                                    model, F[test])
+        report.update({f"test_{k}": v for k, v in rep.items()})
+    return report, LinkPredictionModel(model, combiner, feature_col)
 
 
 class LinkPredictionModel:
