@@ -389,10 +389,19 @@ class CsrEngine:
             vals[m] = v
         return vals
 
-    def _exchange(self, kind_emit: str, kind_apply: str, hub_vals: np.ndarray, damping: float = 0.85) -> float:
+    def _exchange(self, kind_emit: str, kind_apply: str, hub_vals: np.ndarray,
+                  damping: float = 0.85, sync: bool = True):
         """One iteration's shard↔shard exchange. PageRank and WCC use the
         values-only fast path (static layout registered at build); LPA's
-        keys change per iteration so it ships keyed tables."""
+        keys change per iteration so it ships keyed tables.
+
+        ``sync=False`` returns the P apply refs WITHOUT blocking — actors
+        execute tasks in submission order, so back-to-back iterations
+        stay correctly sequenced with no driver barrier between them (the
+        barrier costs ~25 ms/iteration on the 48M-edge bench graph, 30%+
+        of wall time). Emit refs are dropped here either way, so plasma
+        frees each iteration's exchange objects as soon as its applies
+        consume them — in-flight data stays bounded at ~1 iteration."""
         values_path = kind_emit in ("pagerank_contrib", "min_label")
         if values_path:
             # coalesced exchange: P emit objects total; every apply takes
@@ -418,6 +427,8 @@ class CsrEngine:
                 )
                 for j in range(self.P)
             ]
+        if not sync:
+            return applies
         residuals = ray.get(applies)
         return max(residuals) if kind_apply == "pagerank" else sum(residuals)
 
@@ -459,6 +470,51 @@ class CsrEngine:
         metrics: list[dict] = []
         converged = False
         iteration = start_iter - 1
+
+        # Pipelined fast path: no per-iteration driver barrier. Safe when
+        # (a) values-only exchange (actor submission order sequences the
+        # iterations), (b) no hubs (hub values route through the driver),
+        # (c) no checkpointing, and (d) overshooting the convergence
+        # iteration cannot change state — tolerance<=0 never early-stops,
+        # and min_label is idempotent at its fixpoint (extra iterations
+        # are bitwise no-ops), so results stay identical to the sync
+        # loop; only up-to-`window` wasted no-op iterations can run.
+        pipelined = (
+            kind_emit in ("pagerank_contrib", "min_label")
+            and checkpoint is None
+            and self.hub_ids.shape[0] == 0
+            and (tolerance <= 0 or kind_emit == "min_label")
+        )
+        if pipelined and start_iter < max_iterations:
+            window = 3
+            empty_hub = np.empty(0, dtype=np.float64)
+            pending: list[tuple[int, list]] = []
+            nxt = start_iter
+            stop_submitting = False
+            while pending or (nxt < max_iterations and not stop_submitting):
+                while (nxt < max_iterations and not stop_submitting
+                       and len(pending) <= window):
+                    refs = self._exchange(kind_emit, kind_apply, empty_hub,
+                                          damping, sync=False)
+                    pending.append((nxt, refs))
+                    nxt += 1
+                it0, refs0 = pending.pop(0)
+                residuals = ray.get(refs0)
+                residual = (max(residuals) if kind_apply == "pagerank"
+                            else sum(residuals))
+                if converged:
+                    continue  # draining past-fixpoint no-ops; don't record
+                iteration = it0
+                metrics.append({"iteration": it0, "residual": residual})
+                if residual <= tolerance:
+                    converged = True
+                    stop_submitting = True
+            as_int = value_name in ("component", "label")
+            refs = [s.get_state_named.remote(value_name, as_int) for s in self.shards]
+            return ShardedIterativeResult(
+                refs, value_name, iteration + 1, converged, metrics
+            )
+
         for iteration in range(start_iter, max_iterations):
             hub_vals = self._hub_values()
             if hub_transform is not None and hub_vals.shape[0]:
