@@ -101,7 +101,7 @@ def run_bench(scaling_only: bool = False) -> dict:
     extras["big_read_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
     eng = CsrEngine.build(
-        edges_big, num_shards=min(NUM_CPUS, 16), hub_threshold=100_000
+        edges_big, num_shards=min(NUM_CPUS, 32), hub_threshold=100_000
     )
     build_s = time.time() - t0
     # the sandbox host shows 5–10× throughput variance (stolen time) and a
@@ -235,14 +235,16 @@ def run_scaling() -> dict:
     min-per-leg: the sandbox host shows multi-minute phases of 5–20×
     stolen-time slowdown, so a single paired measurement is meaningless.
 
-    Default legs are 1→4: the CSR PageRank kernel saturates single-
-    socket DRAM bandwidth (~360–580 M edge-traversals/s) with as few as
-    2–8 cores, so larger same-box legs measure the memory ceiling, not
-    parallel efficiency — see BENCH/BASELINE.md's scaling table. On a
-    real N→4N NODE cluster each node adds memory channels; 1→4 cpus is
-    the in-sandbox regime where cores are still the binding resource."""
+    Default legs are 8→32 with ONE SHARD PER CORE on both legs (the
+    nodes-proxy: a leg with k cpus stands in for a k-node cluster, each
+    node holding one shard). Round 1 capped shards at 16 so the 8→32 leg
+    could structurally reach at most 2× and measured 0.41; with P=cpus
+    plus the round-2 pipelined exchange the same legs measure ≥0.8
+    (BENCH/roofline_r2.json shows the box itself scales linearly to
+    ~190 GB/s / 2.0 B gathered-edges/s at 16 plain processes, so the
+    legs measure the engine, not a hardware wall)."""
     legs = tuple(
-        int(x) for x in os.environ.get("RAY_GRAFT_SCALE_LEGS", "1,4").split(",")
+        int(x) for x in os.environ.get("RAY_GRAFT_SCALE_LEGS", "8,32").split(",")
     )
     results: dict[int, dict] = {}
     for ncpu in legs + legs:  # interleaved A,B,A,B
@@ -271,9 +273,9 @@ def run_scaling() -> dict:
         f"edges_per_sec_{hi}": tp_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
-        "note": ("min-of-2 interleaved fresh-process legs; default 1→4 cpus = "
-                 "CPU-bound regime (larger same-box legs hit the single-socket "
-                 "DRAM ceiling ~360-580M edges/s — BENCH/BASELINE.md)"),
+        "note": ("min-of-2 interleaved fresh-process legs, one shard per core "
+                 "on both legs (nodes-proxy); roofline_r2.json rules out a "
+                 "hardware ceiling on these legs — BENCH/BASELINE.md"),
     }
 
 

@@ -390,35 +390,137 @@ def _fold_hashes(words: list[str]) -> np.ndarray:
     return out
 
 
-class SimHashStage:
-    """(id, text) → (id, simhash64, band0..band3) — 64-bit simhash over
-    mix64-fold token hashes (_fold_hashes); 16-bit bands for candidate
-    bucketing. Bit b of the signature = majority vote of bit b across
-    all token occurrences (ties → 0)."""
+# \w over lowercased ASCII = [a-z0-9_] (plus the dead A-Z range for
+# safety); bytes classified via a 256-entry lookup table
+_WORD_BYTE = np.zeros(256, dtype=bool)
+for _c in (b"abcdefghijklmnopqrstuvwxyz" b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+           b"0123456789_"):
+    _WORD_BYTE[_c] = True
 
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
-        import re
 
-        self.id_col, self.text_col = id_col, text_col
-        self.word_re = re.compile(r"\w+")
+def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit simhash per document, vectorized ACROSS documents on the
+    ASCII fast path (bit-identical to the original per-doc kernel):
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col)
-        texts = batch.column(self.text_col).to_pylist()
-        sims = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = self.word_re.findall((t or "").lower())
+    tokenization is a byte-class mask over the column's concatenated
+    UTF-8 buffer (token start = word-byte with a non-word predecessor,
+    with forced starts at doc boundaries so runs never cross docs); the
+    mix64 codepoint fold runs round-robin over position-within-token
+    (cost O(total token bytes), active-set shrinking per round); the
+    per-doc majority vote is one add.reduceat over the token×64 bit
+    matrix. Non-ASCII docs fall back to the scalar path (re + Python
+    str.lower, preserving Unicode \\w semantics exactly)."""
+    import re
+
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    sims = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return sims
+    lower = pc.utf8_lower(pc.fill_null(texts, ""))
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(lower.type) else np.int32
+    offs = np.frombuffer(lower.buffers()[1], dtype=off_dtype)[
+        lower.offset : lower.offset + n + 1
+    ].astype(np.int64)
+    dbuf = lower.buffers()[2]
+    data = np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None else np.empty(0, np.uint8)
+    byte_lens = np.diff(offs)
+    cp_lens = pc.utf8_length(lower).to_numpy(zero_copy_only=False).astype(np.int64)
+    fast = byte_lens == cp_lens  # pure-ASCII docs
+    slow_idx = np.nonzero(~fast)[0]
+    if slow_idx.size:
+        word_re = re.compile(r"\w+")
+        raw = pc.fill_null(texts, "")
+        for i in slow_idx:
+            toks = word_re.findall(str(raw[i]).lower())
             if not toks:
-                sims[i] = 0
                 continue
             h64 = _fold_hashes(toks)
-            bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
+            bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
             sims[i] = np.uint64(
                 int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
             )
+    fidx = np.nonzero(fast)[0]
+    if fidx.size == 0:
+        return sims
+    blob = data[offs[0] : offs[-1]]
+    base = offs[0]
+    word = _WORD_BYTE[blob]
+    # mark non-fast doc spans as non-word so they produce no tokens here
+    if slow_idx.size:
+        span = np.zeros(blob.shape[0] + 1, dtype=np.int8)
+        span[offs[slow_idx] - base] = 1
+        span[offs[slow_idx + 1] - base] -= 1
+        word &= np.cumsum(span[:-1]) == 0
+    prev = np.empty_like(word)
+    prev[0] = False
+    prev[1:] = word[:-1]
+    # force token breaks at every doc boundary
+    bounds = offs[1:-1] - base
+    prev[bounds[(bounds >= 0) & (bounds < prev.shape[0])]] = False
+    starts_mask = word & ~prev
+    tok_starts = np.nonzero(starts_mask)[0]
+    n_tok = tok_starts.shape[0]
+    if n_tok == 0:
+        return sims
+    # token end = next non-word position (runs never cross docs now);
+    # compute via the run-length trick on the word mask
+    is_end = np.empty_like(word)
+    is_end[:-1] = word[:-1] & ~word[1:]
+    is_end[-1] = word[-1]
+    # doc boundaries also end tokens
+    nb = bounds[(bounds > 0) & (bounds <= is_end.shape[0])]
+    is_end[nb - 1] |= word[nb - 1]
+    tok_ends = np.nonzero(is_end)[0]
+    # pair starts with the first end >= start
+    tok_ends = tok_ends[np.searchsorted(tok_ends, tok_starts)]
+    tok_lens = tok_ends - tok_starts + 1
+    # fold: h <- mix64(h ^ byte), round-robin over within-token position
+    h = np.zeros(n_tok, dtype=np.uint64)
+    alive = np.arange(n_tok)
+    j = 0
+    blob64 = blob.astype(np.uint64)
+    while alive.size:
+        h[alive] = _mix64(h[alive] ^ blob64[tok_starts[alive] + j])
+        j += 1
+        alive = alive[tok_lens[alive] > j]
+    # doc of each token + per-doc majority vote over the 64 bit columns
+    doc_of_tok = np.searchsorted(offs - base, tok_starts, "right") - 1
+    # tokens are in blob order = doc order → reduceat segments
+    seg_first = np.nonzero(np.r_[True, doc_of_tok[1:] != doc_of_tok[:-1]])[0]
+    seg_docs = doc_of_tok[seg_first]
+    # per-bit-plane vote: 64 reduceats over an n_tok int8 vector — no
+    # n_tok×64 uint64 broadcast (that intermediate is 0.5 GB at 1M
+    # tokens and dominates wall time)
+    cnt = np.diff(np.r_[seg_first, n_tok]).astype(np.int64)
+    acc = np.zeros(seg_first.shape[0], dtype=np.uint64)
+    for b in range(64):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int8)
+        ones_b = np.add.reduceat(bit, seg_first, dtype=np.int64)
+        acc |= (2 * ones_b - cnt > 0).astype(np.uint64) << np.uint64(b)
+    sims[seg_docs] = acc
+    return sims
+
+
+class SimHashStage:
+    """(id, text) → (id, simhash64, band0..band3) — 64-bit simhash over
+    mix64-fold token hashes; 16-bit bands for candidate bucketing. Bit b
+    of the signature = majority vote of bit b across all token
+    occurrences (ties → 0). Batch-vectorized (simhash_batch)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        sims = simhash_batch(batch.column(self.text_col))
         cols = {self.id_col: ids, "simhash": pa.array(sims.view(np.int64))}
         for b in range(4):
             cols[f"band{b}"] = pa.array(
