@@ -2019,6 +2019,93 @@ def _q_nodeclass(sf_dir: str):
     return _round6(t.take(pa.array(o, pa.int64())), "probability")
 
 
+def _q_nodeclass_metrics(sf_dir: str):
+    """GDS train-mode metric report for the pinned nodeclass pipeline
+    (ml/metrics.py): ACCURACY, AUCPR (trapezoid over tie-grouped
+    thresholds on the class-1 probability), F1_MACRO, F1_WEIGHTED over
+    the hash-holdout test split — the same trained model
+    _nodeclass_sql replays epoch-by-epoch, so the oracle recomputes
+    every metric from the replayed probabilities with window functions.
+    Values as half-away micro-units (value_u6, the repo's integerized
+    float idiom)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.algos.fastrp import fastrp_table
+    from graph_data_science_ray.pipelines.ml import node_classification
+
+    edges = _edges_ps(sf_dir)
+    emb_t = fastrp_table(edges, embedding_dimension=16)
+    dsts = set(edges.select_columns(["dst_id"]).unique("dst_id"))
+    nid = emb_t.column("node_id").to_numpy(zero_copy_only=False)
+    labels = pa.table(
+        {"node_id": pa.array(nid, pa.int64()),
+         "label": pa.array(np.isin(nid, np.array(sorted(dsts), dtype=np.int64)).astype(np.int64), pa.int64())}
+    )
+    m, _ = node_classification(
+        ray.data.from_arrow(emb_t), labels, seed=42,
+        model_config={"max_iter": 20, "tolerance": 0.0},
+        metrics=["ACCURACY", "AUCPR", "F1_MACRO", "F1_WEIGHTED"])
+    names = ["ACCURACY", "AUCPR", "F1_MACRO", "F1_WEIGHTED"]
+    vals = np.array([m[f"test_{k}"] for k in names])
+    u6 = np.where(vals >= 0, np.floor(vals * 1e6 + 0.5),
+                  np.ceil(vals * 1e6 - 0.5)).astype(np.int64)
+    return pa.table({"metric": pa.array(names, pa.string()),
+                     "value_u6": pa.array(u6, pa.int64())})
+
+
+def _nodeclass_metrics_sql() -> str:
+    """Metric recomputation on top of the epoch-exact _nodeclass_sql
+    replay: test split = labs WHERE te; per-class F1 from tp/fp/fn
+    counts over DISTINCT observed true classes (numpy macro_f1's class
+    set); AUCPR = trapezoid over distinct class-1-probability
+    thresholds descending (cumulative tp / predicted-positive count via
+    window sums, LAG for the segment pairing, anchored at recall 0 with
+    the first group's precision — exactly ml/metrics.aucpr)."""
+    final = [
+        ", tst AS MATERIALIZED (SELECT l.node, l.y, p1.p AS s, "
+        "CASE WHEN p1.p > p0.p THEN 1 ELSE 0 END AS pred "
+        "FROM labs l JOIN fp p0 ON p0.node = l.node AND p0.c = 0 "
+        "JOIN fp p1 ON p1.node = l.node AND p1.c = 1 WHERE l.te),",
+        "npos AS (SELECT CAST(SUM(y) AS DOUBLE) AS p FROM tst),",
+        "acc AS (SELECT AVG(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END) AS v FROM tst),",
+        "percls AS (SELECT c.y AS cls, "
+        "SUM(CASE WHEN t.pred = c.y AND t.y = c.y THEN 1 ELSE 0 END) AS tp, "
+        "SUM(CASE WHEN t.pred = c.y AND t.y <> c.y THEN 1 ELSE 0 END) AS fp, "
+        "SUM(CASE WHEN t.pred <> c.y AND t.y = c.y THEN 1 ELSE 0 END) AS fn, "
+        "SUM(CASE WHEN t.y = c.y THEN 1 ELSE 0 END) AS sup "
+        "FROM (SELECT DISTINCT y FROM tst) c CROSS JOIN tst t GROUP BY c.y),",
+        "f1v AS (SELECT cls, sup, "
+        "CASE WHEN (CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END) + "
+        "(CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END) = 0 THEN 0.0 "
+        "ELSE 2 * (CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END) * "
+        "(CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END) / "
+        "((CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END) + "
+        "(CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)) END AS f1 "
+        "FROM percls),",
+        "f1m AS (SELECT AVG(f1) AS v FROM f1v),",
+        "f1w AS (SELECT SUM(f1 * sup) / SUM(sup) AS v FROM f1v),",
+        "grp AS (SELECT s, SUM(y) AS pos, COUNT(*) AS cnt FROM tst GROUP BY s),",
+        "cum AS (SELECT s, SUM(pos) OVER (ORDER BY s DESC) AS tp, "
+        "SUM(cnt) OVER (ORDER BY s DESC) AS k FROM grp),",
+        "pts AS (SELECT CAST(tp AS DOUBLE) / (SELECT p FROM npos) AS r, "
+        "CAST(tp AS DOUBLE) / CAST(k AS DOUBLE) AS pr, "
+        "ROW_NUMBER() OVER (ORDER BY s DESC) AS i FROM cum),",
+        "seg AS (SELECT r, pr, LAG(r, 1, 0.0) OVER (ORDER BY i) AS r0, "
+        "LAG(pr, 1, NULL) OVER (ORDER BY i) AS p0x FROM pts),",
+        "aucpr AS (SELECT SUM((r - r0) * (pr + COALESCE(p0x, pr)) / 2.0) AS v FROM seg),",
+        "mets AS ("
+        "SELECT 'ACCURACY' AS metric, v FROM acc UNION ALL "
+        "SELECT 'AUCPR', v FROM aucpr UNION ALL "
+        "SELECT 'F1_MACRO', v FROM f1m UNION ALL "
+        "SELECT 'F1_WEIGHTED', v FROM f1w)",
+        "SELECT metric, CAST(CASE WHEN v >= 0 THEN FLOOR(v * 1e6 + 0.5) "
+        "ELSE CEIL(v * 1e6 - 0.5) END AS BIGINT) AS value_u6 FROM mets ORDER BY metric",
+    ]
+    return _nodeclass_sql(final_select=final)
+
+
 def _q_linkpred_pipeline(sf_dir: str):
     """Link-prediction pipeline demo: train on the ps edges + FastRP
     embeddings, score the 20 lexicographically-smallest held edges.
@@ -2349,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfs_order": _q_dfs,
         "linkpred_top20": _q_linkpred,
         "nodeclass_pipeline": _q_nodeclass,
+        "nodeclass_metrics": _q_nodeclass_metrics,
         "nodeclass_rf_pipeline": _q_nodeclass_rf,
         "nodereg_rf_pipeline": _q_nodereg_rf,
         "linkpred_pipeline": _q_linkpred_pipeline,
@@ -4858,7 +4946,8 @@ def _nndescent_sql(
 
 
 def _nodeclass_sql(epochs: int = 20, dim: int = 16, seed: int = 42,
-                   frac: float = 0.3, penalty: float = 0.0, lr: float = 0.5) -> str:
+                   frac: float = 0.3, penalty: float = 0.0, lr: float = 0.5,
+                   final_select: list[str] | None = None) -> str:
     """Epoch-exact replica of _q_nodeclass (pipelines/ml.
     node_classification over FastRP dim-16 features, labels =
     appears-as-dst, 20 pinned GD epochs, tolerance=0): features from the
@@ -4931,6 +5020,8 @@ def _nodeclass_sql(epochs: int = 20, dim: int = 16, seed: int = 42,
         "FROM fz z JOIN fm m ON m.node = z.node),",
         "fs AS (SELECT node, SUM(v) AS s FROM fe GROUP BY node),",
         "fp AS (SELECT e.node, e.c, e.v / s.s AS p FROM fe e JOIN fs s ON s.node = e.node)",
+    ]
+    parts += final_select if final_select is not None else [
         "SELECT p0.node AS node_id, "
         "CAST(CASE WHEN p1.p > p0.p THEN 1 ELSE 0 END AS BIGINT) AS predicted_label, "
         "ROUND(CASE WHEN p1.p > p0.p THEN p1.p ELSE p0.p END, 6) AS probability "
@@ -6358,6 +6449,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_nndescent": _nndescent_sql(),
         "graphsage_embeddings": _graphsage_sql(),
         "nodeclass_pipeline": _nodeclass_sql(),
+        "nodeclass_metrics": _nodeclass_metrics_sql(),
         "linkpred_pipeline": _linkpred_pipeline_sql(),
         "nodereg_rf_pipeline": _nodereg_rf_sql(),
         "nodeclass_rf_pipeline": _nodeclass_rf_sql(),
