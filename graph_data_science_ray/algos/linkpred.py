@@ -92,33 +92,62 @@ def link_prediction(
     deg_ids, deg_c = merge_sum(dt, "node_id", "c")
     deg_c = deg_c.astype(np.int64)
 
-    # wedge partials grouped by the middle node: rows (mid=src, nb=dst);
-    # the group IS N(mid), so deg(mid) = group size — no broadcast
-    def wedge(g: pa.Table) -> pa.Table:
-        nbs = np.unique(g.column("dst_id").to_numpy(zero_copy_only=False))
-        d = nbs.shape[0]
-        if d < 2 or (degree_cutoff is not None and d > degree_cutoff):
-            return pa.table(
-                {"node1": pa.array([], pa.int64()),
-                 "node2": pa.array([], pa.int64()),
-                 "cn": pa.array([], pa.int64()),
-                 "aa": pa.array([], pa.float64()),
-                 "ra": pa.array([], pa.float64())}
-            )
-        ii, jj = np.triu_indices(d, k=1)
-        k = ii.shape[0]
+    # wedge partials by the middle node: rows (mid=src, nb=dst); a
+    # src-keyed bucket holds every middle's full neighbor list, so
+    # deg(mid) = its segment size — no broadcast. One vectorized kernel
+    # per BUCKET (segments batched by equal degree), not a Python call
+    # per group: the per-group map_groups form measured ~15 s of pure
+    # call overhead on 14.8k middles at sf0.01.
+    _EMPTY_WEDGE = pa.table(
+        {"node1": pa.array([], pa.int64()),
+         "node2": pa.array([], pa.int64()),
+         "cn": pa.array([], pa.int64()),
+         "aa": pa.array([], pa.float64()),
+         "ra": pa.array([], pa.float64())}
+    )
+
+    def wedge_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY_WEDGE
+        src = g.column("src_id").to_numpy(zero_copy_only=False)
+        dst = g.column("dst_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        s, d = s[keep], d[keep]
+        st = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[st, s.shape[0]])
+        n1l, n2l, cnl, aal, ral = [], [], [], [], []
+        for m in np.unique(sizes):
+            if m < 2 or (degree_cutoff is not None and m > degree_cutoff):
+                continue
+            idx = st[sizes == m]
+            mat = d[idx[:, None] + np.arange(m)[None, :]]  # (groups, m) sorted rows
+            ii, jj = np.triu_indices(int(m), k=1)
+            k = ii.shape[0] * idx.shape[0]
+            n1l.append(mat[:, ii].ravel())
+            n2l.append(mat[:, jj].ravel())
+            cnl.append(np.ones(k, dtype=np.int64))
+            aal.append(np.full(k, 1.0 / np.log(m)))
+            ral.append(np.full(k, 1.0 / m))
+        if not n1l:
+            return _EMPTY_WEDGE
         return pa.table(
             {
-                "node1": pa.array(nbs[ii], pa.int64()),
-                "node2": pa.array(nbs[jj], pa.int64()),
-                "cn": pa.array(np.ones(k, dtype=np.int64)),
-                "aa": pa.array(np.full(k, 1.0 / np.log(d))),
-                "ra": pa.array(np.full(k, 1.0 / d)),
+                "node1": pa.array(np.concatenate(n1l), pa.int64()),
+                "node2": pa.array(np.concatenate(n2l), pa.int64()),
+                "cn": pa.array(np.concatenate(cnl)),
+                "aa": pa.array(np.concatenate(aal)),
+                "ra": pa.array(np.concatenate(ral)),
             }
         )
 
-    wedges = und.groupby("src_id", num_partitions=num_partitions).map_groups(
-        wedge, batch_format="pyarrow"
+    from graph_data_science_ray.functions.shuffle import bucketed_merge as _bm
+
+    wedges = _bm(
+        und, ["src_id"], wedge_bucket,
+        {"src_id": -1, "dst_id": -1},
+        num_partitions=num_partitions,
     )
 
     # optional pair filter, pre-sorted as unordered (lo, hi)
