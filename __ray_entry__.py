@@ -1207,6 +1207,33 @@ def _q_events_user_type_counts(sf_dir: str):
     )
 
 
+def _q_events_latest_per_user(sf_dir: str):
+    """Latest event per user (pipelines/ingest.latest_snapshot — the
+    Common-Crawl keep-newest-crawl-per-url operator applied to the
+    events table; ties on ts broken by max event_id). One key-hash
+    shuffle, per-bucket lexsort+segment-scan selection."""
+    import ray.data
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.pipelines.ingest import latest_snapshot
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    t = collect_arrow(latest_snapshot(ds, key_col="user_id", ts_col="ts",
+                                      tie_col="event_id"))
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    o = np.argsort(uid, kind="stable")
+    idx = pa.array(o, pa.int64())
+    return pa.table(
+        {
+            "user_id": t.column("user_id").take(idx),
+            "event_id": t.column("event_id").take(idx),
+            "ts_us": t.column("ts").cast(pa.int64()).take(idx),
+        }
+    )
+
+
 def _q_events_topk_value(sf_dir: str):
     import ray.data
 
@@ -2373,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_lang_stats": _q_docs_lang_stats,
         "events_user_type_counts": _q_events_user_type_counts,
+        "events_latest_per_user": _q_events_latest_per_user,
         "events_topk_value": _q_events_topk_value,
         "events_daily_counts": _q_events_daily_counts,
         "events_hourly_value": _q_events_hourly_value,
@@ -6579,6 +6607,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_type_counts": (
             "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type"
+        ),
+        "events_latest_per_user": (
+            "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM ("
+            "SELECT user_id, event_id, ts, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1 ORDER BY user_id"
         ),
         "events_topk_value": (
             "SELECT event_id, ROUND(value, 6) AS value FROM events "

@@ -56,7 +56,10 @@ def bucketed_merge(
         b = (_key_hash(t, key_cols) % np.uint64(num_partitions)).astype(np.int64)
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
-    sent = {k: pa.array([v]) for k, v in sentinel_row.items()}
+    # a value may be a pre-built 1-row pa.Array when python-value type
+    # inference would mismatch the input schema (timestamps, binary)
+    sent = {k: (v if isinstance(v, pa.Array) else pa.array([v]))
+            for k, v in sentinel_row.items()}
     sent["__bucket"] = pa.array([num_partitions], pa.int64())
     first = next(iter(sentinel_row))
 

@@ -35,6 +35,60 @@ def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(path, columns=columns)
 
 
+def latest_snapshot(
+    pages: Dataset,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_col: str | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Keep the NEWEST row per key — the Common-Crawl snapshot dedup
+    (one url is recrawled across WARC segments; downstream extraction
+    must see exactly one, the latest). Generic over any keyed table
+    (e.g. latest event per user).
+
+    Winner per key = max ``ts_col``; remaining ties broken by max
+    ``tie_col`` when given — pass one whenever (key, ts) can repeat
+    with differing payloads, otherwise the winner among exact-tie rows
+    follows collection order (fine for fully-duplicated rows only;
+    Ray collection order is nondeterministic). One hash shuffle on the
+    key; per-bucket selection is one lexsort + segment scan, no
+    per-group Python. Full rows ride the shuffle — at 100 TB
+    pre-project columns first and hash-join the payload back if the
+    non-key payload is wide (html blobs)."""
+    import numpy as np
+
+    from graph_data_science_ray.functions.shuffle import bucketed_merge
+
+    configure_ray_data()
+    schema = pages.schema()
+    sentinel = {name: pa.array([None], typ)
+                for name, typ in zip(schema.names, schema.types)}
+
+    def pick(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        key = g.column(key_col)
+        kcodes = (key.to_numpy(zero_copy_only=False)
+                  if pa.types.is_integer(key.type) else
+                  pa.compute.dictionary_encode(
+                      key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+                  ).indices.to_numpy(zero_copy_only=False))
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = (g.column(tie_col).to_numpy(zero_copy_only=False)
+               if tie_col is not None else np.arange(g.num_rows))
+        order = np.lexsort((tie, ts, kcodes))
+        k_sorted = kcodes[order]
+        last = np.r_[k_sorted[1:] != k_sorted[:-1], True]
+        return g.take(pa.array(order[last], pa.int64()))
+
+    # sentinel uses a typed one-row table (bucketed_merge builds it from
+    # python values; timestamp columns need an explicit cast)
+    out = bucketed_merge(pages, [key_col], pick, sentinel,
+                         num_partitions=num_partitions)
+    return out
+
+
 def extract_pages(pages: Dataset, concurrency: int | tuple[int, int] = (2, 8)) -> Dataset:
     """pages(url, html, ...) → (url, text, text_sha256, links)."""
     return pages.map_batches(

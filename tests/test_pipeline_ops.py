@@ -602,3 +602,35 @@ def test_rolling_fingerprint_windowed():
     assert out2.column("fingerprint64").to_pylist() == fp
     # min-over-windows robustness: the shared repeated region dominates
     assert fp[2] == fp[3]
+
+
+def test_latest_snapshot_pages_and_ties():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.pipelines.ingest import latest_snapshot
+
+    # url recrawled across segments: newest warc_ts must win
+    ts = pa.array([100, 300, 200, 50, 400], pa.timestamp("us"))
+    t = pa.table({
+        "url": pa.array(["a", "a", "a", "b", "b"]),
+        "warc_ts": ts,
+        "html": pa.array([b"1", b"2", b"3", b"4", b"5"], pa.binary()),
+    })
+    out = latest_snapshot(ray.data.from_arrow(t)).to_pandas().sort_values("url")
+    assert list(out["url"]) == ["a", "b"]
+    assert list(out["html"]) == [b"2", b"5"]
+    # integer keys + explicit tie column: max tie wins among ts ties
+    t2 = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 5, 9], pa.timestamp("us")),
+        "tie": pa.array([10, 20, 1], pa.int64()),
+    })
+    out2 = latest_snapshot(ray.data.from_arrow(t2), key_col="k", ts_col="ts",
+                           tie_col="tie").to_pandas().sort_values("k")
+    assert list(out2["tie"]) == [20, 1]
+    # partition-count invariance
+    out3 = latest_snapshot(ray.data.from_arrow(t2).repartition(3), key_col="k",
+                           ts_col="ts", tie_col="tie").to_pandas().sort_values("k")
+    assert list(out3["tie"]) == [20, 1]
