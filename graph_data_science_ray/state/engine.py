@@ -382,7 +382,8 @@ class CsrEngine:
             m = self.hub_owner == b
             if m.any():
                 futs.append((m, self.shards[b].get_values.remote(self.hub_ids[m])))
-        parts = [(m, ray.get(f)) for m, f in futs]
+        got = ray.get([f for _, f in futs])  # one batched get, not P serial round-trips
+        parts = list(zip((m for m, _ in futs), got))
         # dtype follows the shard state (float64 ranks, int64 labels)
         vals = np.empty(self.hub_ids.shape[0], dtype=parts[0][1].dtype)
         for m, v in parts:
