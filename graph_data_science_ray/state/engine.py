@@ -128,6 +128,20 @@ def _build_universe(edges: Dataset, weighted: bool, P: int) -> Dataset:
 
 
 @ray.remote
+def _assemble_hub_values(n_hubs: int, masks, transform, *parts):
+    """Stitch per-owner hub value slices into the full hub vector and
+    apply the (pure, picklable) transform — the pipelined twin of
+    CsrEngine._hub_values, run as a task so its output REF can feed the
+    next iteration's emits without a driver round-trip."""
+    vals = np.empty(n_hubs, dtype=parts[0].dtype if parts else np.float64)
+    for m, v in zip(masks, parts):
+        vals[m] = v
+    if transform is not None and vals.shape[0]:
+        vals = transform(vals)
+    return vals
+
+
+@ray.remote
 def _universe_summary(hub_threshold, *blocks):
     """The only universe facts the driver needs, computed worker-side:
     (n_nodes, n_src, edge-weight sum, hub ids, hub out-weights). Hubs are
@@ -474,28 +488,48 @@ class CsrEngine:
 
         # Pipelined fast path: no per-iteration driver barrier. Safe when
         # (a) values-only exchange (actor submission order sequences the
-        # iterations), (b) no hubs (hub values route through the driver),
-        # (c) no checkpointing, and (d) overshooting the convergence
-        # iteration cannot change state — tolerance<=0 never early-stops,
-        # and min_label is idempotent at its fixpoint (extra iterations
-        # are bitwise no-ops), so results stay identical to the sync
-        # loop; only up-to-`window` wasted no-op iterations can run.
+        # iterations), (b) no checkpointing, and (c) overshooting the
+        # convergence iteration cannot change state — tolerance<=0 never
+        # early-stops, and min_label is idempotent at its fixpoint (extra
+        # iterations are bitwise no-ops), so results stay identical to
+        # the sync loop; only up-to-`window` wasted no-op iterations can
+        # run. Hub graphs pipeline too: the per-iteration hub gather runs
+        # as a TASK whose output ref feeds the emits directly (get_values
+        # on each owner actor queues after that actor's previous apply,
+        # so the gathered values are exactly the post-iteration state the
+        # sync loop would have fetched).
         pipelined = (
             kind_emit in ("pagerank_contrib", "min_label")
             and checkpoint is None
-            and self.hub_ids.shape[0] == 0
             and (tolerance <= 0 or kind_emit == "min_label")
         )
         if pipelined and start_iter < max_iterations:
             window = 3
             empty_hub = np.empty(0, dtype=np.float64)
+            have_hubs = self.hub_ids.shape[0] > 0
+            if have_hubs:
+                hub_masks = []
+                hub_getters = []
+                for b in range(self.P):
+                    m = self.hub_owner == b
+                    if m.any():
+                        hub_masks.append(m)
+                        hub_getters.append(b)
             pending: list[tuple[int, list]] = []
             nxt = start_iter
             stop_submitting = False
             while pending or (nxt < max_iterations and not stop_submitting):
                 while (nxt < max_iterations and not stop_submitting
                        and len(pending) <= window):
-                    refs = self._exchange(kind_emit, kind_apply, empty_hub,
+                    if have_hubs:
+                        parts = [self.shards[b].get_values.remote(self.hub_ids[m])
+                                 for m, b in zip(hub_masks, hub_getters)]
+                        hub_vals = _assemble_hub_values.remote(
+                            self.hub_ids.shape[0], hub_masks, hub_transform, *parts
+                        )
+                    else:
+                        hub_vals = empty_hub
+                    refs = self._exchange(kind_emit, kind_apply, hub_vals,
                                           damping, sync=False)
                     pending.append((nxt, refs))
                     nxt += 1
