@@ -1628,6 +1628,35 @@ def _q_quality_scores(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_docs_curation(sf_dir: str):
+    """End-to-end curation chain (pipelines/curate.curate_documents):
+    quality gate at 620000 ppm (drops the bottom ~quartile at sf0.01) → md5 exact-dedup keep-min-id → hash
+    split. Each stage is independently oracle-verified; this query
+    verifies the COMPOSITION (the gate joins back into the text table,
+    dedup groups on fingerprints, split runs on the survivors)."""
+    import ray.data
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.pipelines.curate import curate_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = collect_arrow(curate_documents(ds, min_quality_ppm=620_000))
+    o = np.argsort(t.column("doc_id").to_numpy(zero_copy_only=False), kind="stable")
+    return t.take(pa.array(o, pa.int64()))
+
+
+_DOCS_CURATION_SQL_TEMPLATE = (
+    "WITH q AS (SELECT doc_id FROM ({quality}) WHERE quality_ppm >= 620000), "
+    "kept AS (SELECT d.doc_id, COALESCE(d.text, '') AS text FROM documents d "
+    "JOIN q USING (doc_id)), "
+    "dd AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)), "
+    "h AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM dd) "
+    "SELECT doc_id, CASE WHEN hv <= 3435973836 THEN 'train' "
+    "WHEN hv <= 3865470566 THEN 'val' ELSE 'test' END AS split FROM h "
+    "ORDER BY doc_id"
+)
+
+
 def _q_docs_split(sf_dir: str):
     """Deterministic train/val/test assignment (Knuth multiplicative
     hash — integer-exact in both engines)."""
@@ -2453,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "docs_quality": _q_docs_quality,
         "docs_split": _q_docs_split,
+        "docs_curation": _q_docs_curation,
         "docs_packed": _q_docs_packed,
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -6591,6 +6621,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": _DOCS_QUALITY_SQL,
         "language_id": _language_id_sql(),
         "docs_split": _DOCS_SPLIT_SQL,
+        "docs_curation": _DOCS_CURATION_SQL_TEMPLATE.format(quality=_DOCS_QUALITY_SQL),
         "docs_packed": _DOCS_PACKED_SQL,
         "docs_token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -1,0 +1,77 @@
+"""Document-curation pipeline: quality gate → exact dedup → split.
+
+The end-to-end pre-training data chain composed from the verified
+stages (each independently oracle-matched in the harness):
+
+    quality_scores (stages/textstats)     RE2-vectorized quality in [0,1]
+      → integer-ppm threshold gate        (cross-engine-stable compare)
+      → md5 fingerprint (stages/textstats) 32-byte keys, not full texts
+      → exact_dedup (stages/dedup)        keep min doc_id per fingerprint
+      → hash_split (stages/split)         deterministic train/val/test
+
+Everything streams: the full text column rides only the fingerprint
+stage (one pass); dedup shuffles 32-byte hex keys; split is a pure
+per-batch map. At 100 TB the only wide op is the fingerprint-keyed
+groupby, hash-partitioned on content — immune to doc-id skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from graph_data_science_ray.context import configure_ray_data
+from graph_data_science_ray.stages.dedup import exact_dedup
+from graph_data_science_ray.stages.split import hash_split
+from graph_data_science_ray.stages.textstats import md5_fingerprint, quality_scores
+
+
+def curate_documents(
+    docs: Dataset,
+    min_quality_ppm: int = 450_000,
+    fractions: list[float] | None = None,
+    labels: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """→ (doc_id, split) for the curated survivors.
+
+    ``min_quality_ppm``: documents with round(quality·10⁶) below this
+    are dropped (integer compare — immune to float-boundary drift
+    between engines). Duplicate texts keep the smallest doc id. The
+    returned Dataset carries one row per surviving document with its
+    deterministic split label."""
+    configure_ray_data()
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ppm = pc.cast(pc.round(pc.multiply(t.column("quality"), 1e6)), pa.int64())
+        keep = pc.greater_equal(ppm, min_quality_ppm)
+        return pa.table({id_col: t.column(id_col).filter(keep)})
+
+    kept_ids = quality_scores(docs, id_col, text_col).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    from graph_data_science_ray.functions.joins import hash_join
+
+    kept = hash_join(
+        docs, kept_ids, on=(id_col,), num_partitions=num_partitions
+    )
+    fps = kept.map_batches(
+        lambda t: md5_fingerprint(t, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    dd = exact_dedup(fps, ["fingerprint"], id_col=id_col,
+                     num_partitions=num_partitions)
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return t.select([id_col])
+
+    survivors = dd.map_batches(ids_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return hash_split(survivors, id_col, fractions=fractions, labels=labels)

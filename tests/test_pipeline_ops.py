@@ -634,3 +634,28 @@ def test_latest_snapshot_pages_and_ties():
     out3 = latest_snapshot(ray.data.from_arrow(t2).repartition(3), key_col="k",
                            ts_col="ts", tie_col="tie").to_pandas().sort_values("k")
     assert list(out3["tie"]) == [20, 1]
+
+
+def test_curate_documents_chain():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.pipelines.curate import curate_documents
+
+    good = ("the cat sat on the mat and it is a fine day for all of that " * 20)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([good, good, "1234!!%%", good + " tail", None]),
+    })
+    out = curate_documents(ray.data.from_arrow(t), min_quality_ppm=510_000)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 2 dups 1 (min id wins); 3 is junk; 5 empty (empty text scores
+    # exactly 0.5 in the composite, so the gate sits just above it)
+    assert list(df["doc_id"]) == [1, 4]
+    assert set(df["split"]) <= {"train", "val", "test"}
+    # deterministic + partition-invariant
+    df2 = curate_documents(ray.data.from_arrow(t).repartition(3),
+                           min_quality_ppm=510_000).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert df.equals(df2)
