@@ -88,3 +88,27 @@ def test_csr_spill_routing_matches_scan(er_graph, tmp_path_factory):
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-6)
     eng.shutdown()
+
+
+def test_pipelined_exchange_bitwise_vs_sync(tmp_path_factory):
+    """The no-barrier pipelined loop (tolerance<=0, or min_label) must be
+    bitwise-identical to the per-iteration sync loop, with and without
+    hub splitting, including WCC's early-stop iteration count. A tiny
+    positive tolerance (5e-324) forces the sync path for pagerank
+    without ever early-stopping."""
+    t = fixtures.powerlaw(400, seed=11)
+    for thr in (3, 10**9):  # hubs present / absent
+        eng = CsrEngine.build(from_arrow(t), num_shards=4, hub_threshold=thr)
+        a = eng.pagerank(max_iterations=7, tolerance=0.0)        # pipelined
+        b = eng.pagerank(max_iterations=7, tolerance=5e-324)     # sync
+        assert np.array_equal(np.sort(a.node_ids), np.sort(b.node_ids))
+        oa = np.argsort(a.node_ids)
+        ob = np.argsort(b.node_ids)
+        assert np.array_equal(a.values[oa], b.values[ob])
+        assert a.iterations == b.iterations == 7
+        w1 = eng.wcc()   # pipelined with windowed early stop
+        w2 = eng.wcc()
+        o1, o2 = np.argsort(w1.node_ids), np.argsort(w2.node_ids)
+        assert np.array_equal(w1.values[o1], w2.values[o2])
+        assert w1.converged and w1.iterations == w2.iterations
+        eng.shutdown()
