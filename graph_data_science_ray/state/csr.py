@@ -422,11 +422,12 @@ class CsrShard:
             contrib = scaled[self.edge_srcpos]
             if self.edge_w is not None:
                 contrib = contrib * self.edge_w
-            # dst_group is sorted by construction → add.reduceat over the
-            # build-time group starts (sequential per-group sums, bitwise
-            # equal to bincount, ~2.6× faster at 3M edges/shard)
-            agg = (np.add.reduceat(contrib, self.group_starts)
-                   if ng else np.empty(0, dtype=np.float64))
+            # float sums MUST stay np.bincount (strictly sequential in
+            # edge order): np.add.reduceat sums long segments pairwise,
+            # which drifted a rank across a round-6 oracle boundary at
+            # sf0.1 — measured, not hypothetical. minimum.reduceat below
+            # is safe (min is order-independent).
+            agg = np.bincount(self.dst_group, weights=contrib, minlength=ng)
         elif kind == "min_label":
             labels = self._scaled_per_src(hub_ids, hub_vals, "label")
             per_edge = labels[self.edge_srcpos]
