@@ -49,7 +49,12 @@ def curate_documents(
     def gate(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ppm = pc.cast(pc.round(pc.multiply(t.column("quality"), 1e6)), pa.int64())
+        # half-away rounding to match SQL ROUND (Arrow default is half-to-even)
+        ppm = pc.cast(
+            pc.round(pc.multiply(t.column("quality"), 1e6),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
         keep = pc.greater_equal(ppm, min_quality_ppm)
         return pa.table({id_col: t.column(id_col).filter(keep)})
 

@@ -451,6 +451,9 @@ def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if fidx.size == 0:
         return sims
     blob = data[offs[0] : offs[-1]]
+    if blob.size == 0:
+        # every fast-path doc is empty/null — no tokens, nothing to vote on
+        return sims
     base = offs[0]
     word = _WORD_BYTE[blob]
     # mark non-fast doc spans as non-word so they produce no tokens here

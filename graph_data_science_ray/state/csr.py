@@ -480,12 +480,13 @@ class CsrShard:
         hub set) — cached on first call, so an iteration pays only the
         gather + divide, not two O(n_src log n) searchsorteds."""
         cache = getattr(self, "_sps_cache", None)
-        if cache is None or cache[0] != hub_ids.shape[0]:
+        hub_tok = (hub_ids.shape[0], hash(hub_ids.tobytes()))
+        if cache is None or cache[0] != hub_tok:
             local = ~self.src_is_hub
             pos = np.searchsorted(self.owned_ids, self.src_u[local])
             hpos = (np.searchsorted(hub_ids, self.src_u[self.src_is_hub])
                     if self.src_is_hub.any() else np.empty(0, dtype=np.int64))
-            cache = self._sps_cache = (hub_ids.shape[0], local, pos, hpos)
+            cache = self._sps_cache = (hub_tok, local, pos, hpos)
         _, local, pos, hpos = cache
         out = np.empty(
             self.src_u.shape[0], dtype=np.float64 if mode == "pagerank" else np.int64

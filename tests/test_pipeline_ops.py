@@ -97,6 +97,17 @@ def test_simhash_near_dup_band_collision():
     assert shared >= 1  # near-dups collide in at least one 16-bit band
 
 
+def test_simhash_batch_all_empty_docs():
+    # regression: an all-empty/null fast-path batch sliced a zero-length
+    # blob and indexed prev[0] on an empty array (IndexError)
+    from graph_data_science_ray.stages.dedup import simhash_batch
+
+    assert list(simhash_batch(pa.array(["", None]))) == [0, 0]
+    assert list(simhash_batch(pa.array([], pa.string()))) == []
+    mixed = simhash_batch(pa.array(["hello world", "", None]))
+    assert mixed[0] != 0 and mixed[1] == 0 and mixed[2] == 0
+
+
 def test_brute_force_topk_exact():
     from graph_data_science_ray.stages.embed import brute_force_topk
 
