@@ -47,6 +47,15 @@ def pregel(
     resume: bool = False,
     num_partitions: int | None = None,
     reduce: str = "driver",
+    backend: str = "dataflow",
+    engine=None,
+    num_shards: int | None = None,
+    weighted: bool = False,
+    aux: dict | None = None,
+    wants_ctx: bool = False,
+    on_global=None,
+    master_partial=None,
+    master_finish=None,
 ) -> IterativeResult:
     """GDS-Pregel-parity user extension surface (SURVEY.md §2.11; the
     reference exposes init/compute/sendToNeighbors/voteToHalt plus
@@ -78,16 +87,65 @@ def pregel(
     ``IterativeResult``, so stream/stats/mutate/write and the estimate
     gate (pipelines/modes) come for free — mode parity with GDS Pregel.
 
-    Scale shape: identical to every built-in dataflow algorithm (state
-    broadcast via ``ray.put``, per-batch combiners, driver or shuffle
-    reduce) — see ``run_iterative``; ``reduce="shuffle"`` is the
-    beyond-driver-memory gather."""
+    Scale shape: ``backend="dataflow"`` (default) broadcasts the state
+    vector via ``ray.put`` with per-batch combiners (``reduce="shuffle"``
+    for the beyond-driver gather); ``backend="csr"`` is the SHARDED-STATE
+    path — the same hooks run inside the CSR shard actors
+    (state/engine.CsrEngine.pregel), node state never touches the
+    driver, messages ride the static values-only exchange, and global
+    steps are two-phase ``master_partial``/``master_finish`` (per-shard
+    partial → driver scalar reduce → per-shard finish) instead of the
+    full-vector ``master``. ``aux`` registers persistent per-node
+    accumulator arrays and ``wants_ctx=True`` passes the update hook a
+    ctx (superstep number, aux dict, ``emit_global`` slot consumed
+    driver-side by ``on_global``) — GDS ``ComputeContext`` parity. Both
+    backends run identical hook math (parity-tested)."""
     from ray.data.aggregate import Max, Min, Sum
 
     from graph_data_science_ray.algos.common import merge_min, merge_sum, unique_inverse
 
+    if backend == "csr":
+        if checkpoint is not None or resume:
+            raise NotImplementedError("csr pregel: use the engine checkpoint surface")
+        if master is not None and master_finish is None:
+            raise ValueError(
+                "backend='csr' needs the two-phase master_partial/master_finish "
+                "(a full-vector master would materialize state on the driver)"
+            )
+        if engine is None:
+            from graph_data_science_ray.state.engine import CsrEngine
+
+            engine = CsrEngine.build(
+                edges, num_shards=num_shards or 8, weighted=weighted
+            )
+        if isinstance(init, np.ndarray) and node_ids is None:
+            raise ValueError("backend='csr' with ndarray init needs node_ids "
+                             "(the array's alignment)")
+        if isinstance(init, np.ndarray) and node_ids is not None:
+            glob_ids, glob_init = node_ids, init
+
+            def init(ids, _gi=glob_ids, _gv=glob_init):  # noqa: F811
+                return _gv[np.searchsorted(_gi, ids)]
+        return engine.pregel(
+            send, update, init, combine=combine,
+            max_iterations=max_iterations, tolerance=tolerance,
+            value_name=value_name, aux=aux, wants_ctx=wants_ctx,
+            frontier=vote_to_halt and combine == "or",
+            master_partial=master_partial, master_finish=master_finish,
+            on_global=on_global,
+        )
     if combine not in ("sum", "min", "max"):
         raise ValueError("combine must be sum|min|max")
+    if master_finish is not None:
+        # run the two-phase global step as the single-partition case so
+        # both backends execute identical math
+        _mp, _mf = master_partial, master_finish
+        user_master = master
+
+        def master(v, _mp=_mp, _mf=_mf, _um=user_master):  # noqa: F811
+            v = _mf(v, _mp(v))
+            return _um(v) if _um is not None else v
+
     configure_ray_data()
     edges = edges.materialize()
     if node_ids is None:
@@ -121,7 +179,7 @@ def pregel(
                     )
                 batch = batch.filter(pa.array(act))
                 spos = spos[act]
-            msg = np.asarray(send(st[spos], batch))
+            msg = st[spos] if send is None else np.asarray(send(st[spos], batch))
             dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
             keep = np.isfinite(msg) if not is_int else np.ones(msg.shape[0], bool)
             dst, msg = dst[keep], msg[keep]
@@ -157,6 +215,19 @@ def pregel(
             v = -v
         return pa.table({"node_id": pa.array(u, pa.int64()), "msg": pa.array(v)})
 
+    aux_arrays = (
+        {
+            k: (np.asarray(v(node_ids)).copy() if callable(v)
+                else np.full(node_ids.shape[0], v,
+                             dtype=np.int64 if isinstance(v, (int, np.integer))
+                             else np.float64))
+            for k, v in aux.items()
+        }
+        if aux is not None
+        else None
+    )
+    it_box = [0]  # apply_fn runs once per iteration, in order
+
     def apply_fn(state, gathered, ids):
         combined = np.zeros(ids.shape[0], dtype=state.dtype)
         has_msg = np.zeros(ids.shape[0], dtype=bool)
@@ -166,7 +237,18 @@ def pregel(
             pos = np.searchsorted(ids, g_ids)
             combined[pos] = g_vals.astype(state.dtype)
             has_msg[pos] = True
-        new = np.asarray(update(state, combined, has_msg, ids), dtype=state.dtype)
+        if wants_ctx:
+            import types
+
+            ctx = types.SimpleNamespace(
+                iteration=it_box[0], aux=aux_arrays, node_ids=ids, emit_global=None
+            )
+            new = np.asarray(update(state, combined, has_msg, ids, ctx), dtype=state.dtype)
+            if on_global is not None and ctx.emit_global is not None:
+                on_global(it_box[0], [ctx.emit_global])
+        else:
+            new = np.asarray(update(state, combined, has_msg, ids), dtype=state.dtype)
+        it_box[0] += 1
         if master is not None:
             new = np.asarray(master(new), dtype=state.dtype)
         if is_int:

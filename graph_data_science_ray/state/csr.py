@@ -489,7 +489,9 @@ class CsrShard:
             cache = self._sps_cache = (hub_tok, local, pos, hpos)
         _, local, pos, hpos = cache
         out = np.empty(
-            self.src_u.shape[0], dtype=np.float64 if mode == "pagerank" else np.int64
+            self.src_u.shape[0],
+            dtype=self.state.dtype if mode == "raw"
+            else (np.float64 if mode == "pagerank" else np.int64),
         )
         # local srcs are owned by this shard iff bucket(src)==shard_id;
         # non-hub srcs were routed here by construction, so they are owned.
@@ -614,6 +616,225 @@ class CsrShard:
             self.state = new
             return changed
         raise ValueError(kind)
+
+    # ---------------- generic sharded Pregel ----------------
+    # The user-extension surface (algos/iterate.pregel backend="csr"):
+    # arbitrary vectorized send/update hooks run WHERE THE STATE LIVES,
+    # so no O(N) array ever touches the driver. Messages ride the same
+    # static values-only layout as PageRank/WCC (register_incoming), plus
+    # a per-group message-count array for exact has_msg semantics.
+
+    def register_pregel(self, payload: dict) -> None:
+        """payload: send (callable|None=identity), update, combine
+        ('sum'|'min'|'max'|'or'), is_int, wants_ctx, frontier (or-only),
+        master_partial/master_finish (two-phase global step) — shipped
+        ONCE (cloudpickle), not per iteration."""
+        self._pg = dict(payload)
+        self._pg_edge_batch = None  # built lazily on first emit w/ send
+
+    def _pregel_edge_table(self) -> pa.Table:
+        """Static per-edge (src_id, dst_id[, weight]) table for the send
+        hook, in this shard's CSR edge order — built once, cached."""
+        if self._pg_edge_batch is None:
+            cols = {
+                "src_id": pa.array(self.src_u[self.edge_srcpos]
+                                   if self.edge_srcpos.shape[0]
+                                   else np.empty(0, np.int64), pa.int64()),
+                "dst_id": pa.array(self.group_dst[self.dst_group]
+                                   if self.dst_group.shape[0]
+                                   else np.empty(0, np.int64), pa.int64()),
+            }
+            if self.edge_w is not None:
+                cols["weight"] = pa.array(self.edge_w, pa.float64())
+            self._pg_edge_batch = pa.table(cols)
+        return self._pg_edge_batch
+
+    def pregel_init(self, init, aux=None, reset_aux: bool = True) -> int:
+        """init: scalar | ndarray-over-owned | callable(owned_ids)→array.
+        aux: dict name → (scalar | callable(owned_ids)→array) of
+        persistent per-node accumulators the update hook mutates via ctx;
+        reset_aux=False keeps existing accumulators across runs (e.g.
+        MSBFS waves accumulating one harmonic sum over many pregel runs)."""
+        n = self.owned_ids.shape[0]
+        if callable(init):
+            self.state = np.asarray(init(self.owned_ids)).copy()
+        elif isinstance(init, np.ndarray):
+            self.state = init.copy()
+        else:
+            self.state = np.full(
+                n, init,
+                dtype=np.int64 if isinstance(init, (int, np.integer)) else np.float64,
+            )
+        # a fresh run starts with an all-active frontier (flags from a
+        # previous run on this engine would suppress the new init scatter)
+        self._pg_changed = None
+        self._pg_hub_changed = None
+        cur = getattr(self, "_pg_aux", None)
+        if aux is not None and (reset_aux or cur is None):
+            self._pg_aux = {
+                k: (np.asarray(v(self.owned_ids)).copy() if callable(v)
+                    else np.full(n, v,
+                                 dtype=np.int64 if isinstance(v, (int, np.integer))
+                                 else np.float64))
+                for k, v in aux.items()
+            }
+        elif aux is None and reset_aux:
+            self._pg_aux = None
+        return n
+
+    def pregel_emit(self, hub_ids: np.ndarray, hub_vals: np.ndarray):
+        """One scatter: per-edge src state → user send → per-dst-group
+        combine → (values, counts) in the static layout order. Returned
+        as ONE object; receivers slice their segments."""
+        pg = self._pg
+        ng = self.group_dst.shape[0]
+        st = self._scaled_per_src(hub_ids, hub_vals, "raw")
+        per_edge = st[self.edge_srcpos] if self.edge_srcpos.shape[0] else st[:0]
+        msg = (per_edge if pg["send"] is None
+               else np.asarray(pg["send"](per_edge, self._pregel_edge_table())))
+        is_int = pg["is_int"]
+        keep = (np.ones(msg.shape[0], dtype=bool) if is_int
+                else np.isfinite(msg))
+        if pg.get("frontier"):
+            keep = keep & self._pregel_active_per_edge()
+        combine = pg["combine"]
+        if ng == 0:
+            vals = msg[:0]
+            cnts = np.empty(0, np.int64)
+        elif combine == "sum":
+            w = np.where(keep, msg, 0)
+            vals = np.bincount(self.dst_group, weights=w, minlength=ng)
+            if is_int:
+                vals = vals.astype(np.int64)
+        elif combine in ("min", "max"):
+            if is_int:
+                fill = INT64_MAX if combine == "min" else -INT64_MAX
+            else:
+                fill = np.inf if combine == "min" else -np.inf
+            w = np.where(keep, msg, fill)
+            op = np.minimum if combine == "min" else np.maximum
+            vals = op.reduceat(w, self.group_starts)
+        elif combine == "or":
+            w = np.where(keep, msg, np.zeros(1, dtype=msg.dtype))
+            vals = np.bitwise_or.reduceat(w, self.group_starts)
+        else:
+            raise ValueError(combine)
+        if ng:
+            cnts = np.bincount(self.dst_group, weights=keep, minlength=ng).astype(np.int64)
+        return vals, cnts
+
+    def _pregel_active_per_edge(self) -> np.ndarray:
+        """Frontier mask per edge: True iff the edge's src changed last
+        round. Local srcs read the shard's changed flags; hub srcs use
+        the broadcast hub-changed mask (conservatively all-True if the
+        driver didn't ship one)."""
+        ch = getattr(self, "_pg_changed", None)
+        if ch is None:
+            return np.ones(self.edge_srcpos.shape[0], dtype=bool)
+        _, local, pos, hpos = self._sps_cache
+        per_src = np.ones(self.src_u.shape[0], dtype=bool)
+        per_src[local] = ch[pos]
+        hub_ch = getattr(self, "_pg_hub_changed", None)
+        if hub_ch is not None and hpos.shape[0]:
+            per_src[self.src_is_hub] = hub_ch[hpos]
+        return per_src[self.edge_srcpos]
+
+    def set_hub_changed(self, hub_changed: np.ndarray) -> None:
+        self._pg_hub_changed = hub_changed
+
+    def get_changed_flags(self, ids: np.ndarray) -> np.ndarray:
+        ch = getattr(self, "_pg_changed", None)
+        if ch is None:
+            return np.ones(ids.shape[0], dtype=bool)
+        return ch[np.searchsorted(self.owned_ids, ids)]
+
+    def pregel_apply(self, iteration: int, *emits):
+        """Merge incoming (vals, cnts) segments → combined + has_msg over
+        owned nodes → user update (optionally with ctx carrying the
+        superstep number and the aux accumulators). Returns
+        (residual | None, master_partial | None, global_payload)."""
+        pg = self._pg
+        sid = self.shard_id
+        n = self.owned_ids.shape[0]
+        combine, is_int = pg["combine"], pg["is_int"]
+        vlist, clist = [], []
+        for (v, c), off in zip(emits, self._in_offsets):
+            vlist.append(v[off[sid] : off[sid + 1]])
+            clist.append(c[off[sid] : off[sid + 1]])
+        vals = np.concatenate(vlist) if vlist else np.empty(0)
+        cnts = np.concatenate(clist) if clist else np.empty(0, np.int64)
+        st_dtype = self.state.dtype
+        has_msg = np.zeros(n, dtype=bool)
+        if combine == "sum":
+            fill0 = 0
+        elif combine == "min":
+            fill0 = (INT64_MAX if is_int else np.inf)
+        elif combine == "max":
+            fill0 = (-INT64_MAX if is_int else -np.inf)
+        else:  # or
+            fill0 = 0
+        combined = np.full(n, fill0, dtype=vals.dtype if vals.shape[0] else st_dtype)
+        if vals.shape[0]:
+            if combine == "sum":
+                acc = np.bincount(self._in_pos, weights=vals, minlength=n)
+                combined = acc.astype(st_dtype) if is_int else acc
+            else:
+                sv = vals[self._in_order]
+                op = {"min": np.minimum, "max": np.maximum, "or": np.bitwise_or}[combine]
+                segs = op.reduceat(sv, self._seg_starts)
+                combined[self._seg_pos] = segs
+            cm = np.bincount(self._in_pos, weights=cnts, minlength=n)
+            has_msg = cm > 0
+            if combine != "sum":
+                # a group whose every message was masked carries fill — hide it
+                combined[~has_msg] = fill0
+        prev = self.state
+        if pg["wants_ctx"]:
+            import types
+
+            ctx = types.SimpleNamespace(
+                iteration=iteration, aux=getattr(self, "_pg_aux", None),
+                node_ids=self.owned_ids, emit_global=None,
+            )
+            new = np.asarray(pg["update"](prev, combined, has_msg, self.owned_ids, ctx),
+                             dtype=st_dtype)
+            gpayload = ctx.emit_global
+        else:
+            new = np.asarray(pg["update"](prev, combined, has_msg, self.owned_ids),
+                             dtype=st_dtype)
+            gpayload = None
+        self.state = new
+        if pg.get("frontier"):
+            self._pg_changed = new != prev
+        if pg.get("master_finish") is not None:
+            self._pg_prev = prev
+            part = pg["master_partial"](new) if pg.get("master_partial") else None
+            return None, part, gpayload
+        residual = (float((new != prev).sum()) if is_int
+                    else (float(np.abs(new - prev).max()) if n else 0.0))
+        return residual, None, gpayload
+
+    def pregel_master(self, global_val) -> float:
+        """Phase 2 of the global step: apply master_finish(state, global)
+        and return the residual vs the pre-update state."""
+        pg = self._pg
+        new = np.asarray(pg["master_finish"](self.state, global_val),
+                         dtype=self.state.dtype)
+        prev = self._pg_prev
+        self.state = new
+        if pg.get("frontier"):
+            self._pg_changed = new != prev
+        n = new.shape[0]
+        return (float((new != prev).sum()) if pg["is_int"]
+                else (float(np.abs(new - prev).max()) if n else 0.0))
+
+    def get_aux_named(self, names: list[str]) -> pa.Table:
+        """This shard's (node_id, *aux) result partition."""
+        aux = getattr(self, "_pg_aux", None) or {}
+        cols = {"node_id": pa.array(self.owned_ids, pa.int64())}
+        for k in names:
+            cols[k] = pa.array(aux[k])
+        return pa.table(cols)
 
     def checkpoint(self, path: str, value_name: str) -> dict:
         """Write this shard's state partition (the per-partition

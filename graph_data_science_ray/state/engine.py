@@ -607,6 +607,115 @@ class CsrEngine:
             resume=resume,
         )
 
+    # ------------------------------------------------------------------
+    def pregel(
+        self,
+        send,
+        update,
+        init,
+        combine: str = "sum",
+        max_iterations: int = 20,
+        tolerance: float = 0.0,
+        value_name: str = "value",
+        is_int: bool | None = None,
+        aux: dict | None = None,
+        reset_aux: bool = True,
+        wants_ctx: bool = False,
+        frontier: bool = False,
+        master_partial=None,
+        master_finish=None,
+        on_global=None,
+        registered: bool = False,
+    ) -> ShardedIterativeResult:
+        """Sharded-state Pregel (the scale path behind algos/iterate.
+        pregel backend="csr"): user hooks run inside the CSR shard
+        actors, the driver moves only ObjectRefs, per-shard residual
+        scalars, and the (tiny) master/global payloads. Message exchange
+        rides the static values-only layout registered at build.
+
+        - ``send(src_state_per_edge, edge_table)`` (None = identity) and
+          ``update(state, combined, has_msg, ids[, ctx])`` are shipped to
+          the shards ONCE; ``ctx`` (wants_ctx=True) carries the superstep
+          number, the persistent ``aux`` accumulator dict, and an
+          ``emit_global`` slot whose per-shard payloads ``on_global``
+          receives driver-side each iteration (for ≤O(64)-sized level
+          reductions, e.g. per-source closeness sums).
+        - global steps are two-phase: ``master_partial(state) → part``
+          per shard, driver sums the parts, ``master_finish(state, g)``
+          per shard — never a full state vector on the driver.
+        - ``frontier=True`` (combine="or" only): unchanged sources emit
+          the OR-identity, exact frontier semantics on the static layout.
+        - ``registered=True`` skips re-shipping hooks (repeat runs on the
+          same engine, e.g. MSBFS waves); ``reset_aux=False`` keeps the
+          aux accumulators across runs.
+        """
+        if combine not in ("sum", "min", "max", "or"):
+            raise ValueError("combine must be sum|min|max|or")
+        if frontier and combine != "or":
+            raise ValueError("frontier exchange requires combine='or'")
+        if (master_partial is None) != (master_finish is None):
+            raise ValueError("master_partial and master_finish go together")
+        if is_int is None:
+            probe = (init(np.empty(0, np.int64)) if callable(init) else init)
+            is_int = not np.issubdtype(np.asarray(probe).dtype, np.floating)
+        if not registered:
+            payload = {
+                "send": send, "update": update, "combine": combine,
+                "is_int": bool(is_int), "wants_ctx": wants_ctx,
+                "frontier": frontier, "master_partial": master_partial,
+                "master_finish": master_finish,
+            }
+            ray.get([s.register_pregel.remote(payload) for s in self.shards])
+        ray.get([s.pregel_init.remote(init, aux, reset_aux) for s in self.shards])
+
+        have_hubs = self.hub_ids.shape[0] > 0
+        empty_hub = np.empty(0, dtype=np.float64)
+        metrics: list[dict] = []
+        converged = False
+        iteration = -1
+        for iteration in range(max_iterations):
+            hub_vals = self._hub_values() if have_hubs else empty_hub
+            if have_hubs and frontier:
+                flags = np.ones(self.hub_ids.shape[0], dtype=bool)
+                futs = []
+                for b in range(self.P):
+                    m = self.hub_owner == b
+                    if m.any():
+                        futs.append((m, self.shards[b].get_changed_flags.remote(self.hub_ids[m])))
+                for m, v in zip((m for m, _ in futs), ray.get([f for _, f in futs])):
+                    flags[m] = v
+                ray.get([s.set_hub_changed.remote(flags) for s in self.shards])
+            emits = [s.pregel_emit.remote(self.hub_ids, hub_vals) for s in self.shards]
+            applies = [self.shards[j].pregel_apply.remote(iteration, *emits)
+                       for j in range(self.P)]
+            outs = ray.get(applies)
+            if on_global is not None:
+                on_global(iteration, [g for _, _, g in outs if g is not None])
+            if master_finish is not None:
+                parts = [p for _, p, _ in outs if p is not None]
+                g = parts[0] if len(parts) == 1 else (sum(parts[1:], parts[0]) if parts else None)
+                residuals = ray.get([s.pregel_master.remote(g) for s in self.shards])
+            else:
+                residuals = [r for r, _, _ in outs]
+            residual = (float(sum(residuals)) if is_int
+                        else (max(residuals) if residuals else 0.0))
+            metrics.append({"iteration": iteration, "residual": residual})
+            if residual <= tolerance:
+                converged = True
+                break
+
+        refs = [s.get_state_named.remote(value_name, False) for s in self.shards]
+        return ShardedIterativeResult(refs, value_name, iteration + 1, converged, metrics)
+
+    def pregel_aux_dataset(self, names: list[str]):
+        """The persistent aux accumulators as a sharded Dataset
+        (node_id, *names) — one block per shard, never on the driver."""
+        import ray.data
+
+        return ray.data.from_arrow_refs(
+            [s.get_aux_named.remote(list(names)) for s in self.shards]
+        )
+
     def wcc(self, max_iterations: int = 100, checkpoint=None, resume=False) -> "ShardedIterativeResult":
         # int64 cast happens shard-side in get_state_named
         return self._run(
