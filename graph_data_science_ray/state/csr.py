@@ -810,9 +810,15 @@ class CsrShard:
             self._pg_prev = prev
             part = pg["master_partial"](new) if pg.get("master_partial") else None
             return None, part, gpayload
-        residual = (float((new != prev).sum()) if is_int
-                    else (float(np.abs(new - prev).max()) if n else 0.0))
-        return residual, None, gpayload
+        return self._pg_residual(new, prev), None, gpayload
+
+    def _pg_residual(self, new: np.ndarray, prev: np.ndarray) -> float:
+        # "changed" counts moved entries (inf != inf is False, so
+        # never-reached ±inf states don't poison the count the way
+        # |inf - inf| = nan poisons max_delta)
+        if self._pg.get("residual", "changed" if self._pg["is_int"] else "max_delta") == "changed":
+            return float((new != prev).sum())
+        return float(np.abs(new - prev).max()) if new.shape[0] else 0.0
 
     def pregel_master(self, global_val) -> float:
         """Phase 2 of the global step: apply master_finish(state, global)
@@ -824,9 +830,7 @@ class CsrShard:
         self.state = new
         if pg.get("frontier"):
             self._pg_changed = new != prev
-        n = new.shape[0]
-        return (float((new != prev).sum()) if pg["is_int"]
-                else (float(np.abs(new - prev).max()) if n else 0.0))
+        return self._pg_residual(new, prev)
 
     def get_aux_named(self, names: list[str]) -> pa.Table:
         """This shard's (node_id, *aux) result partition."""

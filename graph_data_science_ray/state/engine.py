@@ -626,6 +626,7 @@ class CsrEngine:
         master_finish=None,
         on_global=None,
         registered: bool = False,
+        residual: str | None = None,
     ) -> ShardedIterativeResult:
         """Sharded-state Pregel (the scale path behind algos/iterate.
         pregel backend="csr"): user hooks run inside the CSR shard
@@ -651,19 +652,26 @@ class CsrEngine:
         """
         if combine not in ("sum", "min", "max", "or"):
             raise ValueError("combine must be sum|min|max|or")
-        if frontier and combine != "or":
-            raise ValueError("frontier exchange requires combine='or'")
+        if frontier and combine == "sum":
+            # min/max/or have an identity an inactive source can emit
+            # without changing the result of a MONOTONE operator; sum has
+            # no such out (a 0 still counts toward the received total)
+            raise ValueError("frontier exchange requires combine in min|max|or")
         if (master_partial is None) != (master_finish is None):
             raise ValueError("master_partial and master_finish go together")
         if is_int is None:
             probe = (init(np.empty(0, np.int64)) if callable(init) else init)
             is_int = not np.issubdtype(np.asarray(probe).dtype, np.floating)
+        if residual is None:
+            residual = "changed" if is_int else "max_delta"
+        if residual not in ("changed", "max_delta"):
+            raise ValueError("residual must be changed|max_delta")
         if not registered:
             payload = {
                 "send": send, "update": update, "combine": combine,
                 "is_int": bool(is_int), "wants_ctx": wants_ctx,
                 "frontier": frontier, "master_partial": master_partial,
-                "master_finish": master_finish,
+                "master_finish": master_finish, "residual": residual,
             }
             ray.get([s.register_pregel.remote(payload) for s in self.shards])
         ray.get([s.pregel_init.remote(init, aux, reset_aux) for s in self.shards])
@@ -697,10 +705,10 @@ class CsrEngine:
                 residuals = ray.get([s.pregel_master.remote(g) for s in self.shards])
             else:
                 residuals = [r for r, _, _ in outs]
-            residual = (float(sum(residuals)) if is_int
-                        else (max(residuals) if residuals else 0.0))
-            metrics.append({"iteration": iteration, "residual": residual})
-            if residual <= tolerance:
+            r_it = (float(sum(residuals)) if residual == "changed"
+                    else (max(residuals) if residuals else 0.0))
+            metrics.append({"iteration": iteration, "residual": r_it})
+            if r_it <= tolerance:
                 converged = True
                 break
 
