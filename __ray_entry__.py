@@ -1869,6 +1869,56 @@ def _q_astar_cost(sf_dir: str):
                      "cost_i": pa.array([int(round(res.cost))], pa.int64())})
 
 
+def _q_astar_paths(sf_dir: str):
+    """``gds.shortestPath.astar.stream`` parity (algos/astar.
+    a_star_stream): the found source->target path as exploded
+    (target_node, step, node_id, cost_i) rows, step 0 = target. Path =
+    tight-edge rule pred(v) = min{u : dist[u]+w = dist[v]} over the
+    stopped A* state — equal to the fixpoint rule for positive weights
+    (settled-ancestor argument in the docstring), which the oracle
+    replays with a relax chain + equality-pred recursive walk."""
+    from graph_data_science_ray.algos.astar import a_star_stream
+    from graph_data_science_ray.algos.paths import bellman_ford
+
+    edges = _edges_ps_weighted(sf_dir)
+    src = int(edges.min("src_id"))
+    bf = bellman_ford(edges, source=src, max_iterations=20)
+    finite = np.isfinite(bf.values)
+    tgt = int(bf.node_ids[finite].max())  # max REACHABLE node
+    t = a_star_stream(edges, src, tgt, heuristic=None)
+    c = np.round(t.column("cost").to_numpy(zero_copy_only=False)).astype(np.int64)
+    return pa.table(
+        {
+            "target_node": t.column("target_node"),
+            "step": t.column("step"),
+            "node_id": t.column("node_id"),
+            "cost_i": pa.array(c, pa.int64()),
+        }
+    )
+
+
+def _q_yens_paths(sf_dir: str):
+    """``gds.shortestPath.yens.stream`` parity (algos/yens.
+    yens_path_stream, K=2): exploded (path_rank, step, node_id, cost_i,
+    total_cost_i) with per-node cumulative costs along each path."""
+    from graph_data_science_ray.algos.yens import yens_path_stream
+
+    edges = _edges_ps_weighted(sf_dir)
+    ids = _node_ids(edges)
+    t = yens_path_stream(edges, int(ids[0]), int(ids[-1]), k=2)
+    ci = np.round(t.column("cost").to_numpy(zero_copy_only=False)).astype(np.int64)
+    ti = np.round(t.column("total_cost").to_numpy(zero_copy_only=False)).astype(np.int64)
+    return pa.table(
+        {
+            "path_rank": t.column("path_rank"),
+            "step": t.column("step"),
+            "node_id": t.column("node_id"),
+            "cost_i": pa.array(ci, pa.int64()),
+            "total_cost_i": pa.array(ti, pa.int64()),
+        }
+    )
+
+
 def _q_filtered_knn(sf_dir: str):
     from graph_data_science_ray.algos.common import unique_node_ids
     from graph_data_science_ray.algos.knn import filtered_knn_graph
@@ -2466,6 +2516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "articulation_points": _q_articulation_points,
         "steiner_tree_5t": _q_steiner,
         "yens_k2": _q_yens,
+        "yens_paths": _q_yens_paths,
+        "astar_paths": _q_astar_paths,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "cnarw_sample": _q_cnarw_sample,
@@ -2747,6 +2799,47 @@ def _sssp_paths_sql(k: int = 20) -> str:
         " ".join(parts)
         + " SELECT p.target AS target_node, p.step, p.node AS node_id, "
         f"CAST(ROUND(d.val) AS BIGINT) AS cost_i FROM paths p JOIN d{k} d ON d.node = p.node"
+    )
+
+
+def _astar_paths_sql(k: int = 20) -> str:
+    """_q_astar_paths oracle: directed weighted relax chain to the
+    fixpoint (same d-chain as _sssp_paths_sql), target = max reachable
+    node, predecessor tree pred(v) = MIN(u) over dist[u]+w = dist[v]
+    (the engine's tight-edge rule at the A* stop, exact for positive
+    weights), recursive walk from the single target with step counting
+    back from it."""
+    e = ("SELECT l_partkey AS src_id, l_suppkey AS dst_id, MIN(l_quantity) AS w "
+         "FROM lineitem GROUP BY 1, 2")
+    parts = [
+        f"WITH RECURSIVE e AS MATERIALIZED ({e}),",
+        "s AS MATERIALIZED (SELECT MIN(src_id) AS v FROM e),",
+        "d0 AS MATERIALIZED (SELECT v AS node, CAST(0 AS DOUBLE) AS val FROM s),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, MIN(val) AS val FROM ("
+            f"SELECT node, val FROM d{i-1} UNION ALL "
+            f"SELECT e.dst_id, d{i-1}.val + e.w FROM e JOIN d{i-1} ON e.src_id = d{i-1}.node"
+            f") GROUP BY node),"
+        )
+    parts.append(f"tgt AS MATERIALIZED (SELECT MAX(node) AS t FROM d{k}),")
+    parts.append(
+        "predt AS MATERIALIZED (SELECT dv.node, "
+        "COALESCE(MIN(CASE WHEN du.val + e.w = dv.val THEN e.src_id END), -1) AS pred "
+        f"FROM d{k} dv LEFT JOIN e ON e.dst_id = dv.node "
+        f"LEFT JOIN d{k} du ON du.node = e.src_id GROUP BY dv.node),"
+    )
+    parts.append(
+        "walk(step, node) AS ("
+        "SELECT CAST(0 AS BIGINT), t FROM tgt "
+        "UNION ALL SELECT w.step + 1, pr.pred FROM walk w "
+        "JOIN predt pr ON pr.node = w.node WHERE pr.pred >= 0)"
+    )
+    return (
+        " ".join(parts)
+        + " SELECT (SELECT t FROM tgt) AS target_node, w.step, w.node AS node_id, "
+        f"CAST(ROUND(d.val) AS BIGINT) AS cost_i FROM walk w JOIN d{k} d ON d.node = w.node"
     )
 
 
@@ -3567,7 +3660,7 @@ def _yens_walk(parts, name, dtab, target_expr):
     )
 
 
-def _yens_sql(max_spurs: int = 8, bf_rounds: int = 8) -> str:
+def _yens_sql(max_spurs: int = 8, bf_rounds: int = 8, stream: bool = False) -> str:
     """Exact replica of _q_yens (algos/yens.yens_k_shortest_paths, K=2):
     base Bellman-Ford with predecessor tracking, P1 via the pred walk,
     one spur per P1 prefix (statically unrolled to max_spurs, guarded by
@@ -3621,8 +3714,23 @@ def _yens_sql(max_spurs: int = 8, bf_rounds: int = 8) -> str:
             f"(SELECT d.dist FROM b_{bf_rounds} d JOIN p1 p ON p.node = d.v WHERE p.seq = {i}) + "
             f"(SELECT d.dist FROM s{i}_{bf_rounds} d WHERE d.v = (SELECT t FROM st)) AS total),"
         )
+        if stream:
+            # per-node cumulative costs along the candidate: prefix = the
+            # base-tree dist, spur part = root_cost + spur-tree dist
+            parts.append(
+                f"cdc{i} AS MATERIALIZED ("
+                f"SELECT p.node, p.seq, d.dist AS cum FROM p1 p "
+                f"JOIN b_{bf_rounds} d ON d.v = p.node WHERE p.seq < {i} "
+                f"UNION ALL SELECT sp.node, sp.seq + {i}, "
+                f"(SELECT d.dist FROM b_{bf_rounds} d JOIN p1 p ON p.node = d.v "
+                f"WHERE p.seq = {i}) + sd.dist "
+                f"FROM sp{i} sp JOIN s{i}_{bf_rounds} sd ON sd.v = sp.node),"
+            )
+        cums_expr = (
+            f"(SELECT list(cum ORDER BY seq) FROM cdc{i}) AS cums, " if stream else ""
+        )
         cand_sel.append(
-            f"SELECT {i} AS cid, (SELECT total FROM ct{i}) AS total, "
+            f"SELECT {i} AS cid, (SELECT total FROM ct{i}) AS total, {cums_expr}"
             f"(SELECT list(node ORDER BY seq) FROM cd{i}) AS pth "
             f"FROM (SELECT 1) "
             f"WHERE EXISTS (SELECT 1 FROM sp{i}) "
@@ -3634,18 +3742,34 @@ def _yens_sql(max_spurs: int = 8, bf_rounds: int = 8) -> str:
     )
     # dedup identical paths (min total), drop P1 itself, pick best by
     # (round(total, 9), path lexicographic)
+    cums_col = "MIN(cums) AS cums, " if stream else ""
     parts.append(
-        "bestc AS MATERIALIZED (SELECT pth, MIN(total) AS total FROM cands "
+        f"bestc AS MATERIALIZED (SELECT pth, {cums_col}MIN(total) AS total FROM cands "
         "WHERE pth <> (SELECT pth FROM p1l) GROUP BY pth "
         "ORDER BY ROUND(MIN(total), 9) ASC, pth ASC LIMIT 1) "
     )
-    parts.append(
-        "SELECT CAST(0 AS BIGINT) AS path_rank, p.seq AS seq, p.node AS node_id, "
-        "ROUND((SELECT c FROM cost1), 9) AS total_cost FROM p1 p "
-        "UNION ALL "
-        "SELECT CAST(1 AS BIGINT), CAST(gs.i AS BIGINT) - 1, b.pth[gs.i], ROUND(b.total, 9) "
-        "FROM bestc b JOIN (SELECT unnest(generate_series(1, 100)) AS i) gs ON gs.i <= len(b.pth)"
-    )
+    if stream:
+        # stream shape: (path_rank, step back from target, node, cum cost
+        # from source along THIS path, total) — integerized (int weights)
+        parts.append(
+            "SELECT CAST(0 AS BIGINT) AS path_rank, "
+            "(SELECT MAX(seq) FROM p1) - p.seq AS step, p.node AS node_id, "
+            f"CAST(ROUND(d.dist) AS BIGINT) AS cost_i, "
+            "CAST(ROUND((SELECT c FROM cost1)) AS BIGINT) AS total_cost_i "
+            f"FROM p1 p JOIN b_{bf_rounds} d ON d.v = p.node "
+            "UNION ALL "
+            "SELECT CAST(1 AS BIGINT), CAST(len(b.pth) - gs.i AS BIGINT), b.pth[gs.i], "
+            "CAST(ROUND(b.cums[gs.i]) AS BIGINT), CAST(ROUND(b.total) AS BIGINT) "
+            "FROM bestc b JOIN (SELECT unnest(generate_series(1, 100)) AS i) gs ON gs.i <= len(b.pth)"
+        )
+    else:
+        parts.append(
+            "SELECT CAST(0 AS BIGINT) AS path_rank, p.seq AS seq, p.node AS node_id, "
+            "ROUND((SELECT c FROM cost1), 9) AS total_cost FROM p1 p "
+            "UNION ALL "
+            "SELECT CAST(1 AS BIGINT), CAST(gs.i AS BIGINT) - 1, b.pth[gs.i], ROUND(b.total, 9) "
+            "FROM bestc b JOIN (SELECT unnest(generate_series(1, 100)) AS i) gs ON gs.i <= len(b.pth)"
+        )
     return " ".join(parts)
 
 
@@ -6365,6 +6489,8 @@ def oracle_sql() -> dict[str, str]:
         "leiden": _leiden_sql(),
         "steiner_tree_5t": _steiner_sql(),
         "yens_k2": _yens_sql(),
+        "yens_paths": _yens_sql(stream=True),
+        "astar_paths": _astar_paths_sql(),
         "betweenness_weighted_32src": _btww_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "embed_neardup": _embed_neardup_sql(),

@@ -52,6 +52,10 @@ class AStarResult:
     iterations: int
     relaxed_rounds_saved_bound: float  # final frontier bound at stop
     metrics: list[dict]
+    # final relaxation state (node universe + distances at stop) — the
+    # stream surface derives the deterministic tight-edge path from it
+    _node_arr: "np.ndarray | None" = None
+    _dist: "np.ndarray | None" = None
 
     def to_table(self) -> pa.Table:
         n = len(self.path)
@@ -199,7 +203,8 @@ def a_star(
 
     # path reconstruction (driver-side walk of the tiny pred chain)
     if not np.isfinite(dist[tpos]):
-        return AStarResult(source, target, float("inf"), [], iterations, bound, metrics)
+        return AStarResult(source, target, float("inf"), [], iterations, bound,
+                           metrics, node_arr, dist)
     path = [int(target)]
     pos = tpos
     guard = n + 1
@@ -209,5 +214,101 @@ def a_star(
         pos = int(np.searchsorted(node_arr, nxt))
         guard -= 1
     return AStarResult(
-        source, target, float(dist[tpos]), path[::-1], iterations, bound, metrics
+        source, target, float(dist[tpos]), path[::-1], iterations, bound,
+        metrics, node_arr, dist
+    )
+
+
+def a_star_stream(
+    edges: Dataset,
+    source: int,
+    target: int,
+    heuristic=None,
+    weighted: bool = True,
+    undirected: bool = False,
+    max_iterations: int = 10_000,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """``gds.shortestPath.astar.stream`` parity: the found path as
+    exploded rows (target_node, step, node_id, cost); ``step`` counts
+    from the target back (0 = target), ``cost`` is the cost from the
+    source to ``node_id`` along the path.
+
+    Determinism contract (oracle-replicable): the path follows the
+    TIGHT-EDGE rule ``pred(v) = min{u : dist[u] + w(u,v) = dist[v]}``
+    over the stopped A* state. With strictly positive weights every
+    cost-optimal predecessor of every path node is settled when the A*
+    bound fires (any unsettled node has a frontier ancestor with
+    distance ≤ its true distance < dist(target) ≤ bound — contradiction),
+    so this equals the full-fixpoint rule the SQL oracle replays. One
+    extra edge scan computes the tight preds; the walk is path-sized."""
+    configure_ray_data()
+    g = symmetrize(edges, dedup=False, num_partitions=num_partitions) if undirected else edges
+    g = g.materialize()
+    res = a_star(
+        g, source, target, heuristic=heuristic, weighted=weighted,
+        undirected=False, max_iterations=max_iterations,
+        num_partitions=num_partitions,
+    )
+    empty = pa.table(
+        {
+            "target_node": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "node_id": pa.array([], pa.int64()),
+            "cost": pa.array([], pa.float64()),
+        }
+    )
+    if not np.isfinite(res.cost):
+        return empty
+    node_arr, dist = res._node_arr, res._dist
+    state_ref = ray.put((node_arr, dist, source))
+
+    def tight_pred(t: pa.Table) -> pa.Table:
+        ids, d, src_node = ray.get(state_ref)
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        v = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = (t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+             if weighted else np.ones(s.shape[0]))
+        sp = np.minimum(np.searchsorted(ids, s), ids.shape[0] - 1)
+        dp = np.minimum(np.searchsorted(ids, v), ids.shape[0] - 1)
+        hit = (ids[sp] == s) & (ids[dp] == v) & (d[sp] + w == d[dp]) & (v != src_node)
+        if not hit.any():
+            return pa.schema([("node_id", pa.int64()), ("pred", pa.int64())]).empty_table()
+        v, s = v[hit], s[hit]
+        order = np.lexsort((s, v))
+        v, s = v[order], s[order]
+        first = np.ones(v.shape[0], dtype=bool)
+        first[1:] = v[1:] != v[:-1]
+        return pa.table({"node_id": pa.array(v[first], pa.int64()),
+                         "pred": pa.array(s[first], pa.int64())})
+
+    t = BlockScanner(g).scan(tight_pred)
+    pred = np.full(node_arr.shape[0], -1, dtype=np.int64)
+    if t.num_rows:
+        ids = t.column("node_id").to_numpy(zero_copy_only=False)
+        ps = t.column("pred").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ps, ids))
+        ids, ps = ids[order], ps[order]
+        first = np.ones(ids.shape[0], dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        pos = np.searchsorted(node_arr, ids[first])
+        pred[pos] = ps[first]
+
+    path = [int(target)]
+    pos = int(np.searchsorted(node_arr, target))
+    guard = node_arr.shape[0] + 1
+    while pred[pos] >= 0 and guard:
+        nxt = int(pred[pos])
+        path.append(nxt)
+        pos = int(np.searchsorted(node_arr, nxt))
+        guard -= 1
+    nodes = np.array(path, dtype=np.int64)  # target → source order
+    costs = dist[np.searchsorted(node_arr, nodes)]
+    return pa.table(
+        {
+            "target_node": pa.array(np.full(nodes.shape[0], target), pa.int64()),
+            "step": pa.array(np.arange(nodes.shape[0]), pa.int64()),
+            "node_id": pa.array(nodes, pa.int64()),
+            "cost": pa.array(costs, pa.float64()),
+        }
     )

@@ -283,6 +283,82 @@ def test_yens_k_shortest_matches_networkx():
     assert got_costs == exp_costs, (got_costs, exp_costs)
 
 
+def test_yens_path_stream_cumulative_costs():
+    """yens_path_stream: same paths as yens_k_shortest_paths, plus
+    per-node cumulative costs that telescope to the edge weights."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.yens import yens_k_shortest_paths, yens_path_stream
+
+    rng = np.random.default_rng(41)
+    t0 = fixtures.er_random(25, 0.2, seed=19)
+    w = np.round(rng.random(t0.num_rows) * 9 + 1, 3)
+    t = t0.append_column("weight", pa.array(w, pa.float64()))
+    g = _nx_digraph(t, weighted=True).to_undirected()
+    comp = sorted(max(nx.connected_components(g), key=len))
+    src, dst = comp[0], comp[-1]
+    base = yens_k_shortest_paths(from_arrow(t), src, dst, k=3, num_partitions=2).to_pylist()
+    strm = yens_path_stream(from_arrow(t), src, dst, k=3, num_partitions=2).to_pylist()
+    by_rank_base, by_rank_strm = {}, {}
+    for r in base:
+        by_rank_base.setdefault(r["path_rank"], []).append((r["seq"], r["node_id"]))
+    for r in strm:
+        by_rank_strm.setdefault(r["path_rank"], []).append(
+            (r["step"], r["node_id"], r["cost"], r["total_cost"])
+        )
+    assert sorted(by_rank_base) == sorted(by_rank_strm)
+    for rank, rows in by_rank_strm.items():
+        seq_base = [n for _, n in sorted(by_rank_base[rank])]
+        rows = sorted(rows, reverse=True)  # step desc = source → target
+        seq_strm = [n for _, n, _, _ in rows]
+        assert seq_strm == seq_base  # step counts back from the target
+        costs = [c for _, _, c, _ in rows]
+        assert costs[0] == 0.0
+        for (a, b, ca, cb) in ((seq_strm[i], seq_strm[i + 1], costs[i], costs[i + 1])
+                               for i in range(len(seq_strm) - 1)):
+            assert abs((cb - ca) - g[a][b]["weight"]) < 1e-6
+        assert abs(costs[-1] - rows[0][3]) < 1e-9  # cum at target == total
+
+
+def test_astar_stream_matches_astar_path():
+    import pyarrow as pa
+
+    from graph_data_science_ray.algos.astar import a_star, a_star_stream
+
+    rng = np.random.default_rng(7)
+    t0 = fixtures.er_random(40, 0.12, seed=29)
+    w = (rng.integers(1, 9, t0.num_rows)).astype(np.float64)
+    t = t0.append_column("weight", pa.array(w, pa.float64()))
+    g = _nx_digraph(t, weighted=True)
+    # pick a reachable target from the smallest node
+    src = min(g.nodes)
+    reach = nx.single_source_dijkstra_path_length(g, src)
+    tgt = max(reach)
+    res = a_star(from_arrow(t), src, tgt, heuristic=None)
+    strm = a_star_stream(from_arrow(t), src, tgt, heuristic=None).to_pylist()
+    assert strm, "stream empty for reachable target"
+    rows = sorted(strm, key=lambda r: -r["step"])  # source → target
+    seq = [r["node_id"] for r in rows]
+    assert seq[0] == src and seq[-1] == tgt
+    assert rows[0]["cost"] == 0.0
+    assert abs(rows[-1]["cost"] - res.cost) < 1e-9
+    # cumulative costs telescope along real edges
+    for a, b, ca, cb in ((seq[i], seq[i + 1], rows[i]["cost"], rows[i + 1]["cost"])
+                         for i in range(len(seq) - 1)):
+        assert g.has_edge(a, b)
+        assert abs((cb - ca) - g[a][b]["weight"]) < 1e-9
+    assert abs(res.cost - reach[tgt]) < 1e-9
+
+
+def test_astar_stream_unreachable_empty():
+    from graph_data_science_ray.algos.astar import a_star_stream
+
+    t = fixtures.tiny_chain()  # 1→2→3... directed chain
+    ids = sorted(set(t["src_id"].to_pylist()) | set(t["dst_id"].to_pylist()))
+    out = a_star_stream(from_arrow(t), ids[-1], ids[0], weighted=False)
+    assert out.num_rows == 0
+
+
 def test_dijkstra_wrappers():
     import pyarrow as pa
     import numpy as np
