@@ -2432,57 +2432,23 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering is the ROTATION POLICY (round-3 judge ask #4): the driver
+    # sweeps a prefix of this dict, so queries it has NOT yet verified at
+    # sf0.1 are listed first (this round: the round-3 migrated/new
+    # surfaces, then everything CORRECTNESS_r02 didn't cover), with the
+    # already-driver-green 50 at the back. Rotate again next round so
+    # every query gets driver-verified at least every other round.
     return {
-        "edge_projection": _q_edge_projection,
-        "graph_filter": _q_graph_filter,
-        "out_degree": _q_out_degree,
-        "in_degree": _q_in_degree,
-        "degree_topk": _q_degree_topk,
-        "degree_distribution": _q_degree_distribution,
-        "pagerank_k5": _q_pagerank_k,
-        "pagerank_csr_k5": _q_pagerank_csr_k,
-        "pagerank_weighted_k5": _q_pagerank_weighted,
-        "pagerank_personalized_k5": _q_pagerank_personalized,
-        "wcc": _q_wcc,
-        "wcc_consecutive": _q_wcc_consecutive,
-        "wcc_star": _q_wcc_star,
-        "wcc_sizes": _q_wcc_sizes,
-        "triangles_global": _q_triangles_global,
-        "triangles_per_node": _q_triangles_per_node,
-        "triangle_list": _q_triangle_list,
-        "label_propagation": _q_label_propagation,
-        "article_rank_k5": _q_article_rank_k,
-        "article_rank_weighted_k5": _q_article_rank_weighted,
         "eigenvector_k10": _q_eigenvector,
         "eigenvector_weighted_k10": _q_eigenvector_weighted,
-        "local_clustering_coefficient": _q_lcc,
-        "node_similarity_top3": _q_node_similarity,
-        "node_similarity_top3_n20": _q_node_similarity_topn,
-        "node_similarity_overlap_top3": _q_node_similarity_overlap,
-        "node_similarity_weighted_top3": _q_node_similarity_weighted,
-        "node_similarity_bottom3": _q_node_similarity_bottomk,
-        "hits_k5": _q_hits,
-        "bfs_hops8": _q_bfs_hops,
-        "sssp_bf8": _q_sssp,
-        "sssp_paths": _q_sssp_paths,
-        "allsp_weighted8": _q_allsp_weighted8,
-        "prize_steiner_tree": _q_prize_steiner,
-        "modularity_mod7": _q_modularity,
-        "conductance_mod7": _q_conductance,
-        "community_stats_mod7": _q_community_stats,
-        "collapse_path": _q_collapse_path,
         "harmonic_64src": _q_harmonic64,
         "closeness_64src": _q_closeness64,
-        "all_shortest_paths_64src": _q_allsp64,
-        "docs_dedup_first": _q_docs_dedup_first,
-        "docs_token_stats": _q_docs_token_stats,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_lang_stats": _q_docs_lang_stats,
-        "events_user_type_counts": _q_events_user_type_counts,
-        "events_latest_per_user": _q_events_latest_per_user,
-        "events_topk_value": _q_events_topk_value,
-        "events_daily_counts": _q_events_daily_counts,
-        "events_hourly_value": _q_events_hourly_value,
+        "closeness_raw_64src": _q_closeness_raw64,
+        "sssp_paths": _q_sssp_paths,
+        "astar_paths": _q_astar_paths,
+        "yens_paths": _q_yens_paths,
+        "pagerank_csr_k5": _q_pagerank_csr_k,
+        "docs_curation": _q_docs_curation,
         "events_hopping_value": _q_events_hopping,
         "events_asof_error": _q_events_asof,
         "events_session_assign": _q_events_session_assign,
@@ -2505,7 +2471,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_forest": _q_mst,
         "mst_maximum": _q_mst_max,
         "delta_sssp8": _q_delta_sssp,
-        "closeness_raw_64src": _q_closeness_raw64,
         "louvain": _q_louvain,
         "leiden": _q_leiden,
         "sllpa": _q_sllpa,
@@ -2516,8 +2481,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "articulation_points": _q_articulation_points,
         "steiner_tree_5t": _q_steiner,
         "yens_k2": _q_yens,
-        "yens_paths": _q_yens_paths,
-        "astar_paths": _q_astar_paths,
         "k1coloring": _q_k1coloring,
         "random_walks": _q_random_walks,
         "cnarw_sample": _q_cnarw_sample,
@@ -2534,7 +2497,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "docs_quality": _q_docs_quality,
         "docs_split": _q_docs_split,
-        "docs_curation": _q_docs_curation,
         "docs_packed": _q_docs_packed,
         "language_id": _q_language_id,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -2560,6 +2522,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_optimization": _q_modularity_optimization,
         "hdbscan_embeddings": _q_hdbscan,
         "k_spanning_tree_20": _q_k_spanning_tree,
+        "edge_projection": _q_edge_projection,
+        "graph_filter": _q_graph_filter,
+        "out_degree": _q_out_degree,
+        "in_degree": _q_in_degree,
+        "degree_topk": _q_degree_topk,
+        "degree_distribution": _q_degree_distribution,
+        "pagerank_k5": _q_pagerank_k,
+        "pagerank_weighted_k5": _q_pagerank_weighted,
+        "pagerank_personalized_k5": _q_pagerank_personalized,
+        "wcc": _q_wcc,
+        "wcc_consecutive": _q_wcc_consecutive,
+        "wcc_star": _q_wcc_star,
+        "wcc_sizes": _q_wcc_sizes,
+        "triangles_global": _q_triangles_global,
+        "triangles_per_node": _q_triangles_per_node,
+        "triangle_list": _q_triangle_list,
+        "label_propagation": _q_label_propagation,
+        "article_rank_k5": _q_article_rank_k,
+        "article_rank_weighted_k5": _q_article_rank_weighted,
+        "local_clustering_coefficient": _q_lcc,
+        "node_similarity_top3": _q_node_similarity,
+        "node_similarity_top3_n20": _q_node_similarity_topn,
+        "node_similarity_overlap_top3": _q_node_similarity_overlap,
+        "node_similarity_weighted_top3": _q_node_similarity_weighted,
+        "node_similarity_bottom3": _q_node_similarity_bottomk,
+        "hits_k5": _q_hits,
+        "bfs_hops8": _q_bfs_hops,
+        "sssp_bf8": _q_sssp,
+        "allsp_weighted8": _q_allsp_weighted8,
+        "prize_steiner_tree": _q_prize_steiner,
+        "modularity_mod7": _q_modularity,
+        "conductance_mod7": _q_conductance,
+        "community_stats_mod7": _q_community_stats,
+        "collapse_path": _q_collapse_path,
+        "all_shortest_paths_64src": _q_allsp64,
+        "docs_dedup_first": _q_docs_dedup_first,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_lang_stats": _q_docs_lang_stats,
+        "events_user_type_counts": _q_events_user_type_counts,
+        "events_latest_per_user": _q_events_latest_per_user,
+        "events_topk_value": _q_events_topk_value,
+        "events_daily_counts": _q_events_daily_counts,
+        "events_hourly_value": _q_events_hourly_value,
     }
 
 
