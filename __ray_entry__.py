@@ -2404,6 +2404,22 @@ def _q_media_features(sf_dir: str):
     return image_features(imgs, concurrency=2)
 
 
+def _q_media_video_frames(sf_dir: str):
+    """Video branch of the multimodal plumbing (round-3 ask #8 —
+    stages/multimodal.video_frame_features): deterministic fake frame
+    decode (sha256 expansion, SQL-replicable; the REAL y4m/PIL decoder
+    is pytest-covered) → per-sampled-frame channel means."""
+    import ray.data
+
+    from graph_data_science_ray.stages.multimodal import (
+        synthetic_media_table,
+        video_frame_features,
+    )
+
+    media = ray.data.from_arrow(synthetic_media_table(200))
+    return video_frame_features(media.filter(expr="kind == 'video'"), concurrency=2)
+
+
 def _q_media_audio(sf_dir: str):
     """Audio branch of the multimodal plumbing (stages/multimodal.
     audio_features): deterministic fake waveform decode → vectorized
@@ -2446,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_raw_64src": _q_closeness_raw64,
         "sssp_paths": _q_sssp_paths,
         "astar_paths": _q_astar_paths,
+        "media_video_frames": _q_media_video_frames,
         "yens_paths": _q_yens_paths,
         "pagerank_csr_k5": _q_pagerank_csr_k,
         "docs_curation": _q_docs_curation,
@@ -4740,6 +4757,33 @@ def _media_features_sql() -> str:
     )
 
 
+def _media_video_sql() -> str:
+    """Bit-exact replica of stages/multimodal.VideoFrameFeatures (fake
+    decoder) over the synthetic corpus: n = max(1, min(32, dur*4//1000))
+    8x8 frames; pixel byte at global position p = sha256-digest[p % 32];
+    per-frame channel mean = integer 64-byte sum / 64 (dyadic — double
+    division matches numpy bitwise)."""
+    return "\n".join(
+        [
+            "WITH " + _MEDIA_CORPUS,
+            _MEDIA_SEED_BYTES.format(kind="video"),
+            "vid AS (SELECT i, GREATEST(1, LEAST(32, duration_ms * 4 // 1000)) AS n "
+            "FROM media WHERE kind = 'video'),",
+            "fr AS (SELECT i, n, unnest(generate_series(0, n - 1)) AS f FROM vid),",
+            "px AS MATERIALIZED (SELECT fr.i, fr.f, kc.c, sb.b "
+            "FROM fr, (SELECT k.k, c.c FROM (SELECT unnest(generate_series(0, 63)) AS k) k, "
+            "(SELECT unnest(generate_series(0, 2)) AS c) c) kc "
+            "JOIN sb ON sb.i = fr.i AND sb.j = (fr.f * 192 + 3 * kc.k + kc.c) % 32),",
+            "ch AS (SELECT i, f, c, CAST(SUM(b) AS DOUBLE) / 64 AS mean FROM px "
+            "GROUP BY i, f, c)",
+            "SELECT r.i AS media_id, r.f AS frame_index, "
+            "r.mean AS mean_r, g.mean AS mean_g, bl.mean AS mean_b "
+            "FROM ch r JOIN ch g ON g.i = r.i AND g.f = r.f AND g.c = 1 "
+            "JOIN ch bl ON bl.i = r.i AND bl.f = r.f AND bl.c = 2 WHERE r.c = 0",
+        ]
+    )
+
+
 def _media_audio_sql() -> str:
     """Bit-exact replica of stages/multimodal.AudioFeatures over the
     synthetic corpus: n = min(80000, duration_ms * 8) samples, sample p
@@ -6497,6 +6541,7 @@ def oracle_sql() -> dict[str, str]:
         "yens_k2": _yens_sql(),
         "yens_paths": _yens_sql(stream=True),
         "astar_paths": _astar_paths_sql(),
+        "media_video_frames": _media_video_sql(),
         "betweenness_weighted_32src": _btww_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "embed_neardup": _embed_neardup_sql(),

