@@ -1148,6 +1148,21 @@ def _q_kcore(sf_dir: str, max_iterations: int = 200):
     )
 
 
+def _q_kcore_csr(sf_dir: str):
+    """k-core with SHARDED core state (round-3 migration #3 —
+    CsrEngine.kcore): run to convergence; values equal the dataflow
+    fixpoint over the simple view's node set."""
+    from graph_data_science_ray.algos.kcore import core_decomposition
+
+    res = core_decomposition(_edges_ps(sf_dir), max_iterations=200, backend="csr")
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "core": pa.array(res.values, pa.int64()),
+        }
+    )
+
+
 def _q_kcore_h8(sf_dir: str):
     # engine round 1 materializes the degree (SQL's v0), rounds 2..9 are
     # the 8 h-index rounds — identical to the oracle's v8 by monotonicity
@@ -2463,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_paths": _q_sssp_paths,
         "astar_paths": _q_astar_paths,
         "media_video_frames": _q_media_video_frames,
+        "kcore_csr": _q_kcore_csr,
         "yens_paths": _q_yens_paths,
         "pagerank_csr_k5": _q_pagerank_csr_k,
         "docs_curation": _q_docs_curation,
@@ -2966,10 +2982,13 @@ def _lpa_sql(k: int = 10) -> str:
     return "\n".join(parts)
 
 
-def _kcore_sql(k: int = 8) -> str:
+def _kcore_sql(k: int = 8, simple_only: bool = False) -> str:
     """k h-index rounds from degree init (the Lü et al. iteration the
     engine runs); h-index per node via a window rank: h = MAX(LEAST(val,
-    rank)) over neighbors sorted by value desc."""
+    rank)) over neighbors sorted by value desc. ``simple_only``: restrict
+    the output to the simple view's node set (the CSR backend's
+    universe — a node whose only edges are self-loops is absent there;
+    none exist in this projection, but the contract is explicit)."""
     parts = [
         f"WITH e0 AS MATERIALIZED ({_E_PS}),",
         "e1 AS MATERIALIZED (SELECT src_id s, dst_id d FROM e0 WHERE src_id <> dst_id),",
@@ -2986,10 +3005,15 @@ def _kcore_sql(k: int = 8) -> str:
             f"FROM und u JOIN v{i-1} v ON u.b = v.node) GROUP BY a),"
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        "SELECT allnodes.node AS node_id, COALESCE(v{0}.val, 0) AS core "
-        "FROM allnodes LEFT JOIN v{0} ON allnodes.node = v{0}.node".format(k)
-    )
+    if simple_only:
+        parts.append(
+            "SELECT node AS node_id, val AS core FROM v{0}".format(k)
+        )
+    else:
+        parts.append(
+            "SELECT allnodes.node AS node_id, COALESCE(v{0}.val, 0) AS core "
+            "FROM allnodes LEFT JOIN v{0} ON allnodes.node = v{0}.node".format(k)
+        )
     return "\n".join(parts)
 
 
@@ -6542,6 +6566,7 @@ def oracle_sql() -> dict[str, str]:
         "yens_paths": _yens_sql(stream=True),
         "astar_paths": _astar_paths_sql(),
         "media_video_frames": _media_video_sql(),
+        "kcore_csr": _kcore_sql(16, simple_only=True),
         "betweenness_weighted_32src": _btww_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "embed_neardup": _embed_neardup_sql(),

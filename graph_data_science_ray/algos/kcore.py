@@ -109,10 +109,26 @@ def core_decomposition(
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     reduce: str = "driver",
+    backend: str = "dataflow",
+    num_shards: int | None = None,
 ) -> IterativeResult:
     """Per-node core value over the undirected simple view. Converges
-    when no value changes (guaranteed; the sequence is monotone)."""
+    when no value changes (guaranteed; the sequence is monotone).
+
+    ``backend="csr"``: sharded core state on the CSR actors
+    (CsrEngine.kcore) — init is the owned degree, so csr round k equals
+    dataflow round k+1 (the dataflow path spends its first round
+    materializing the degree); converged values are identical
+    (parity-tested)."""
     sym = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions))
+    if backend == "csr":
+        from graph_data_science_ray.state.engine import CsrEngine
+
+        engine = CsrEngine.build(sym, num_shards=num_shards or 8)
+        res = engine.kcore(max_iterations=max_iterations,
+                           checkpoint=checkpoint, resume=resume)
+        engine.shutdown()
+        return res
     node_ids = unique_node_ids(edges)
     # init = undirected degree, computed by one extra round against a
     # +inf-like cap (clip against init makes round 0 emit degree counts)

@@ -292,6 +292,11 @@ class CsrShard:
             self.state = np.ones(self.owned_ids.shape[0], dtype=np.float64)
         elif kind == "identity":
             self.state = self.owned_ids.copy()  # int64
+        elif kind == "degree":
+            # k-core init: undirected degree = unweighted out-weight of
+            # the symmetrized deduped build (int64 — core values are ids'
+            # peers in exactness, never float)
+            self.state = np.rint(self.owned_out_w).astype(np.int64)
         else:
             raise ValueError(kind)
 
@@ -544,6 +549,28 @@ class CsrShard:
                     )
                 )
             return tuple(out)
+        if kind == "kcore_hist":
+            # h-index iteration (algos/kcore.py, round 3 sharded): ship
+            # per-(dst, src-core-value) counts — the combinable histogram;
+            # the receiver clips by ITS current value (bitwise-equal to
+            # the dataflow path's emit-side clip after re-merge)
+            vals = self._scaled_per_src(hub_ids, hub_vals, "label")
+            per_edge = vals[self.edge_srcpos]
+            order, grp, u_val, gid = group_pairs(self.dst_group, per_edge)
+            cnt = np.bincount(gid, minlength=grp.shape[0])
+            out = []
+            for s, (lo, hi) in enumerate(self.group_shard_slices):
+                m = (grp >= lo) & (grp < hi)
+                out.append(
+                    pa.table(
+                        {
+                            "node_id": pa.array(self.group_dst[grp[m]], pa.int64()),
+                            "val": pa.array(u_val[m], pa.int64()),
+                            "cnt": pa.array(cnt[m].astype(np.int64), pa.int64()),
+                        }
+                    )
+                )
+            return tuple(out)
         if kind == "label_votes":
             labels = self._scaled_per_src(hub_ids, hub_vals, "label")
             per_edge = labels[self.edge_srcpos]
@@ -598,6 +625,22 @@ class CsrShard:
             changed = float((new != self.state).sum())
             self.state = new
             return changed
+        if kind == "kcore_h":
+            from graph_data_science_ray.algos.kcore import _h_from_histogram
+
+            new = np.zeros_like(self.state)  # no incoming rows → core 0
+            if t is not None and t.num_rows:
+                ids = t.column("node_id").to_numpy(zero_copy_only=False)
+                val = t.column("val").to_numpy(zero_copy_only=False)
+                cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.owned_ids, ids)
+                val = np.minimum(val, self.state[pos])  # clip by own core
+                # _h_from_histogram tolerates unmerged duplicate vals:
+                # the within-node cumulative count is unchanged by merging
+                new = _h_from_histogram(ids, val, cnt, self.owned_ids)
+            changed = float((new != self.state).sum())
+            self.state = new
+            return changed
         if kind == "label_argmax":
             new = self.state.copy()
             if t is not None and t.num_rows:
@@ -644,7 +687,12 @@ class CsrShard:
                                    if self.dst_group.shape[0]
                                    else np.empty(0, np.int64), pa.int64()),
             }
-            if self.edge_w is not None:
+            if self.weighted:
+                # an EMPTY shard of a weighted build has edge_w=None —
+                # the send hook still expects the column to exist
+                w = self.edge_w if self.edge_w is not None else np.empty(0)
+                cols["weight"] = pa.array(w, pa.float64())
+            elif self.edge_w is not None:
                 cols["weight"] = pa.array(self.edge_w, pa.float64())
             self._pg_edge_batch = pa.table(cols)
         return self._pg_edge_batch

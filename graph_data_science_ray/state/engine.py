@@ -544,7 +544,7 @@ class CsrEngine:
                 if residual <= tolerance:
                     converged = True
                     stop_submitting = True
-            as_int = value_name in ("component", "label")
+            as_int = value_name in ("component", "label", "core")
             refs = [s.get_state_named.remote(value_name, as_int) for s in self.shards]
             return ShardedIterativeResult(
                 refs, value_name, iteration + 1, converged, metrics
@@ -572,7 +572,7 @@ class CsrEngine:
 
         # result stays sharded: one named-state block per shard in the
         # object store; ShardedIterativeResult materializes only on demand
-        as_int = value_name in ("component", "label")
+        as_int = value_name in ("component", "label", "core")
         refs = [s.get_state_named.remote(value_name, as_int) for s in self.shards]
         return ShardedIterativeResult(
             refs, value_name, iteration + 1, converged, metrics
@@ -734,5 +734,17 @@ class CsrEngine:
     def label_propagation(self, max_iterations: int = 10, checkpoint=None, resume=False) -> "ShardedIterativeResult":
         return self._run(
             "label_votes", "label_argmax", "identity", "label", max_iterations, 0.0,
+            checkpoint=checkpoint, resume=resume,
+        )
+
+    def kcore(self, max_iterations: int = 200, checkpoint=None, resume=False) -> "ShardedIterativeResult":
+        """h-index iteration with SHARDED core state (round 3): build the
+        engine over the symmetrized deduped self-loop-free view; init =
+        owned degree (so csr round k == dataflow round k+1 — the
+        dataflow path spends round 1 materializing the degree). Exchange
+        ships per-(dst, clipped-src-core) count histograms — combinable,
+        shrinking as the iteration converges."""
+        return self._run(
+            "kcore_hist", "kcore_h", "degree", "core", max_iterations, 0.0,
             checkpoint=checkpoint, resume=resume,
         )

@@ -175,6 +175,25 @@ def test_sssp_stream_csr_never_materializes_on_driver(monkeypatch):
     assert ds.count() > 0
 
 
+def test_kcore_csr_matches_dataflow():
+    """Sharded k-core (CsrEngine.kcore): converged core values equal the
+    dataflow h-index iteration; csr round k == dataflow round k+1."""
+    import pandas as pd
+
+    from graph_data_science_ray.algos.kcore import core_decomposition
+
+    e = _edges(300, seed=31)
+    df = core_decomposition(e, max_iterations=60, backend="dataflow")
+    cs = core_decomposition(e, max_iterations=60, backend="csr", num_shards=3)
+    a = pd.DataFrame({"n": df.node_ids, "c": df.values.astype(np.int64)})
+    b = pd.DataFrame({"n": cs.node_ids, "c": cs.values.astype(np.int64)})
+    m = a.merge(b, on="n", how="inner", suffixes=("_df", "_cs"))
+    # csr covers the simple view's node set (== full set on this fixture)
+    assert len(m) == len(b) and len(a) == len(b)
+    assert (m["c_df"] == m["c_cs"]).all()
+    assert cs.iterations + 1 == df.iterations  # degree init skips round 1
+
+
 def test_csr_pregel_rejects_full_vector_master():
     from graph_data_science_ray.algos.iterate import pregel
 
