@@ -138,7 +138,16 @@ class CsrShard:
 
         dst_shard_raw = bucket_of(t.column("dst_id").to_numpy(zero_copy_only=False), self.P)
         t = t.append_column("ds", pa.array(dst_shard_raw, pa.int64()))
-        t = t.sort_by([("ds", "ascending"), ("dst_id", "ascending")]).combine_chunks()
+        # src_id as the tertiary key (round 3): (a) the per-edge src
+        # gather becomes monotone within every dst group — the spill
+        # routing's hash shuffle otherwise randomizes within-group order
+        # and measured 30% slower iterations than scan routing on the
+        # 198M graph; (b) edge order (hence every float bincount sum)
+        # becomes a pure function of the edge SET, so spill- and
+        # scan-built engines produce BITWISE-identical results.
+        t = t.sort_by(
+            [("ds", "ascending"), ("dst_id", "ascending"), ("src_id", "ascending")]
+        ).combine_chunks()
         _ph["sort"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         dst = t.column("dst_id").to_numpy(zero_copy_only=False)

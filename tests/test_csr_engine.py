@@ -90,6 +90,26 @@ def test_csr_spill_routing_matches_scan(er_graph, tmp_path_factory):
     eng.shutdown()
 
 
+def test_csr_spill_vs_scan_bitwise(er_graph, tmp_path_factory):
+    """Round 3: with src_id as the build sort's tertiary key, edge order
+    (hence every float bincount sum) is a pure function of the edge SET
+    — spill- and scan-built engines must agree BITWISE, not just 1e-6."""
+    import numpy as np
+
+    vals = {}
+    for routing in ("scan", "spill"):
+        eng = CsrEngine.build(
+            from_arrow(er_graph), num_shards=4, routing=routing,
+            spill_dir=str(tmp_path_factory.mktemp("csr_rt")), hub_threshold=3,
+        )
+        t = eng.pagerank(max_iterations=7, tolerance=0.0).to_table()
+        vals[routing] = (t.column("node_id").to_numpy(),
+                         t.column("rank").to_numpy())
+        eng.shutdown()
+    assert np.array_equal(vals["scan"][0], vals["spill"][0])
+    assert np.array_equal(vals["scan"][1], vals["spill"][1])
+
+
 def test_pipelined_exchange_bitwise_vs_sync(tmp_path_factory):
     """The no-barrier pipelined loop (tolerance<=0, or min_label) must be
     bitwise-identical to the per-iteration sync loop, with and without
