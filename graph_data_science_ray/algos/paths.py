@@ -114,6 +114,57 @@ def _apply_min(state: np.ndarray, gathered: pa.Table, node_ids: np.ndarray):
     return new, float(changed)
 
 
+def _relax_csr(
+    edges: Dataset,
+    source: int | None,
+    weighted: bool,
+    max_iterations: int,
+    value_name: str,
+    undirected: bool,
+    num_partitions: int | None,
+    num_shards: int | None,
+):
+    """Sharded-state single-source relaxation (round 3): the same
+    frontier-limited min-combine Pregel ``sssp_pred_dataset`` runs,
+    without the predecessor pass — distances only, no O(N) driver array
+    until the caller materializes the result. Float state for the
+    weighted case, int64 hop counts for BFS."""
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    configure_ray_data()
+    g = symmetrize(edges, dedup=False, num_partitions=num_partitions) if undirected else edges
+    g = g.materialize()
+    src_node = _resolve_source(g, source)
+    engine = CsrEngine.build(g, num_shards=num_shards or 8, weighted=weighted)
+
+    if weighted:
+        def init(ids: np.ndarray, _s=src_node) -> np.ndarray:
+            v = np.full(ids.shape[0], np.inf)
+            v[ids == _s] = 0.0
+            return v
+
+        def send(s: np.ndarray, b: pa.Table) -> np.ndarray:
+            return s + b.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        def init(ids: np.ndarray, _s=src_node) -> np.ndarray:
+            v = np.full(ids.shape[0], _INF_I64, dtype=np.int64)
+            v[ids == _s] = 0
+            return v
+
+        def send(s: np.ndarray, b: pa.Table) -> np.ndarray:
+            return s + 1
+
+    def update(state, combined, has_msg, ids):
+        return np.minimum(state, combined)
+
+    res = engine.pregel(
+        send, update, init, combine="min", frontier=True, residual="changed",
+        max_iterations=max_iterations, tolerance=0.0, value_name=value_name,
+    )
+    engine.shutdown()
+    return res
+
+
 def _relax_loop(
     edges: Dataset,
     source: int | None,
@@ -170,6 +221,8 @@ def bfs_hops(
     resume: bool = False,
     num_partitions: int | None = None,
     reduce: str = "driver",
+    backend: str = "dataflow",
+    num_shards: int | None = None,
 ) -> IterativeResult:
     """Minimum hop count from ``source`` (default: smallest src id) to
     every node, as int64; unreachable nodes report -1.
@@ -178,7 +231,28 @@ def bfs_hops(
     hops over paths of ≤ k edges — the hop-bounded contract the harness
     oracle uses. Runs to convergence when the graph's eccentricity from
     the source is below ``max_iterations``.
+
+    ``backend="csr"``: sharded hop state on the CSR actors (_relax_csr —
+    identical integer fixpoint, parity-tested); the dataflow default
+    keeps the checkpoint/reduce surface.
     """
+    if backend == "csr":
+        from graph_data_science_ray.state.engine import ShardedIterativeResult
+
+        res = _relax_csr(edges, source, False, max_iterations, "hops",
+                         undirected, num_partitions, num_shards)
+
+        @ray.remote
+        def _unreached_to_minus1(t: pa.Table) -> pa.Table:
+            h = t.column("hops").to_numpy(zero_copy_only=False)
+            return pa.table({"node_id": t.column("node_id"),
+                             "hops": pa.array(np.where(h >= _INF_I64, -1, h))})
+
+        # sentinel-mapped per shard, result stays sharded
+        return ShardedIterativeResult(
+            [_unreached_to_minus1.remote(r) for r in res._state_refs],
+            "hops", res.iterations, res.converged, res.metrics,
+        )
     res = _relax_loop(
         edges, source, False, max_iterations, "hops",
         undirected, checkpoint, resume, num_partitions, reduce,
@@ -196,6 +270,8 @@ def bellman_ford(
     resume: bool = False,
     num_partitions: int | None = None,
     reduce: str = "driver",
+    backend: str = "dataflow",
+    num_shards: int | None = None,
 ) -> IterativeResult:
     """Single-source shortest path costs over the ``weight`` column
     (non-negative weights), float64; unreachable nodes report +inf.
@@ -205,7 +281,15 @@ def bellman_ford(
     least the graph's hop diameter this is the true shortest-path cost
     (Dijkstra-equivalent for non-negative weights, no priority queue
     needed — the min-reduce shuffle plays that role).
+
+    ``backend="csr"``: sharded distance state (_relax_csr); NOTE this
+    path assumes non-negative weights like Dijkstra (a frontier round's
+    min over IEEE-identical candidates reaches the same fixpoint; with
+    negative weights use the dataflow default / negative-cycles API).
     """
+    if backend == "csr":
+        return _relax_csr(edges, source, True, max_iterations, "cost",
+                          undirected, num_partitions, num_shards)
     return _relax_loop(
         edges, source, True, max_iterations, "cost",
         undirected, checkpoint, resume, num_partitions, reduce,

@@ -49,18 +49,26 @@ def bucketed_merge(
     num_partitions = num_partitions or shuffle_partitions_for()
     cols = list(sentinel_row.keys())
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        t = t.select(cols)
-        if combine_fn is not None:
-            t = combine_fn(t).select(cols)
-        b = (_key_hash(t, key_cols) % np.uint64(num_partitions)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b, pa.int64()))
-
     # a value may be a pre-built 1-row pa.Array when python-value type
     # inference would mismatch the input schema (timestamps, binary)
     sent = {k: (v if isinstance(v, pa.Array) else pa.array([v]))
             for k, v in sentinel_row.items()}
     sent["__bucket"] = pa.array([num_partitions], pa.int64())
+    empty_typed = pa.table({k: v.slice(0, 0) for k, v in sent.items()})
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            # a fully-empty shuffle partition upstream yields a
+            # SCHEMA-LESS block (pa.table({})); emit a typed empty block
+            # so the __bucket groupby never sees a missing key column
+            # (flaked once in the 129-query single-session sweep — the
+            # chained wcc_star rounds shrink into many empty partitions)
+            return empty_typed
+        t = t.select(cols)
+        if combine_fn is not None:
+            t = combine_fn(t).select(cols)
+        b = (_key_hash(t, key_cols) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
     first = next(iter(sentinel_row))
 
     def merge_bucket(g: pa.Table) -> pa.Table:

@@ -175,6 +175,24 @@ def test_sssp_stream_csr_never_materializes_on_driver(monkeypatch):
     assert ds.count() > 0
 
 
+def test_bfs_and_bellman_ford_csr_match_dataflow():
+    from graph_data_science_ray.algos.paths import bellman_ford, bfs_hops
+
+    e = _edges(250, seed=41)
+    a = bfs_hops(e, max_iterations=40, backend="dataflow")
+    b = bfs_hops(e, max_iterations=40, backend="csr", num_shards=3)
+    assert np.array_equal(a.node_ids, b.node_ids)
+    assert np.array_equal(a.values, b.values)  # int hops incl. -1 sentinel
+
+    ew = _weighted_edges(250, seed=43)
+    aw = bellman_ford(ew, max_iterations=40, backend="dataflow")
+    bw = bellman_ford(ew, max_iterations=40, backend="csr", num_shards=3)
+    assert np.array_equal(aw.node_ids, bw.node_ids)
+    fa, fb = np.isfinite(aw.values), np.isfinite(bw.values)
+    assert np.array_equal(fa, fb)
+    assert np.array_equal(aw.values[fa], bw.values[fb])  # bitwise at fixpoint
+
+
 def test_kcore_csr_matches_dataflow():
     """Sharded k-core (CsrEngine.kcore): converged core values equal the
     dataflow h-index iteration; csr round k == dataflow round k+1."""
