@@ -1130,6 +1130,15 @@ def _q_closeness_raw64(sf_dir: str):
     return _round6(t, "closeness")
 
 
+def _q_scc_csr(sf_dir: str):
+    """SCC with SHARDED state (round-3 migration #4 — algos/scc._scc_csr:
+    coloring + backward sweep as CSR-shard min-Pregels, same-color edge
+    filtering and active-set shrinking as partitioned hash joins)."""
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+
+    return strongly_connected_components(_edges_ps(sf_dir), backend="csr").to_table()
+
+
 def _q_scc(sf_dir: str):
     from graph_data_science_ray.algos.scc import strongly_connected_components
 
@@ -2479,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "astar_paths": _q_astar_paths,
         "media_video_frames": _q_media_video_frames,
         "kcore_csr": _q_kcore_csr,
+        "scc_csr": _q_scc_csr,
         "yens_paths": _q_yens_paths,
         "pagerank_csr_k5": _q_pagerank_csr_k,
         "docs_curation": _q_docs_curation,
@@ -2839,6 +2849,23 @@ def _sssp_paths_sql(k: int = 20) -> str:
         + " SELECT p.target AS target_node, p.step, p.node AS node_id, "
         f"CAST(ROUND(d.val) AS BIGINT) AS cost_i FROM paths p JOIN d{k} d ON d.node = p.node"
     )
+
+
+# transitive-closure SCC oracle: component = min node mutually reachable;
+# feasible at sf0.01 (2k nodes / 52k edges, ~3 s). Shared by the dataflow
+# and csr-backend queries (identical canonical output).
+_SCC_SQL = (
+    f"WITH RECURSIVE e AS ({_E_PS}), "
+    "nodes AS (SELECT DISTINCT node FROM "
+    "(SELECT src_id AS node FROM e UNION ALL SELECT dst_id FROM e)), "
+    "reach(s, d) AS (SELECT src_id, dst_id FROM e "
+    "UNION SELECT r.s, e.dst_id FROM reach r JOIN e ON r.d = e.src_id), "
+    "mutual AS (SELECT a.s AS v, a.d AS w "
+    "FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s) "
+    "SELECT nodes.node AS node_id, "
+    "LEAST(nodes.node, COALESCE(MIN(m.w), nodes.node)) AS component "
+    "FROM nodes LEFT JOIN mutual m ON m.v = nodes.node GROUP BY nodes.node"
+)
 
 
 def _astar_paths_sql(k: int = 20) -> str:
@@ -6567,6 +6594,7 @@ def oracle_sql() -> dict[str, str]:
         "astar_paths": _astar_paths_sql(),
         "media_video_frames": _media_video_sql(),
         "kcore_csr": _kcore_sql(16, simple_only=True),
+        "scc_csr": _SCC_SQL,
         "betweenness_weighted_32src": _btww_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "embed_neardup": _embed_neardup_sql(),
@@ -6966,20 +6994,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source_id, target_id, ROUND(sc, 6) AS score, rank "
             "FROM r WHERE rank <= 10"
         ),
-        "scc": (
-            # transitive-closure SCC: component = min node mutually
-            # reachable; feasible at sf0.01 (2k nodes / 52k edges, ~3 s)
-            f"WITH RECURSIVE e AS ({_E_PS}), "
-            "nodes AS (SELECT DISTINCT node FROM "
-            "(SELECT src_id AS node FROM e UNION ALL SELECT dst_id FROM e)), "
-            "reach(s, d) AS (SELECT src_id, dst_id FROM e "
-            "UNION SELECT r.s, e.dst_id FROM reach r JOIN e ON r.d = e.src_id), "
-            "mutual AS (SELECT a.s AS v, a.d AS w "
-            "FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s) "
-            "SELECT nodes.node AS node_id, "
-            "LEAST(nodes.node, COALESCE(MIN(m.w), nodes.node)) AS component "
-            "FROM nodes LEFT JOIN mutual m ON m.v = nodes.node GROUP BY nodes.node"
-        ),
+        "scc": _SCC_SQL,
         "astar_cost": (
             # d20 holds exactly the nodes reached from the min src —
             # its max node id is the engine's "max reachable" target

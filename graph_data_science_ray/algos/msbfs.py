@@ -238,7 +238,11 @@ def harmonic_centrality(
         )
         import ray as _ray
 
-        out = pa.concat_tables(_ray.get(t)).combine_chunks()
+        # empty sort partitions yield schema-less blocks — drop them
+        tabs = [b for b in _ray.get(t) if b.num_rows]
+        out = (pa.concat_tables(tabs).combine_chunks() if tabs else
+               pa.table({"node_id": pa.array([], pa.int64()),
+                         "harmonic": pa.array([], pa.float64())}))
         engine.shutdown()
         return out
     sym = symmetrize(edges, dedup=True, num_partitions=num_partitions).materialize()
@@ -296,7 +300,10 @@ def closeness_centrality(
                 .sort("node_id")
                 .to_arrow_refs()
             )
-            out = pa.concat_tables(_ray.get(refs)).combine_chunks()
+            tabs = [b for b in _ray.get(refs) if b.num_rows]
+            out = (pa.concat_tables(tabs).combine_chunks() if tabs else
+                   pa.table({"node_id": pa.array([], pa.int64()),
+                             "closeness": pa.array([], pa.float64())}))
             engine.shutdown()
             return out
         srcs = np.sort(np.asarray(sources, dtype=np.int64))

@@ -123,6 +123,190 @@ def _degree_counts(active_edges: Dataset, node_ids: np.ndarray) -> tuple[np.ndar
     return out_deg, in_deg
 
 
+def _scc_csr(
+    edges: Dataset,
+    max_outer: int,
+    num_partitions: int | None,
+    num_shards: int | None,
+) -> SccResult:
+    """Sharded-state FW-BW (round 3): every phase is either a CSR-shard
+    Pregel or a partitioned hash join — the driver moves refs, counts
+    and per-round scalars only.
+
+    Per outer round over the shrinking active edge set:
+    1. **Color** (forward engine): min-combine frontier Pregel with
+       identity init → color[v] = min active id with a forward path
+       to v (roots = color == id, provably the SCC minimum member).
+    2. **Backward sweep**: filter the round's edges to SAME-COLOR pairs
+       (two hash joins against the color Dataset), REVERSE them, build a
+       second engine, and run the identical min-Pregel:
+       b[v] = min same-color id forward-reachable FROM v. Membership is
+       then just ``b == color`` — v reaches its root iff the minimum it
+       reaches is the class minimum (no root bookkeeping, no per-class
+       serialization; cross-color pollution is impossible because the
+       sweep graph carries only same-color edges).
+    3. Marked nodes leave with component = color; the next round's edge
+       set drops any edge touching them (two anti-joins). Every class
+       removes at least its root, so the loop terminates.
+    Nodes never seen with a surviving edge are singleton SCCs
+    (component = own id), assigned by one final anti-join."""
+    import ray.data
+
+    from graph_data_science_ray.functions.joins import hash_join
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    configure_ray_data()
+    g = drop_self_loops(edges.select_columns(["src_id", "dst_id"])).materialize()
+
+    def _nodes_of(ds: Dataset) -> Dataset:
+        def emit(t: pa.Table) -> pa.Table:
+            ids = np.unique(np.concatenate([
+                t.column("src_id").to_numpy(zero_copy_only=False),
+                t.column("dst_id").to_numpy(zero_copy_only=False),
+            ])) if t.num_rows else np.empty(0, np.int64)
+            return pa.table({"node_id": pa.array(ids, pa.int64())})
+
+        return (ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("node_id", num_partitions=num_partitions).count()
+                .select_columns(["node_id"]))
+
+    # full node set incl. self-loop-only nodes (parity with the dataflow
+    # path's unique_node_ids-before-drop universe)
+    all_nodes = _nodes_of(edges.select_columns(["src_id", "dst_id"])).materialize()
+
+    def ident(ids: np.ndarray) -> np.ndarray:
+        return ids.copy()
+
+    def upd_min(state, combined, has_msg, ids):
+        return np.minimum(state, combined)
+
+    pregel_kw = dict(send=None, update=upd_min, init=ident, combine="min",
+                     frontier=True, residual="changed", is_int=True,
+                     max_iterations=1_000_000, tolerance=0.0)
+
+    active = g
+    done_parts: list[Dataset] = []
+    metrics: list[dict] = []
+    outer = 0
+    for outer in range(1, max_outer + 1):
+        active = active.materialize()
+        n_edges = active.count()
+        if n_edges == 0:
+            outer -= 1
+            break
+        eng = CsrEngine.build(active, num_shards=num_shards or 8)
+        color_res = eng.pregel(value_name="color", **pregel_kw)
+        color_ds = ray.data.from_arrow_refs(color_res._state_refs).materialize()
+        eng.shutdown()
+
+        def as_src(t: pa.Table) -> pa.Table:
+            return pa.table({"src_id": t.column("node_id"), "c_src": t.column("color")})
+
+        def as_dst(t: pa.Table) -> pa.Table:
+            return pa.table({"dst_id": t.column("node_id"), "c_dst": t.column("color")})
+
+        j = hash_join(active,
+                      color_ds.map_batches(as_src, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                      on=("src_id",), num_partitions=num_partitions)
+        j = hash_join(j,
+                      color_ds.map_batches(as_dst, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                      on=("dst_id",), num_partitions=num_partitions)
+
+        def same_color_reversed(t: pa.Table) -> pa.Table:
+            cs = t.column("c_src").to_numpy(zero_copy_only=False)
+            cd = t.column("c_dst").to_numpy(zero_copy_only=False)
+            tt = t.filter(pa.array(cs == cd))
+            return pa.table({"src_id": tt.column("dst_id").cast(pa.int64()),
+                             "dst_id": tt.column("src_id").cast(pa.int64())})
+
+        same_rev = j.map_batches(
+            same_color_reversed, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        if same_rev.count():
+            eng2 = CsrEngine.build(same_rev, num_shards=num_shards or 8)
+            b_res = eng2.pregel(value_name="b", **pregel_kw)
+            b_ds = ray.data.from_arrow_refs(b_res._state_refs)
+            eng2.shutdown()
+        else:
+            b_ds = ray.data.from_arrow(
+                pa.table({"node_id": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+            )
+
+        jj = hash_join(color_ds, b_ds, on=("node_id",), join_type="left_outer",
+                       num_partitions=num_partitions)
+
+        def pick_marked(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = t.column("node_id").to_numpy(zero_copy_only=False)
+            c = t.column("color").to_numpy(zero_copy_only=False)
+            # fill_null BEFORE to_numpy: a nullable int64 otherwise
+            # round-trips through float64 and corrupts 63-bit ids
+            b = pc.fill_null(t.column("b"), pa.scalar(-1, pa.int64())).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # absent from the sweep graph (no same-color edge) ⇒ b = self
+            b = np.where(b == -1, ids, b)
+            m = b == c
+            return pa.table({"node_id": pa.array(ids[m], pa.int64()),
+                             "component": pa.array(c[m].astype(np.int64), pa.int64())})
+
+        marked = jj.map_batches(
+            pick_marked, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        done_parts.append(marked)
+        metrics.append({"outer": outer, "active_edges": int(n_edges),
+                        "assigned": int(marked.count())})
+
+        def as_key(col):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({col: t.column("node_id")})
+            return fn
+
+        active = hash_join(active,
+                           marked.map_batches(as_key("src_id"), batch_format="pyarrow",
+                                              zero_copy_batch=True),
+                           on=("src_id",), join_type="left_anti",
+                           num_partitions=num_partitions)
+        active = hash_join(active,
+                           marked.map_batches(as_key("dst_id"), batch_format="pyarrow",
+                                              zero_copy_batch=True),
+                           on=("dst_id",), join_type="left_anti",
+                           num_partitions=num_partitions)
+
+    # singleton SCCs: nodes never assigned
+    done = done_parts[0] if done_parts else ray.data.from_arrow(
+        pa.table({"node_id": pa.array([], pa.int64()),
+                  "component": pa.array([], pa.int64())}))
+    for p in done_parts[1:]:
+        done = done.union(p)
+    done = done.materialize()
+    singles = hash_join(all_nodes, done.select_columns(["node_id"]),
+                        on=("node_id",), join_type="left_anti",
+                        num_partitions=num_partitions)
+
+    def own(t: pa.Table) -> pa.Table:
+        ids = t.column("node_id").cast(pa.int64())
+        return pa.table({"node_id": ids, "component": ids})
+
+    final = done.union(
+        singles.map_batches(own, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()
+    # empty join partitions yield schema-less blocks — drop before concat
+    tabs = [b for b in ray.get(final.to_arrow_refs()) if b.num_rows]
+    if not tabs:
+        return SccResult(np.empty(0, np.int64), np.empty(0, np.int64), outer, metrics)
+    t = pa.concat_tables(tabs).combine_chunks()
+    ids = t.column("node_id").to_numpy(zero_copy_only=False)
+    comp = t.column("component").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    return SccResult(ids[order].astype(np.int64), comp[order].astype(np.int64),
+                     outer, metrics)
+
+
 def strongly_connected_components(
     edges: Dataset,
     max_outer: int = 50,
@@ -130,11 +314,24 @@ def strongly_connected_components(
     num_partitions: int | None = None,
     consecutive_ids: bool = False,
     min_component_size: int | None = None,
+    backend: str = "dataflow",
+    num_shards: int | None = None,
 ) -> SccResult:
     """``consecutive_ids`` / ``min_component_size``: GDS output options —
     renumber components 0..k-1 / drop nodes in components below the
-    size floor [GDS-pub: scc proc config]."""
+    size floor [GDS-pub: scc proc config].
+
+    ``backend="csr"``: sharded-state FW-BW (see ``_scc_csr``) — the
+    driver never holds a node vector during the computation (the
+    returned SccResult materializes only at result delivery)."""
     configure_ray_data()
+    if backend == "csr":
+        res = _scc_csr(edges, max_outer, num_partitions, num_shards)
+        if consecutive_ids or min_component_size is not None:
+            res.node_ids, res.values, _ = community_postprocess(
+                res.node_ids, res.values, consecutive_ids, min_component_size
+            )
+        return res
     edges = drop_self_loops(edges)  # self-loops don't affect SCC membership
     node_ids = unique_node_ids(edges)
     n = node_ids.shape[0]

@@ -121,15 +121,20 @@ def hash_join(
 
         return fn
 
-    # keep-alive sentinel (same guard as functions/shuffle.bucketed_merge):
-    # one all-null row with __side=2 in out-of-range bucket P so the
-    # groupby shuffle never finalizes a fully-empty, schema-less input;
-    # join_bucket's side-0/side-1 filters drop it for free
+    # keep-alive sentinels (same guard as functions/shuffle.bucketed_merge,
+    # round-3 strengthening): all-null rows with __side=2 whose
+    # out-of-range bucket values COVER EVERY SHUFFLE PARTITION, so the
+    # groupby never finalizes a schema-less partition even when Ray's
+    # once-only schema broadcast was burned by a 0-row first block;
+    # join_bucket's side-0/side-1 filters drop them for free
+    from graph_data_science_ray.functions.shuffle import _partition_covering_buckets
+
+    _sb = _partition_covering_buckets(num_partitions)
     sent_cols: dict = {
-        name: pa.nulls(1, typ) for name, typ in union_fields
+        name: pa.nulls(_sb.shape[0], typ) for name, typ in union_fields
     }
-    sent_cols["__side"] = pa.array([2], pa.int8())
-    sent_cols["__bucket"] = pa.array([num_partitions], pa.int64())
+    sent_cols["__side"] = pa.array(np.full(_sb.shape[0], 2, np.int8), pa.int8())
+    sent_cols["__bucket"] = pa.array(_sb, pa.int64())
     import ray.data as _rd
 
     combined = (
@@ -222,9 +227,12 @@ def asof_join(
 
         return fn
 
-    sent_cols: dict = {name: pa.nulls(1, typ) for name, typ in union_fields}
-    sent_cols["__side"] = pa.array([2], pa.int8())
-    sent_cols["__bucket"] = pa.array([num_partitions], pa.int64())
+    from graph_data_science_ray.functions.shuffle import _partition_covering_buckets
+
+    _sb = _partition_covering_buckets(num_partitions)  # see hash_join's note
+    sent_cols: dict = {name: pa.nulls(_sb.shape[0], typ) for name, typ in union_fields}
+    sent_cols["__side"] = pa.array(np.full(_sb.shape[0], 2, np.int8), pa.int8())
+    sent_cols["__bucket"] = pa.array(_sb, pa.int64())
     import ray.data as _rd
 
     combined = (

@@ -8,10 +8,21 @@ single vectorized (lexsort-based) merge task per bucket. Keys never
 split across buckets, so per-bucket merges are exact and the result is
 the concatenation.
 
-``bucketed_merge`` also guards Ray 2.49's schemaless-empty-block crash
-(ArrowInvalid in hash_shuffle finalize when the input Dataset is fully
-empty) by unioning one sentinel row in an out-of-range bucket that the
-merge step drops.
+``bucketed_merge`` also guards Ray 2.49's schemaless-empty-partition
+crash: HashShuffleAggregator broadcasts schemas only with the FIRST
+shuffled block of an input — if that block happens to be 0-row (e.g. an
+empty partition from a previous chained shuffle), `_shuffle_block`
+early-returns WITHOUT broadcasting, the once-only flag is burned, and
+any partition that then receives no shard finalizes as a schema-less
+table whose key sort raises ArrowInvalid (flaked wcc_star twice in the
+129-query sweep; block arrival order decides, so solo runs pass). Fix:
+union sentinel rows whose out-of-range bucket values are CHOSEN TO
+COVER EVERY SHUFFLE PARTITION (``_partition_covering_buckets`` — the
+partitioner is the deterministic, non-seed-randomized
+``hash((pa.scalar(v),)) % P`` of transform_pyarrow.hash_partition, so
+coverage is computable up front), guaranteeing every partition receives
+a non-empty shard regardless of block order; the merge step drops
+sentinel groups by their ≥P bucket value.
 """
 
 from __future__ import annotations
@@ -26,6 +37,36 @@ from ray.data import Dataset
 
 from graph_data_science_ray.context import shuffle_partitions_for
 from graph_data_science_ray.functions.joins import _key_hash
+
+
+def _partition_covering_buckets(num_partitions: int, max_scan: int | None = None) -> np.ndarray:
+    """Out-of-range bucket values (≥ num_partitions) whose
+    ``hash((pa.scalar(v),)) % num_partitions`` — Ray 2.49's
+    transform_pyarrow.hash_partition assignment, deterministic because
+    Python int hashing is not seed-randomized — covers every shuffle
+    partition. Guarantees each partition receives ≥1 sentinel row, so
+    HashShuffleAggregator.finalize never builds a schema-less block
+    even when the once-only schema broadcast was burned by a 0-row
+    first block. Coupon-collector scan, cached per partition count; if
+    a future Ray changes the hash the scan falls back to the first
+    ``num_partitions`` values (old single-sentinel behavior, no worse)."""
+    cached = _COVER_CACHE.get(num_partitions)
+    if cached is not None:
+        return cached
+    max_scan = max_scan or max(64, 40 * num_partitions)
+    seen: dict[int, int] = {}
+    v = num_partitions
+    while len(seen) < num_partitions and v < num_partitions + max_scan:
+        p = hash((pa.scalar(v, pa.int64()),)) % num_partitions
+        if p not in seen:
+            seen[p] = v
+        v += 1
+    out = np.array(sorted(seen.values()), dtype=np.int64)
+    _COVER_CACHE[num_partitions] = out
+    return out
+
+
+_COVER_CACHE: dict[int, np.ndarray] = {}
 
 
 def bucketed_merge(
@@ -50,10 +91,16 @@ def bucketed_merge(
     cols = list(sentinel_row.keys())
 
     # a value may be a pre-built 1-row pa.Array when python-value type
-    # inference would mismatch the input schema (timestamps, binary)
-    sent = {k: (v if isinstance(v, pa.Array) else pa.array([v]))
-            for k, v in sentinel_row.items()}
-    sent["__bucket"] = pa.array([num_partitions], pa.int64())
+    # inference would mismatch the input schema (timestamps, binary);
+    # one sentinel row per COVERED SHUFFLE PARTITION (module docstring)
+    sent_buckets = _partition_covering_buckets(num_partitions)
+    k_sent = sent_buckets.shape[0]
+    sent = {
+        k: (pa.concat_arrays([v] * k_sent) if isinstance(v, pa.Array)
+            else pa.array([v] * k_sent))
+        for k, v in sentinel_row.items()
+    }
+    sent["__bucket"] = pa.array(sent_buckets, pa.int64())
     empty_typed = pa.table({k: v.slice(0, 0) for k, v in sent.items()})
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -61,8 +108,6 @@ def bucketed_merge(
             # a fully-empty shuffle partition upstream yields a
             # SCHEMA-LESS block (pa.table({})); emit a typed empty block
             # so the __bucket groupby never sees a missing key column
-            # (flaked once in the 129-query single-session sweep — the
-            # chained wcc_star rounds shrink into many empty partitions)
             return empty_typed
         t = t.select(cols)
         if combine_fn is not None:
@@ -72,8 +117,8 @@ def bucketed_merge(
     first = next(iter(sentinel_row))
 
     def merge_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows and g.column("__bucket")[0].as_py() == num_partitions:
-            g = g.slice(0, 0)
+        if g.num_rows and g.column("__bucket")[0].as_py() >= num_partitions:
+            g = g.slice(0, 0)  # sentinel-only group (out-of-range bucket)
         return merge_fn(g.select(cols))
 
     return (

@@ -212,6 +212,30 @@ def test_kcore_csr_matches_dataflow():
     assert cs.iterations + 1 == df.iterations  # degree init skips round 1
 
 
+def test_scc_csr_matches_dataflow():
+    """Sharded FW-BW SCC: identical canonical (min-member) components to
+    the dataflow path, including singleton handling."""
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+
+    t = fixtures.powerlaw(200, seed=47)
+    a = strongly_connected_components(from_arrow(t), backend="dataflow").as_dict()
+    b = strongly_connected_components(from_arrow(t), backend="csr", num_shards=3).as_dict()
+    assert a == b
+
+
+def test_scc_csr_known_small():
+    """Two 3-cycles joined by a one-way bridge + a dangler."""
+    from graph_data_science_ray.algos.scc import strongly_connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)]
+    t = pa.table({
+        "src_id": pa.array([a for a, _ in edges], pa.int64()),
+        "dst_id": pa.array([b for _, b in edges], pa.int64()),
+    })
+    got = strongly_connected_components(from_arrow(t), backend="csr", num_shards=2).as_dict()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
 def test_csr_pregel_rejects_full_vector_master():
     from graph_data_science_ray.algos.iterate import pregel
 
