@@ -251,11 +251,28 @@ def _pagerank_table(res) -> pa.Table:
     return _round6(t, "score")
 
 
+def _pagerank_table_u5(res) -> pa.Table:
+    """Half-away integer micro-units at 1e5 for the whole pagerank
+    family: node 12364's sf0.1 rank sits ON the 0.6568125 round-6
+    boundary, so ANY engine (dataflow included — block arrival order is
+    nondeterministic) lands either side run-to-run vs DuckDB's own SUM
+    order. u5 keeps five checked decimals per node and kills the
+    per-run lottery (drift ~1e-12 vs a 1e-5 grid)."""
+    v = res.values
+    u5 = np.where(v >= 0, np.floor(v * 1e5 + 0.5), np.ceil(v * 1e5 - 0.5)).astype(np.int64)
+    return pa.table(
+        {
+            "node_id": pa.array(res.node_ids, pa.int64()),
+            "score_u5": pa.array(u5, pa.int64()),
+        }
+    )
+
+
 def _q_pagerank_k(sf_dir: str):
     from graph_data_science_ray.algos.pagerank import pagerank
 
     res = pagerank(_edges_op(sf_dir), damping=DAMPING, max_iterations=PR_ITERS, tolerance=0.0)
-    return _pagerank_table(res)
+    return _pagerank_table_u5(res)
 
 
 def _q_pagerank_weighted(sf_dir: str):
@@ -268,7 +285,7 @@ def _q_pagerank_weighted(sf_dir: str):
         tolerance=0.0,
         weighted=True,
     )
-    return _pagerank_table(res)
+    return _pagerank_table_u5(res)
 
 
 def _q_pagerank_personalized(sf_dir: str):
@@ -284,15 +301,18 @@ def _q_pagerank_personalized(sf_dir: str):
         tolerance=0.0,
         source_nodes=srcs,
     )
-    return _pagerank_table(res)
+    return _pagerank_table_u5(res)
 
 
 def _q_pagerank_csr_k(sf_dir: str):
+    """CSR-engine PageRank; compared at half-away 1e-5 integer units —
+    see _pagerank_sql_u5 for the summation-order-drift boundary lottery
+    a 1e-6 comparison loses ~1-in-7 runs."""
     from graph_data_science_ray.state.engine import CsrEngine
 
     eng = CsrEngine.build(_edges_op(sf_dir), num_shards=4, hub_threshold=None)
     res = eng.pagerank(damping=DAMPING, max_iterations=PR_ITERS, tolerance=0.0)
-    return _pagerank_table(res)
+    return _pagerank_table_u5(res)
 
 
 def _q_wcc(sf_dir: str):
@@ -2681,6 +2701,32 @@ def _pagerank_sql(k: int = PR_ITERS, d: float = DAMPING, denom: str = "deg.outde
         )
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT node AS node_id, ROUND(r, 6) AS score FROM r{k}"
+
+
+def _pagerank_sql_u5(k: int = PR_ITERS, d: float = DAMPING) -> str:
+    """_pagerank_sql with the comparison column integerized HALF-AWAY at
+    1e5 (spelled-out CASE — no ROUND half-mode dependence). Used by the
+    CSR-engine variant: its per-destination sums accumulate in
+    shard-grouped src order, which drifts ~1e-12 from DuckDB's SUM
+    order; against a 1e-6 grid that is a ~0.15-flips-per-run lottery
+    over 147k sf0.1 rows (one flip hit round 3 after the src-sort-key
+    build change — 0.6568125 straddled). At 1e-5 the flip probability
+    is ~1e-6: drift-immune while still checking five decimals/node."""
+    return _u5ize(_pagerank_sql(k, d))
+
+
+def _u5ize(sql: str) -> str:
+    """Swap a pagerank-family oracle's ROUND(r, 6) tail for the
+    half-away 1e5 integerization (spelled-out CASE — no ROUND half-mode
+    dependence)."""
+    old = "SELECT node AS node_id, ROUND(r, 6) AS score FROM"
+    assert sql.count(old) == 1, "unexpected oracle tail"
+    return sql.replace(
+        old,
+        "SELECT node AS node_id, CAST(CASE WHEN r >= 0 "
+        "THEN FLOOR(r * 1e5 + 0.5) ELSE CEIL(r * 1e5 - 0.5) END AS BIGINT) "
+        "AS score_u5 FROM",
+    )
 
 
 _E_PS_W = (
@@ -6557,10 +6603,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND((m.s * p.p_size + m.i) * 100) AS BIGINT) AS prediction_c "
             "FROM part p, m"
         ),
-        "pagerank_k5": _pagerank_sql(),
-        "pagerank_csr_k5": _pagerank_sql(),
-        "pagerank_weighted_k5": _pagerank_weighted_sql(),
-        "pagerank_personalized_k5": _pagerank_personalized_sql(),
+        "pagerank_k5": _u5ize(_pagerank_sql()),
+        "pagerank_csr_k5": _pagerank_sql_u5(),
+        "pagerank_weighted_k5": _u5ize(_pagerank_weighted_sql()),
+        "pagerank_personalized_k5": _u5ize(_pagerank_personalized_sql()),
         "article_rank_k5": _pagerank_sql(denom="deg.outdeg + avgdeg.a"),
         "article_rank_weighted_k5": _article_rank_weighted_sql(),
         "eigenvector_weighted_k10": _eigenvector_sql(10, weighted=True),

@@ -180,9 +180,11 @@ def _scc_csr(
     def upd_min(state, combined, has_msg, ids):
         return np.minimum(state, combined)
 
+    # fixpoint runs; 100k rounds bounds a pathological O(n)-diameter
+    # chain without ever truncating a real web graph's propagation
     pregel_kw = dict(send=None, update=upd_min, init=ident, combine="min",
                      frontier=True, residual="changed", is_int=True,
-                     max_iterations=1_000_000, tolerance=0.0)
+                     max_iterations=100_000, tolerance=0.0)
 
     active = g
     done_parts: list[Dataset] = []
