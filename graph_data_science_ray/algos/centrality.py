@@ -174,6 +174,7 @@ def eigenvector(
     if backend == "csr" and source_nodes is None:
         # uniform init needs only the GLOBAL node count (an engine-build
         # scalar) — no driver-side node array at all on this path
+        built_engine = engine is None
         if engine is None:
             from graph_data_science_ray.state.engine import CsrEngine
 
@@ -190,6 +191,10 @@ def eigenvector(
             max_iterations=max_iterations, tolerance=tolerance,
             value_name="eigenvector", backend="csr", engine=engine,
         )
+        if built_engine:
+            # release the internally-built shard actors now (shutdown
+            # drains first, so the sharded result refs stay consumable)
+            engine.shutdown()
         if scaler is not None:
             from graph_data_science_ray.functions.scalers import scale_values
 

@@ -107,11 +107,14 @@ def pregel(
     if backend == "csr":
         if checkpoint is not None or resume:
             raise NotImplementedError("csr pregel: use the engine checkpoint surface")
-        if master is not None and master_finish is None:
+        if master is not None:
+            # also when master_finish IS given: silently dropping master
+            # would make the two backends diverge for that hook combo
             raise ValueError(
                 "backend='csr' needs the two-phase master_partial/master_finish "
                 "(a full-vector master would materialize state on the driver)"
             )
+        built_engine = engine is None
         if engine is None:
             from graph_data_science_ray.state.engine import CsrEngine
 
@@ -126,7 +129,7 @@ def pregel(
 
             def init(ids, _gi=glob_ids, _gv=glob_init):  # noqa: F811
                 return _gv[np.searchsorted(_gi, ids)]
-        return engine.pregel(
+        res = engine.pregel(
             send, update, init, combine=combine,
             max_iterations=max_iterations, tolerance=tolerance,
             value_name=value_name, aux=aux, wants_ctx=wants_ctx,
@@ -134,6 +137,12 @@ def pregel(
             master_partial=master_partial, master_finish=master_finish,
             on_global=on_global,
         )
+        if built_engine:
+            # internally-built engine: release the 8 shard actors NOW
+            # (shutdown drains, so the result refs are already in plasma;
+            # handle-drop GC would leave idle actors spinning CPU)
+            engine.shutdown()
+        return res
     if combine not in ("sum", "min", "max"):
         raise ValueError("combine must be sum|min|max")
     if master_finish is not None:

@@ -109,17 +109,19 @@ def core_decomposition(
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     reduce: str = "driver",
-    backend: str = "dataflow",
+    backend: str = "csr",
     num_shards: int | None = None,
 ) -> IterativeResult:
     """Per-node core value over the undirected simple view. Converges
     when no value changes (guaranteed; the sequence is monotone).
 
-    ``backend="csr"``: sharded core state on the CSR actors
-    (CsrEngine.kcore) — init is the owned degree, so csr round k equals
-    dataflow round k+1 (the dataflow path spends its first round
+    ``backend="csr"`` (DEFAULT since round 4 — the scale path is what
+    users get by calling the defaults): sharded core state on the CSR
+    actors (CsrEngine.kcore) — init is the owned degree, so csr round k
+    equals dataflow round k+1 (the dataflow path spends its first round
     materializing the degree); converged values are identical
-    (parity-tested)."""
+    (parity-tested). ``backend="dataflow"`` keeps the broadcast-state
+    path with the checkpoint/reduce surface."""
     sym = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions))
     if backend == "csr":
         from graph_data_science_ray.state.engine import CsrEngine

@@ -221,7 +221,7 @@ def bfs_hops(
     resume: bool = False,
     num_partitions: int | None = None,
     reduce: str = "driver",
-    backend: str = "dataflow",
+    backend: str = "csr",
     num_shards: int | None = None,
 ) -> IterativeResult:
     """Minimum hop count from ``source`` (default: smallest src id) to
@@ -232,11 +232,12 @@ def bfs_hops(
     oracle uses. Runs to convergence when the graph's eccentricity from
     the source is below ``max_iterations``.
 
-    ``backend="csr"``: sharded hop state on the CSR actors (_relax_csr —
-    identical integer fixpoint, parity-tested); the dataflow default
-    keeps the checkpoint/reduce surface.
+    ``backend="csr"`` (DEFAULT since round 4): sharded hop state on the
+    CSR actors (_relax_csr — identical integer fixpoint, parity-tested).
+    A checkpoint request routes to the dataflow path, which owns the
+    checkpoint/reduce surface.
     """
-    if backend == "csr":
+    if backend == "csr" and checkpoint is None and not resume:
         from graph_data_science_ray.state.engine import ShardedIterativeResult
 
         res = _relax_csr(edges, source, False, max_iterations, "hops",
@@ -270,7 +271,7 @@ def bellman_ford(
     resume: bool = False,
     num_partitions: int | None = None,
     reduce: str = "driver",
-    backend: str = "dataflow",
+    backend: str = "csr",
     num_shards: int | None = None,
 ) -> IterativeResult:
     """Single-source shortest path costs over the ``weight`` column
@@ -282,12 +283,14 @@ def bellman_ford(
     (Dijkstra-equivalent for non-negative weights, no priority queue
     needed — the min-reduce shuffle plays that role).
 
-    ``backend="csr"``: sharded distance state (_relax_csr); NOTE this
-    path assumes non-negative weights like Dijkstra (a frontier round's
-    min over IEEE-identical candidates reaches the same fixpoint; with
-    negative weights use the dataflow default / negative-cycles API).
+    ``backend="csr"`` (DEFAULT since round 4): sharded distance state
+    (_relax_csr); NOTE this path assumes non-negative weights like
+    Dijkstra (a frontier round's min over IEEE-identical candidates
+    reaches the same fixpoint; with negative weights use
+    backend="dataflow" / the negative-cycles API). A checkpoint request
+    routes to the dataflow path, which owns that surface.
     """
-    if backend == "csr":
+    if backend == "csr" and checkpoint is None and not resume:
         return _relax_csr(edges, source, True, max_iterations, "cost",
                           undirected, num_partitions, num_shards)
     return _relax_loop(

@@ -316,16 +316,18 @@ def strongly_connected_components(
     num_partitions: int | None = None,
     consecutive_ids: bool = False,
     min_component_size: int | None = None,
-    backend: str = "dataflow",
+    backend: str = "csr",
     num_shards: int | None = None,
 ) -> SccResult:
     """``consecutive_ids`` / ``min_component_size``: GDS output options —
     renumber components 0..k-1 / drop nodes in components below the
     size floor [GDS-pub: scc proc config].
 
-    ``backend="csr"``: sharded-state FW-BW (see ``_scc_csr``) — the
-    driver never holds a node vector during the computation (the
-    returned SccResult materializes only at result delivery)."""
+    ``backend="csr"`` (DEFAULT since round 4): sharded-state FW-BW (see
+    ``_scc_csr``) — the driver never holds a node vector during the
+    computation (the returned SccResult materializes only at result
+    delivery). ``backend="dataflow"`` is the trim+FW-BW broadcast-state
+    path (parity-tested)."""
     configure_ray_data()
     if backend == "csr":
         res = _scc_csr(edges, max_outer, num_partitions, num_shards)

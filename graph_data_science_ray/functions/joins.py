@@ -80,12 +80,21 @@ def hash_join(
     on: list[str] | tuple[str, ...],
     join_type: str = "inner",
     num_partitions: int | None = None,
+    post_fn=None,
 ) -> Dataset:
     """Partitioned hash join of two Datasets on shared key column names.
 
     Non-key column names must be disjoint between the sides (project /
     rename first — deliberate, same contract as the reference's explicit
-    projections)."""
+    projections).
+
+    ``post_fn(joined: pa.Table) -> pa.Table``: optional per-PARTITION
+    transform applied inside the join task, BEFORE Ray's dynamic block
+    splitting can carve an oversized output into multiple blocks — the
+    only place a consumer can rely on "all rows of a key are in one
+    table" (downstream ``map_batches(batch_size=None)`` sees post-split
+    blocks, which breaks that invariant exactly in the wide-payload
+    regime)."""
     configure_ray_data()
     on = list(on)
     num_partitions = num_partitions or shuffle_partitions_for()
@@ -153,7 +162,8 @@ def hash_join(
         side = group.column("__side")
         lt = group.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(l_all)
         rt = group.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(r_all)
-        return lt.join(rt, keys=on, join_type=pa_join)
+        j = lt.join(rt, keys=on, join_type=pa_join)
+        return post_fn(j) if post_fn is not None else j
 
     return combined.groupby("__bucket", num_partitions=num_partitions).map_groups(
         join_bucket, batch_format="pyarrow"

@@ -86,9 +86,6 @@ def latest_snapshot(
             pages.select_columns(narrow_cols), key_col=key_col, ts_col=ts_col,
             tie_col=tie_col, num_partitions=num_partitions, wide_payload=False,
         )
-        joined = hash_join(winners, pages, on=tuple(narrow_cols),
-                           num_partitions=num_partitions)
-
         def first_per_key(t: pa.Table) -> pa.Table:
             # duplicates = several payload rows equal to the winner
             # triple (exact-duplicate payloads by the tie contract);
@@ -106,12 +103,12 @@ def latest_snapshot(
             first = np.r_[True, k_sorted[1:] != k_sorted[:-1]]
             return t.take(pa.array(order[first], pa.int64())).select(schema.names)
 
-        # batch_size=None ⇒ whole blocks, aligning the dedup with the
-        # join's key partitioning
-        return joined.map_batches(
-            first_per_key, batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True,
-        )
+        # dedup runs INSIDE the join task (post_fn) on the whole key
+        # partition — downstream map_batches would see blocks AFTER
+        # Ray's dynamic splitting, which can carve one key's rows across
+        # blocks exactly in the html-payload regime this path targets
+        return hash_join(winners, pages, on=tuple(narrow_cols),
+                         num_partitions=num_partitions, post_fn=first_per_key)
     sentinel = {name: pa.array([None], typ)
                 for name, typ in zip(schema.names, schema.types)}
 

@@ -262,16 +262,20 @@ def real_decode_video(payload: bytes, duration_ms: int = -1) -> np.ndarray:
     try:  # real sequence reader when the deployment has one
         from PIL import Image, ImageSequence  # type: ignore
         import io
-
-        im = Image.open(io.BytesIO(payload))
-        frames = [np.asarray(f.convert("RGB"), dtype=np.uint8)
-                  for f in ImageSequence.Iterator(im)]
-        if frames:
-            return np.stack(frames)
     except ImportError:
         pass
-    except Exception:
-        pass  # not a PIL-readable container — try the stdlib subset
+    else:
+        try:
+            im = Image.open(io.BytesIO(payload))
+        except OSError:
+            im = None  # not a PIL-readable container — try the stdlib subset
+        if im is not None:
+            # a container PIL DID identify but fails to decode is a real
+            # decode error — propagate it, don't mask it as "no codec"
+            frames = [np.asarray(f.convert("RGB"), dtype=np.uint8)
+                      for f in ImageSequence.Iterator(im)]
+            if frames:
+                return np.stack(frames)
     if payload[:9] == b"YUV4MPEG2":
         return _decode_y4m_stdlib(payload)
     raise NotImplementedError(

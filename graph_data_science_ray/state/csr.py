@@ -74,6 +74,13 @@ class CsrShard:
         self.owned_out_w = np.empty(0, dtype=np.float64)
         self.state = np.empty(0, dtype=np.float64)
 
+    def ping(self) -> None:
+        """FIFO barrier: actors execute tasks in submission order, so a
+        completed ping proves every earlier-submitted task (e.g. the
+        get_state_named result fetches) has finished — engine.shutdown
+        drains with this before ray.kill."""
+        return None
+
     # ---------------- build ----------------
     def ingest_edges(self, tables: list[pa.Table]) -> int:
         """Accumulate raw edge rows for this shard (routing done upstream)."""

@@ -378,7 +378,24 @@ class CsrEngine:
     def shutdown(self) -> None:
         """Kill shard actors and release their CSR + state memory NOW
         (dropping the handles only releases at GC time — a sequence of
-        engines in one process otherwise accumulates into spilling)."""
+        engines in one process otherwise accumulates into spilling).
+
+        Drains first: result fetches (``get_state_named``) are submitted
+        but not awaited when a ShardedIterativeResult is returned; actors
+        run tasks in submission order, so getting a trailing ``ping``
+        guarantees those outputs exist in plasma (driver-owned, they
+        outlive the actor) before the kill — otherwise the refs can
+        intermittently resolve to RayActorError when consumed later."""
+        pings = []
+        for s in self.shards:
+            try:
+                pings.append(s.ping.remote())
+            except Exception:
+                pass
+        try:
+            ray.get(pings)
+        except Exception:
+            pass
         for s in self.shards:
             try:
                 ray.kill(s)
