@@ -509,8 +509,11 @@ class CsrShard:
                     if self.src_is_hub.any() else np.empty(0, dtype=np.int64))
             cache = self._sps_cache = (hub_tok, local, pos, hpos)
         _, local, pos, hpos = cache
+        # 2-D state (n_owned, k) — multi-source Pregel (betweenness):
+        # trailing dims ride along through every gather below
+        tail = self.state.shape[1:] if mode == "raw" else ()
         out = np.empty(
-            self.src_u.shape[0],
+            (self.src_u.shape[0], *tail),
             dtype=self.state.dtype if mode == "raw"
             else (np.float64 if mode == "pagerank" else np.int64),
         )
@@ -713,26 +716,18 @@ class CsrShard:
             self._pg_edge_batch = pa.table(cols)
         return self._pg_edge_batch
 
-    def pregel_init(self, init, aux=None, reset_aux: bool = True) -> int:
-        """init: scalar | ndarray-over-owned | callable(owned_ids)→array.
+    def pregel_init(self, init, aux=None, reset_aux: bool = True,
+                    init_wants_aux: bool = False) -> int:
+        """init: scalar | ndarray-over-owned | callable(owned_ids)→array
+        (or callable(owned_ids, aux) with ``init_wants_aux`` — lets a
+        follow-up phase seed its state from accumulators a previous run
+        on this engine left behind, e.g. betweenness' backward pass).
         aux: dict name → (scalar | callable(owned_ids)→array) of
         persistent per-node accumulators the update hook mutates via ctx;
         reset_aux=False keeps existing accumulators across runs (e.g.
-        MSBFS waves accumulating one harmonic sum over many pregel runs)."""
+        MSBFS waves accumulating one harmonic sum over many pregel runs).
+        Aux is resolved BEFORE state so init_wants_aux sees it."""
         n = self.owned_ids.shape[0]
-        if callable(init):
-            self.state = np.asarray(init(self.owned_ids)).copy()
-        elif isinstance(init, np.ndarray):
-            self.state = init.copy()
-        else:
-            self.state = np.full(
-                n, init,
-                dtype=np.int64 if isinstance(init, (int, np.integer)) else np.float64,
-            )
-        # a fresh run starts with an all-active frontier (flags from a
-        # previous run on this engine would suppress the new init scatter)
-        self._pg_changed = None
-        self._pg_hub_changed = None
         cur = getattr(self, "_pg_aux", None)
         if aux is not None and (reset_aux or cur is None):
             self._pg_aux = {
@@ -744,6 +739,21 @@ class CsrShard:
             }
         elif aux is None and reset_aux:
             self._pg_aux = None
+        if callable(init):
+            got = (init(self.owned_ids, self._pg_aux) if init_wants_aux
+                   else init(self.owned_ids))
+            self.state = np.asarray(got).copy()
+        elif isinstance(init, np.ndarray):
+            self.state = init.copy()
+        else:
+            self.state = np.full(
+                n, init,
+                dtype=np.int64 if isinstance(init, (int, np.integer)) else np.float64,
+            )
+        # a fresh run starts with an all-active frontier (flags from a
+        # previous run on this engine would suppress the new init scatter)
+        self._pg_changed = None
+        self._pg_hub_changed = None
         return n
 
     def pregel_emit(self, hub_ids: np.ndarray, hub_vals: np.ndarray):
@@ -754,8 +764,18 @@ class CsrShard:
         ng = self.group_dst.shape[0]
         st = self._scaled_per_src(hub_ids, hub_vals, "raw")
         per_edge = st[self.edge_srcpos] if self.edge_srcpos.shape[0] else st[:0]
-        msg = (per_edge if pg["send"] is None
-               else np.asarray(pg["send"](per_edge, self._pregel_edge_table())))
+        if pg["send"] is None:
+            msg = per_edge
+        elif pg.get("send_wants_dst"):
+            # dst-state backfill (betweenness DAG masks): per-edge values
+            # of the DESTINATION endpoint, cached per dst group by
+            # backfill_absorb and expanded per edge here
+            gv = self._pg_dst_group_vals
+            dst_vals = (gv[self.dst_group] if self.dst_group.shape[0]
+                        else gv[:0])
+            msg = np.asarray(pg["send"](per_edge, self._pregel_edge_table(), dst_vals))
+        else:
+            msg = np.asarray(pg["send"](per_edge, self._pregel_edge_table()))
         is_int = pg["is_int"]
         keep = (np.ones(msg.shape[0], dtype=bool) if is_int
                 else np.isfinite(msg))
@@ -767,7 +787,14 @@ class CsrShard:
             cnts = np.empty(0, np.int64)
         elif combine == "sum":
             w = np.where(keep, msg, 0)
-            vals = np.bincount(self.dst_group, weights=w, minlength=ng)
+            if w.ndim == 1:
+                vals = np.bincount(self.dst_group, weights=w, minlength=ng)
+            else:
+                # 2-D (m, k) message matrix: one pairwise-summing reduceat
+                # per group along axis 0 (bincount is 1-D-only; the float
+                # drift vs sequential bincount is inside the consumers'
+                # rounding — betweenness oracles round to 6)
+                vals = np.add.reduceat(w, self.group_starts, axis=0)
             if is_int:
                 vals = vals.astype(np.int64)
         elif combine in ("min", "max"):
@@ -777,14 +804,15 @@ class CsrShard:
                 fill = np.inf if combine == "min" else -np.inf
             w = np.where(keep, msg, fill)
             op = np.minimum if combine == "min" else np.maximum
-            vals = op.reduceat(w, self.group_starts)
+            vals = op.reduceat(w, self.group_starts, axis=0)
         elif combine == "or":
             w = np.where(keep, msg, np.zeros(1, dtype=msg.dtype))
             vals = np.bitwise_or.reduceat(w, self.group_starts)
         else:
             raise ValueError(combine)
         if ng:
-            cnts = np.bincount(self.dst_group, weights=keep, minlength=ng).astype(np.int64)
+            k1 = keep if keep.ndim == 1 else keep.any(axis=1)
+            cnts = np.bincount(self.dst_group, weights=k1, minlength=ng).astype(np.int64)
         return vals, cnts
 
     def _pregel_active_per_edge(self) -> np.ndarray:
@@ -805,6 +833,70 @@ class CsrShard:
 
     def set_hub_changed(self, hub_changed: np.ndarray) -> None:
         self._pg_hub_changed = hub_changed
+
+    # ---------------- dst-state backfill ----------------
+    # Some send hooks need the DESTINATION endpoint's state per edge
+    # (weighted-betweenness DAG membership: dist[u] + w == dist[v] tests
+    # both ends). The static layout already records which owned ids each
+    # peer emits to — one reversed exchange ships those values back, and
+    # edge-holding shards cache them per dst group.
+
+    def backfill_emit(self, name: str | None = None):
+        """ONE coalesced object: this shard's owned state (or aux
+        ``name``) at every id peers emit to it, in incoming-layout order
+        (source-shard-major), with per-source-shard offsets."""
+        arr = self.state if name is None else self._pg_aux[name]
+        offsets = np.zeros(self.P + 1, np.int64)
+        offsets[1:] = np.cumsum(self._in_sizes)
+        return offsets, arr[self._in_pos]
+
+    def backfill_absorb(self, *emits) -> int:
+        """emits[j] = (offsets, vals) from dst-owner shard j; this
+        shard's slice is vals[offsets[sid]:offsets[sid+1]]. Concatenated
+        over j ascending that is exactly group order 0..ng-1 (groups are
+        sorted dst-shard-major at build) — cached per GROUP; pregel_emit
+        expands per edge via dst_group when send_wants_dst."""
+        sid = self.shard_id
+        segs = [v[off[sid]: off[sid + 1]] for off, v in emits]
+        allv = (np.concatenate(segs, axis=0) if segs
+                else np.empty(0))
+        assert allv.shape[0] == self.group_dst.shape[0], \
+            "backfill misaligned with dst groups"
+        self._pg_dst_group_vals = allv
+        return int(allv.shape[0])
+
+    def aux_reduce_max(self, name: str) -> float:
+        """Scalar max over an aux accumulator (e.g. deepest BFS level)."""
+        a = self._pg_aux[name]
+        return float(a.max()) if a.size else float("-inf")
+
+    def acc_add_rowsum(self, name: str, scale: float = 1.0) -> None:
+        """Add an aux accumulator's row-sum × scale into a per-node
+        running total that SURVIVES aux resets — betweenness accumulates
+        Σ_s δ_s(v) across source batches this way, so per-shard memory
+        stays O(n/P · batch) however many sources run."""
+        a = self._pg_aux[name]
+        v = (a.sum(axis=1) if a.ndim == 2 else a.astype(np.float64)) * scale
+        acc = getattr(self, "_acc_rowsum", None)
+        self._acc_rowsum = v if acc is None else acc + v
+
+    def acc_table(self, value_name: str) -> pa.Table:
+        """The running total as this shard's result partition."""
+        v = getattr(self, "_acc_rowsum", None)
+        if v is None:
+            v = np.zeros(self.owned_ids.shape[0])
+        return pa.table({"node_id": pa.array(self.owned_ids, pa.int64()),
+                         value_name: pa.array(v, pa.float64())})
+
+    def aux_rowsum_table(self, name: str, value_name: str,
+                         scale: float = 1.0) -> pa.Table:
+        """This shard's (node_id, sum-over-axis-1 × scale) result
+        partition from a 2-D aux accumulator — the multi-source reduction
+        (betweenness: Σ_s δ_s(v) · ½) computed where the state lives."""
+        a = self._pg_aux[name]
+        v = (a.sum(axis=1) if a.ndim == 2 else a.astype(np.float64)) * scale
+        return pa.table({"node_id": pa.array(self.owned_ids, pa.int64()),
+                         value_name: pa.array(v, pa.float64())})
 
     def get_changed_flags(self, ids: np.ndarray) -> np.ndarray:
         ch = getattr(self, "_pg_changed", None)
@@ -837,15 +929,24 @@ class CsrShard:
             fill0 = (-INT64_MAX if is_int else -np.inf)
         else:  # or
             fill0 = 0
-        combined = np.full(n, fill0, dtype=vals.dtype if vals.shape[0] else st_dtype)
+        # trailing dims follow the MESSAGE width (may differ from the
+        # state width — betweenness phases carry 2k state, k messages)
+        combined = np.full((n, *vals.shape[1:]), fill0,
+                           dtype=vals.dtype if vals.shape[0] else st_dtype)
         if vals.shape[0]:
             if combine == "sum":
-                acc = np.bincount(self._in_pos, weights=vals, minlength=n)
-                combined = acc.astype(st_dtype) if is_int else acc
+                if vals.ndim == 1:
+                    acc = np.bincount(self._in_pos, weights=vals, minlength=n)
+                    combined = acc.astype(st_dtype) if is_int else acc
+                else:
+                    sv = vals[self._in_order]
+                    segs = np.add.reduceat(sv, self._seg_starts, axis=0)
+                    combined = np.zeros((n, *vals.shape[1:]), dtype=sv.dtype)
+                    combined[self._seg_pos] = segs
             else:
                 sv = vals[self._in_order]
                 op = {"min": np.minimum, "max": np.maximum, "or": np.bitwise_or}[combine]
-                segs = op.reduceat(sv, self._seg_starts)
+                segs = op.reduceat(sv, self._seg_starts, axis=0)
                 combined[self._seg_pos] = segs
             cm = np.bincount(self._in_pos, weights=cnts, minlength=n)
             has_msg = cm > 0

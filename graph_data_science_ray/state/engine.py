@@ -133,7 +133,8 @@ def _assemble_hub_values(n_hubs: int, masks, transform, *parts):
     apply the (pure, picklable) transform — the pipelined twin of
     CsrEngine._hub_values, run as a task so its output REF can feed the
     next iteration's emits without a driver round-trip."""
-    vals = np.empty(n_hubs, dtype=parts[0].dtype if parts else np.float64)
+    vals = np.empty((n_hubs, *(parts[0].shape[1:] if parts else ())),
+                    dtype=parts[0].dtype if parts else np.float64)
     for m, v in zip(masks, parts):
         vals[m] = v
     if transform is not None and vals.shape[0]:
@@ -415,8 +416,10 @@ class CsrEngine:
                 futs.append((m, self.shards[b].get_values.remote(self.hub_ids[m])))
         got = ray.get([f for _, f in futs])  # one batched get, not P serial round-trips
         parts = list(zip((m for m, _ in futs), got))
-        # dtype follows the shard state (float64 ranks, int64 labels)
-        vals = np.empty(self.hub_ids.shape[0], dtype=parts[0][1].dtype)
+        # dtype/trailing dims follow the shard state (float64 ranks,
+        # int64 labels, (·, k) multi-source matrices)
+        vals = np.empty((self.hub_ids.shape[0], *parts[0][1].shape[1:]),
+                        dtype=parts[0][1].dtype)
         for m, v in parts:
             vals[m] = v
         return vals
@@ -644,6 +647,9 @@ class CsrEngine:
         on_global=None,
         registered: bool = False,
         residual: str | None = None,
+        init_wants_aux: bool = False,
+        send_wants_dst: bool = False,
+        fetch_state: bool = True,
     ) -> ShardedIterativeResult:
         """Sharded-state Pregel (the scale path behind algos/iterate.
         pregel backend="csr"): user hooks run inside the CSR shard
@@ -666,6 +672,15 @@ class CsrEngine:
         - ``registered=True`` skips re-shipping hooks (repeat runs on the
           same engine, e.g. MSBFS waves); ``reset_aux=False`` keeps the
           aux accumulators across runs.
+        - 2-D extensions (multi-source algorithms — betweenness): state
+          may be an (n_owned, k) matrix (callable init returning 2-D;
+          pass ``is_int`` explicitly); ``init_wants_aux`` calls
+          ``init(ids, aux)`` so a phase can seed from a previous run's
+          accumulators; ``send_wants_dst`` passes the per-edge
+          DESTINATION values cached by ``backfill_dst`` as a third send
+          argument; ``fetch_state=False`` skips the final per-shard
+          state fetch (2-D state isn't a result column — read reductions
+          via ``aux_rowsum_dataset``). ``frontier`` is 1-D-only.
         """
         if combine not in ("sum", "min", "max", "or"):
             raise ValueError("combine must be sum|min|max|or")
@@ -677,6 +692,9 @@ class CsrEngine:
         if (master_partial is None) != (master_finish is None):
             raise ValueError("master_partial and master_finish go together")
         if is_int is None:
+            if init_wants_aux:
+                raise ValueError("init_wants_aux needs an explicit is_int "
+                                 "(the probe cannot supply aux)")
             probe = (init(np.empty(0, np.int64)) if callable(init) else init)
             is_int = not np.issubdtype(np.asarray(probe).dtype, np.floating)
         if residual is None:
@@ -689,9 +707,11 @@ class CsrEngine:
                 "is_int": bool(is_int), "wants_ctx": wants_ctx,
                 "frontier": frontier, "master_partial": master_partial,
                 "master_finish": master_finish, "residual": residual,
+                "send_wants_dst": send_wants_dst,
             }
             ray.get([s.register_pregel.remote(payload) for s in self.shards])
-        ray.get([s.pregel_init.remote(init, aux, reset_aux) for s in self.shards])
+        ray.get([s.pregel_init.remote(init, aux, reset_aux, init_wants_aux)
+                 for s in self.shards])
 
         have_hubs = self.hub_ids.shape[0] > 0
         empty_hub = np.empty(0, dtype=np.float64)
@@ -729,8 +749,32 @@ class CsrEngine:
                 converged = True
                 break
 
-        refs = [s.get_state_named.remote(value_name, False) for s in self.shards]
+        refs = ([s.get_state_named.remote(value_name, False) for s in self.shards]
+                if fetch_state else [])
         return ShardedIterativeResult(refs, value_name, iteration + 1, converged, metrics)
+
+    def backfill_dst(self, name: str | None = None) -> None:
+        """Reverse the static layout ONCE: every dst owner ships its
+        current state (or aux ``name``) back to the shards whose edges
+        point at it; each shard caches the values per dst group. One
+        object per shard, same coalescing as the forward exchange. Run
+        between phases whose send hooks need both endpoints
+        (``send_wants_dst``)."""
+        emits = [s.backfill_emit.remote(name) for s in self.shards]
+        ray.get([s.backfill_absorb.remote(*emits) for s in self.shards])
+
+    def aux_max(self, name: str) -> float:
+        """Global max over an aux accumulator (per-shard max → driver)."""
+        return max(ray.get([s.aux_reduce_max.remote(name) for s in self.shards]))
+
+    def aux_rowsum_dataset(self, name: str, value_name: str, scale: float = 1.0):
+        """Multi-source reduction of a 2-D aux accumulator as a sharded
+        Dataset (node_id, value_name) — one block per shard."""
+        import ray.data
+
+        return ray.data.from_arrow_refs(
+            [s.aux_rowsum_table.remote(name, value_name, scale) for s in self.shards]
+        )
 
     def pregel_aux_dataset(self, names: list[str]):
         """The persistent aux accumulators as a sharded Dataset

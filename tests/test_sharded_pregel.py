@@ -242,3 +242,40 @@ def test_csr_pregel_rejects_full_vector_master():
     with pytest.raises(ValueError, match="two-phase"):
         pregel(_edges(50, seed=1), None, lambda s, c, h, i: c, init=1.0,
                master=lambda v: v, backend="csr")
+
+
+def test_betweenness_csr_matches_dataflow():
+    """2-D sharded Brandes (round 4): csr == dataflow on unweighted,
+    weighted, and the multi-batch all-sources path (source_batch chunks
+    exercise the shard-side accumulator)."""
+    from graph_data_science_ray.algos.betweenness import (
+        betweenness_centrality,
+        betweenness_centrality_weighted,
+    )
+
+    t = fixtures.powerlaw(150, seed=31)
+    ids = np.unique(np.concatenate([
+        t.column("src_id").to_numpy(), t.column("dst_id").to_numpy()]))
+    srcs = ids[:24]
+    a = betweenness_centrality(from_arrow(t), sources=srcs, backend="dataflow")
+    b = betweenness_centrality(from_arrow(t), sources=srcs, backend="csr",
+                               num_shards=3)
+    assert a.column("node_id").to_pylist() == b.column("node_id").to_pylist()
+    assert np.allclose(a.column("betweenness").to_numpy(),
+                       b.column("betweenness").to_numpy(), atol=1e-9)
+
+    rng = np.random.default_rng(9)
+    tw = t.append_column(
+        "weight", pa.array(rng.integers(1, 6, t.num_rows).astype(np.float64)))
+    aw = betweenness_centrality_weighted(from_arrow(tw), sources=srcs,
+                                         backend="dataflow")
+    bw = betweenness_centrality_weighted(from_arrow(tw), sources=srcs,
+                                         backend="csr", num_shards=3)
+    assert np.allclose(aw.column("betweenness").to_numpy(),
+                       bw.column("betweenness").to_numpy(), atol=1e-9)
+
+    # all sources → two 64-wide batches through the running accumulator
+    c = betweenness_centrality(from_arrow(t), backend="csr", num_shards=3)
+    d = betweenness_centrality(from_arrow(t), backend="dataflow")
+    assert np.allclose(c.column("betweenness").to_numpy(),
+                       d.column("betweenness").to_numpy(), atol=1e-8)
