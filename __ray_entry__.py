@@ -4189,6 +4189,10 @@ def _maxkcut_sql(k: int = 4, rounds: int = 48, seed: int = 42) -> str:
     phase-round 27 on sf0.01; engine cap 120) reproduces the engine's
     early-broken loop exactly."""
     mixv = _sql_mix64(f"xor(CAST(v AS UBIGINT), CAST({seed} AS UBIGINT))")
+    # phase classes are a pure id hash (mix64(v ⊕ seed+1) mod 4) — the
+    # round-4 sharded backend needs no global rank, and the engine's
+    # dataflow path uses the same function (bit-for-bit)
+    mixc = _sql_mix64(f"xor(CAST(v AS UBIGINT), CAST({seed + 1} AS UBIGINT))")
     ks = ", ".join(f"({c})" for c in range(k))
     parts = [
         f"WITH eraw AS ({_E_PS}),",
@@ -4198,7 +4202,7 @@ def _maxkcut_sql(k: int = 4, rounds: int = 48, seed: int = 42) -> str:
         "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM epair "
         "UNION ALL SELECT hi, lo FROM epair),",
         "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
-        "nrk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes),",
+        f"nrk AS MATERIALIZED (SELECT v, CAST(({mixc}) % 4 AS BIGINT) AS rk FROM nodes),",
         f"ks(c) AS (VALUES {ks}),",
         f"a0 AS MATERIALIZED (SELECT v, CAST(({mixv}) % {k} AS BIGINT) AS c FROM nodes),",
     ]

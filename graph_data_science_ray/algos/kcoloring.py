@@ -75,11 +75,70 @@ def _mex_per_node(node: np.ndarray, color: np.ndarray, node_ids: np.ndarray) -> 
     return out
 
 
+def _k1coloring_csr(
+    edges: Dataset,
+    max_iterations: int,
+    num_partitions: int | None,
+    num_shards: int | None,
+) -> ColoringResult:
+    """Sharded Gebremedhin–Manne (round-4 migration): color state lives
+    on the CSR shard actors; each iteration is two keyed exchanges of
+    distinct (dst, neighbor-color, min-src) rows — assign (mex) then
+    conflict detect — with the driver moving only refs and the active
+    count. No node vector or per-round ``ray.put`` on the driver."""
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    configure_ray_data()
+    sym = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions))
+    engine = CsrEngine.build(sym, num_shards=num_shards or 8)
+    shards, P = engine.shards, engine.P
+    hub_i = np.empty(0, dtype=np.int64)
+    hub_v = np.empty(0, dtype=np.float64)
+    ray.get([s.init_state.remote("minus_ones") for s in shards])
+
+    def exchange(apply_kind: str) -> list[float]:
+        emits = [s.emit.options(num_returns=P).remote("color_pairs", hub_i, hub_v)
+                 for s in shards]
+        if P == 1:
+            emits = [[e] for e in emits]
+        return ray.get([
+            shards[j].apply.remote(apply_kind, 0.0, *[emits[i][j] for i in range(P)])
+            for j in range(P)
+        ])
+
+    iteration = 0
+    converged = False
+    for iteration in range(1, max_iterations + 1):
+        exchange("color_mex")
+        n_active = sum(exchange("color_detect"))
+        if n_active == 0:
+            converged = True
+            break
+
+    refs = [s.get_state_named.remote("color", True) for s in shards]
+    parts = ray.get(refs)
+    engine.shutdown()
+    t = pa.concat_tables(parts)
+    ids = t.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t.column("color").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, col = ids[order], col[order]
+    n_colors = int(np.unique(col).shape[0]) if ids.shape[0] else 0
+    return ColoringResult(ids, col, iteration, converged, n_colors)
+
+
 def k1coloring(
     edges: Dataset,
     max_iterations: int = 100,
     num_partitions: int | None = None,
+    backend: str = "csr",
+    num_shards: int | None = None,
 ) -> ColoringResult:
+    """``backend="csr"`` (default since round 4): sharded speculative
+    coloring — see ``_k1coloring_csr``; ``backend="dataflow"`` keeps the
+    broadcast-state scan loop (parity-tested equal)."""
+    if backend == "csr":
+        return _k1coloring_csr(edges, max_iterations, num_partitions, num_shards)
     configure_ray_data()
     sym = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions)).materialize()
     node_ids = unique_node_ids(edges)

@@ -8,7 +8,9 @@ the deterministic analogue of its Louvain/Leiden machinery:
 
 - initial assignment: ``splitmix64(node_id ⊕ seed) mod k`` (the
   deterministic stand-in for the reference's random init);
-- phased synchronous local moving (position mod C classes): a node
+- phased synchronous local moving (``splitmix64(node_id ⊕ seed+1) mod
+  C`` classes — a pure id function, so the class assignment needs no
+  global rank and shards identically at any scale): a node
   moves to the community where its incident weight is SMALLEST
   (maximizing its cut contribution), ties to the smallest community id;
 - the move set is accepted only if the exact recomputed cut weight
@@ -67,6 +69,74 @@ class MaxKCutResult:
         )
 
 
+def _max_k_cut_csr(sym: Dataset, k: int, max_rounds: int, seed: int,
+                   num_shards: int | None) -> MaxKCutResult:
+    """Sharded local search (round-4 migration): community vector and
+    (n × k) incident-weight matrix live on the CSR shard actors; a round
+    is one label_votes keyed exchange under the shard-side tentative
+    assignment, with the driver reducing only (total, intra) scalars for
+    the global accept test — identical move/accept math to the dataflow
+    loop (parity-tested on integer-weight cuts)."""
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    engine = CsrEngine.build(sym, num_shards=num_shards or 8, weighted=True)
+    shards, P = engine.shards, engine.P
+    hub_i = np.empty(0, dtype=np.int64)
+    hub_v = np.empty(0, dtype=np.float64)
+    C = 4
+    ray.get([s.maxkcut_init.remote(k, seed, C) for s in shards])
+
+    def exchange() -> tuple[float, float]:
+        emits = [s.emit.options(num_returns=P).remote("label_votes", hub_i, hub_v)
+                 for s in shards]
+        if P == 1:
+            emits = [[e] for e in emits]
+        parts = ray.get([
+            shards[j].apply.remote("maxkcut_gather", 0.0,
+                                   *[emits[i][j] for i in range(P)])
+            for j in range(P)
+        ])
+        return (sum(p[0] for p in parts), sum(p[1] for p in parts))
+
+    # initial gather under the hash-seeded assignment
+    ray.get([s.maxkcut_propose.remote(-1) for s in shards])  # state ← comm
+    total_sym, intra_sym = exchange()
+    ray.get([s.maxkcut_commit.remote(True) for s in shards])
+    cut = (total_sym - intra_sym) / 2.0
+    total_w = total_sym / 2.0
+
+    stall = 0
+    rounds = 0
+    for rnd in range(max_rounds * C):
+        ph = rnd % C
+        movers = sum(ray.get([s.maxkcut_propose.remote(ph) for s in shards]))
+        if movers == 0:
+            stall += 1
+            if stall >= C:
+                break
+            continue
+        _, intra2 = exchange()
+        new_cut = (total_sym - intra2) / 2.0
+        rounds = rnd + 1
+        if new_cut <= cut + 1e-12:
+            ray.get([s.maxkcut_commit.remote(False) for s in shards])
+            stall += 1
+            if stall >= C:
+                break
+            continue
+        ray.get([s.maxkcut_commit.remote(True) for s in shards])
+        cut, stall = new_cut, 0
+
+    refs = [s.get_state_named.remote("community", True) for s in shards]
+    parts = ray.get(refs)
+    engine.shutdown()
+    t = pa.concat_tables(parts)
+    ids = t.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    comm = t.column("community").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    return MaxKCutResult(ids[order], comm[order], cut, total_w, rounds)
+
+
 def approx_max_k_cut(
     edges: Dataset,
     k: int = 2,
@@ -74,6 +144,8 @@ def approx_max_k_cut(
     weighted: bool = False,
     seed: int = 42,
     num_partitions: int | None = None,
+    backend: str = "csr",
+    num_shards: int | None = None,
 ) -> MaxKCutResult:
     configure_ray_data()
     num_partitions = num_partitions or shuffle_partitions_for()
@@ -106,6 +178,8 @@ def approx_max_k_cut(
         .aggregate(agg)
     )
     sym = symmetrize(und.materialize(), dedup=False).materialize()
+    if backend == "csr":
+        return _max_k_cut_csr(sym, k, max_rounds, seed, num_shards)
     node_ids = unique_node_ids(sym)
     n = node_ids.shape[0]
     if n == 0:
@@ -133,13 +207,14 @@ def approx_max_k_cut(
     total_w = total_sym / 2.0
 
     C = 4
+    cls = (_mix(node_ids.astype(np.uint64) ^ np.uint64(seed + 1)) % np.uint64(C)).astype(np.int64)
     stall = 0
     rounds = 0
     for rnd in range(max_rounds * C):
         ph = rnd % C
         best = np.argmin(M, axis=1)  # argmin ties → smallest community
         gain = M[np.arange(n), comm] - M[np.arange(n), best]
-        movers = (best != comm) & (gain > 1e-12) & (np.arange(n) % C == ph)
+        movers = (best != comm) & (gain > 1e-12) & (cls == ph)
         if not movers.any():
             stall += 1
             if stall >= C:

@@ -60,13 +60,66 @@ class SllpaResult:
         return t.filter(mask).column("label").to_pylist()
 
 
+def _sllpa_csr(
+    edges: Dataset,
+    max_iterations: int,
+    threshold: float,
+    seed: int,
+    num_partitions: int | None,
+    num_shards: int | None,
+) -> SllpaResult:
+    """Sharded SLLPA (round-4 migration): the (n × (T+1)) label memory
+    lives on the CSR shard actors — the driver previously re-broadcast
+    it EVERY round (the standing-assumption shape at its worst, n×T).
+    One keyed (listener, label, count) exchange per round; the hash-slot
+    speaker draw, argmax merge, and threshold post-process all run
+    shard-side, bit-for-bit the dataflow math (parity-tested)."""
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    configure_ray_data()
+    sym = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions))
+    engine = CsrEngine.build(sym, num_shards=num_shards or 8)
+    shards, P = engine.shards, engine.P
+    T = max_iterations
+    hub_i = np.empty(0, dtype=np.int64)
+    hub_v = np.empty(0, dtype=np.float64)
+    ray.get([s.sllpa_init.remote(T) for s in shards])
+    for t in range(1, T + 1):
+        emits = [s.sllpa_emit.options(num_returns=P).remote(t, seed, hub_i, hub_v)
+                 for s in shards]
+        if P == 1:
+            emits = [[e] for e in emits]
+        ray.get([
+            shards[j].sllpa_apply.remote(t, *[emits[i][j] for i in range(P)])
+            for j in range(P)
+        ])
+    parts = ray.get([s.sllpa_result.remote(T, threshold) for s in shards])
+    own = ray.get([s.get_owned_ids.remote() for s in shards])
+    engine.shutdown()
+    t_all = pa.concat_tables(parts)
+    node = t_all.column("node_id").to_numpy(zero_copy_only=False)
+    lab = t_all.column("label").to_numpy(zero_copy_only=False)
+    order = np.lexsort((lab, node))
+    memberships = t_all.take(pa.array(order, pa.int64()))
+    node_ids = np.sort(np.concatenate(own)) if own else np.empty(0, np.int64)
+    return SllpaResult(node_ids, memberships, T)
+
+
 def sllpa(
     edges: Dataset,
     max_iterations: int = 20,
     threshold: float = 0.1,
     seed: int = 42,
     num_partitions: int | None = None,
+    backend: str = "csr",
+    num_shards: int | None = None,
 ) -> SllpaResult:
+    """``backend="csr"`` (default since round 4): sharded label memory —
+    see ``_sllpa_csr``; ``backend="dataflow"`` keeps the broadcast-state
+    loop (parity-tested equal)."""
+    if backend == "csr":
+        return _sllpa_csr(edges, max_iterations, threshold, seed,
+                          num_partitions, num_shards)
     configure_ray_data()
     sym = drop_self_loops(
         symmetrize(edges, dedup=True, num_partitions=num_partitions)
@@ -91,7 +144,7 @@ def sllpa(
             h = _mix(
                 src.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
                 ^ dst.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                ^ np.uint64((_round * 0x85EBCA6B + 42 * 0x27D4EB2F) & 0xFFFFFFFFFFFFFFFF)
+                ^ np.uint64((_round * 0x85EBCA6B + seed * 0x27D4EB2F) & 0xFFFFFFFFFFFFFFFF)
             )
             slot = (h % np.uint64(rnd)).astype(np.int64)
             label = mem[sp, slot]

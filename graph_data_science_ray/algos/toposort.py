@@ -72,11 +72,56 @@ class LongestPathResult:
         )
 
 
+def _topo_csr_run(edges: Dataset, max_rounds: int, num_shards: int | None):
+    """Kahn peeling as a sharded sum-Pregel (round-4 migration): state is
+    the per-node peel level (-1 = active), a round's message is 1 per
+    still-active source, and a node peels when its active in-degree sum
+    hits zero — no driver-resident node vector, no per-round ray.put.
+    The peel level lands in the ``level`` aux so a follow-up phase
+    (longest_path) can seed from it on the same engine."""
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    engine = CsrEngine.build(edges, num_shards=num_shards or 8,
+                             weighted=False)
+
+    def init(ids):
+        return np.full(ids.shape[0], -1, np.int64)
+
+    def send(s, b):
+        return (s == -1).astype(np.int64)
+
+    def upd(state, combined, has_msg, ids, ctx):
+        peel = (state == -1) & (combined == 0)
+        new = np.where(peel, ctx.iteration, state)
+        ctx.aux["level"][...] = new
+        return new
+
+    res = engine.pregel(
+        send, upd, init, combine="sum", is_int=True, residual="changed",
+        wants_ctx=True, aux={"level": -1}, max_iterations=max_rounds,
+        tolerance=0.0, value_name="level",
+    )
+    return engine, res
+
+
+def _topo_result_from(res) -> TopoResult:
+    t = pa.concat_tables(ray.get(res._state_refs))
+    ids = t.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lev = t.column("level").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, lev = ids[order], lev[order]
+    acyclic = lev >= 0
+    return TopoResult(ids[acyclic], lev[acyclic], bool((~acyclic).any()),
+                      res.iterations)
+
+
 def longest_path(
     edges: Dataset,
     weighted: bool = False,
     max_rounds: int = 100_000,
     num_partitions: int | None = None,
+    backend: str = "csr",
+    num_shards: int | None = None,
 ) -> LongestPathResult:
     """``gds.dag.longestPath`` semantics [GDS-pub: algo/.../dag/]: for
     every node of the DAG, the maximum total cost over all paths from
@@ -90,7 +135,13 @@ def longest_path(
     round is one streamed edge scan with a per-batch max combiner
     (shuffle volume bounded by the level's in-neighborhood, not E);
     rounds = DAG depth, the same bound as the peel itself.
+
+    ``backend="csr"`` (default): both phases run on ONE sharded engine —
+    the peel Pregel leaves levels in shard aux, the relax phase seeds
+    from them (init_wants_aux) and finalizes exactly level r at round r.
     """
+    if backend == "csr":
+        return _longest_path_csr(edges, weighted, max_rounds, num_shards)
     configure_ray_data()
     edges = edges.materialize()
     topo = topological_sort(edges, max_rounds=max_rounds, num_partitions=num_partitions)
@@ -143,11 +194,99 @@ def longest_path(
     return LongestPathResult(node_ids, dist, topo.has_cycle_nodes, depth)
 
 
+def _longest_path_csr(edges: Dataset, weighted: bool, max_rounds: int,
+                      num_shards: int | None) -> LongestPathResult:
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    configure_ray_data()
+    if weighted:
+        # the peel needs no weights but the relax phase's send does;
+        # build the ONE engine weighted so the edge table carries them
+        engine = CsrEngine.build(edges, num_shards=num_shards or 8, weighted=True)
+    else:
+        engine = CsrEngine.build(edges, num_shards=num_shards or 8)
+    # phase 1: peel (same hooks as topological_sort)
+    def init(ids):
+        return np.full(ids.shape[0], -1, np.int64)
+
+    def send(s, b):
+        return (s == -1).astype(np.int64)
+
+    def upd(state, combined, has_msg, ids, ctx):
+        peel = (state == -1) & (combined == 0)
+        new = np.where(peel, ctx.iteration, state)
+        ctx.aux["level"][...] = new
+        return new
+
+    topo_res = engine.pregel(
+        send, upd, init, combine="sum", is_int=True, residual="changed",
+        wants_ctx=True, aux={"level": -1}, max_iterations=max_rounds,
+        tolerance=0.0, value_name="level", fetch_state=False,
+    )
+    depth_raw = engine.aux_max("level")
+    depth = int(depth_raw) if np.isfinite(depth_raw) and depth_raw > 0 else 0
+
+    # phase 2: max-relax, one round finalizes exactly one level (a
+    # level-r node's predecessors all sit at levels < r, already final;
+    # not-yet-final senders carry -inf and are mask-filtered)
+    def init_dist(ids, aux):
+        return np.where(aux["level"] == 0, 0.0, -np.inf)
+
+    if weighted:
+        def send_relax(s, b):
+            w = b.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            return s + w
+    else:
+        def send_relax(s, b):
+            return s + 1.0
+
+    def upd_relax(state, combined, has_msg, ids, ctx):
+        mask = ctx.aux["level"] == ctx.iteration + 1
+        return np.where(mask, combined, state)
+
+    if depth > 0:
+        res = engine.pregel(
+            send_relax, upd_relax, init_dist, combine="max", is_int=False,
+            residual="changed", wants_ctx=True, aux=None, reset_aux=False,
+            init_wants_aux=True, max_iterations=depth, tolerance=-1.0,
+            value_name="cost",
+        )
+        state_refs = res._state_refs
+    else:
+        # dist never needed a relax round: seed state directly, read it
+        ray.get([s.pregel_init.remote(init_dist, None, False, True)
+                 for s in engine.shards])
+        state_refs = [s.get_state_named.remote("cost", False)
+                      for s in engine.shards]
+    lev_refs = [s.get_aux_named.remote(["level"]) for s in engine.shards]
+    cost_t = pa.concat_tables(ray.get(state_refs))
+    lev_t = pa.concat_tables(ray.get(lev_refs))
+    engine.shutdown()
+    ids = cost_t.column("node_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    cost = cost_t.column("cost").to_numpy(zero_copy_only=False)
+    lev = lev_t.column("level").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, cost, lev = ids[order], cost[order], lev[order]
+    acyclic = lev >= 0
+    return LongestPathResult(ids[acyclic], cost[acyclic],
+                             bool((~acyclic).any()), depth)
+
+
 def topological_sort(
     edges: Dataset,
     max_rounds: int = 100_000,
     num_partitions: int | None = None,
+    backend: str = "csr",
+    num_shards: int | None = None,
 ) -> TopoResult:
+    """``backend="csr"`` (default since round 4): Kahn peeling as a
+    sharded sum-Pregel — see ``_topo_csr_run``; ``backend="dataflow"``
+    is the broadcast-state scan loop (parity-tested)."""
+    if backend == "csr":
+        engine, res = _topo_csr_run(edges, max_rounds, num_shards)
+        out = _topo_result_from(res)
+        engine.shutdown()
+        return out
     configure_ray_data()
     edges = edges.materialize()
     node_ids = unique_node_ids(edges)

@@ -313,6 +313,9 @@ class CsrShard:
             # the symmetrized deduped build (int64 — core values are ids'
             # peers in exactness, never float)
             self.state = np.rint(self.owned_out_w).astype(np.int64)
+        elif kind == "minus_ones":
+            # speculative-coloring init: -1 = uncolored/active
+            self.state = np.full(self.owned_ids.shape[0], -1, dtype=np.int64)
         else:
             raise ValueError(kind)
 
@@ -590,6 +593,39 @@ class CsrShard:
                     )
                 )
             return tuple(out)
+        if kind == "color_pairs":
+            # K-1 coloring (round-4 sharded): ship distinct
+            # (dst, neighbor color) pairs with the MIN contributing src
+            # id — ONE row set serves both phases: the mex assign (color
+            # set) and the conflict detect (v loses iff its color appears
+            # with min_src < v; on the symmetrized table the other
+            # endpoint sees the mirror edge, so receiver-side-only
+            # detection is exact)
+            col = self._scaled_per_src(hub_ids, hub_vals, "label")
+            per_edge = col[self.edge_srcpos]
+            src_ids = self.src_u[self.edge_srcpos]
+            keep = per_edge >= 0  # uncolored neighbors forbid nothing
+            grp0, c0, s0 = self.dst_group[keep], per_edge[keep], src_ids[keep]
+            order, u_grp, u_col, gid = group_pairs(grp0, c0)
+            s_sorted = s0[order]
+            if gid.shape[0]:
+                firsts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+                mins = np.minimum.reduceat(s_sorted, firsts)
+            else:
+                mins = np.empty(0, np.int64)
+            out = []
+            for s, (lo, hi) in enumerate(self.group_shard_slices):
+                m = (u_grp >= lo) & (u_grp < hi)
+                out.append(
+                    pa.table(
+                        {
+                            "node_id": pa.array(self.group_dst[u_grp[m]], pa.int64()),
+                            "val": pa.array(u_col[m], pa.int64()),
+                            "ms": pa.array(mins[m], pa.int64()),
+                        }
+                    )
+                )
+            return tuple(out)
         if kind == "label_votes":
             labels = self._scaled_per_src(hub_ids, hub_vals, "label")
             per_edge = labels[self.edge_srcpos]
@@ -660,6 +696,54 @@ class CsrShard:
             changed = float((new != self.state).sum())
             self.state = new
             return changed
+        if kind == "color_mex":
+            from graph_data_science_ray.algos.kcoloring import _mex_per_node
+
+            active = getattr(self, "_color_active", None)
+            if active is None:
+                active = np.ones(n, dtype=bool)
+            mex = np.zeros(n, dtype=np.int64)
+            if t is not None and t.num_rows:
+                ids = t.column("node_id").to_numpy(zero_copy_only=False)
+                col = t.column("val").to_numpy(zero_copy_only=False)
+                # duplicates across source shards are fine: _mex_per_node
+                # dedups (node, color) internally
+                mex = _mex_per_node(ids, col, self.owned_ids)
+            new = np.where(active, mex, self.state)
+            changed = float((new != self.state).sum())
+            self.state = new
+            return changed
+        if kind == "color_detect":
+            active = np.zeros(n, dtype=bool)
+            if t is not None and t.num_rows:
+                ids = t.column("node_id").to_numpy(zero_copy_only=False)
+                col = t.column("val").to_numpy(zero_copy_only=False)
+                ms = t.column("ms").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.owned_ids, ids)
+                hit = (col == self.state[pos]) & (ms < self.owned_ids[pos])
+                active[pos[hit]] = True
+            self._color_active = active
+            return float(active.sum())
+        if kind == "maxkcut_gather":
+            # incoming label_votes rows under the TENTATIVE assignment
+            # (shard state): dense (n_owned × k) incident-weight matrix
+            # plus (total, intra) partials for the driver's global
+            # accept decision. Unweighted cuts are integer-valued, so
+            # partial-order float drift is exact there.
+            mk = self._mkc
+            M2 = np.zeros((n, mk["k"]))
+            total = 0.0
+            intra = 0.0
+            if t is not None and t.num_rows:
+                ids = t.column("node_id").to_numpy(zero_copy_only=False)
+                labels = t.column("label").to_numpy(zero_copy_only=False)
+                vals = t.column("val").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.owned_ids, ids)
+                np.add.at(M2, (pos, labels), vals)
+                total = float(vals.sum())
+                intra = float(vals[self.state[pos] == labels].sum())
+            mk["M2"] = M2
+            return total, intra
         if kind == "label_argmax":
             new = self.state.copy()
             if t is not None and t.num_rows:
@@ -1004,6 +1088,149 @@ class CsrShard:
         for k in names:
             cols[k] = pa.array(aux[k])
         return pa.table(cols)
+
+    # ---------------- max-k-cut local search ----------------
+    # Community + incident-weight matrix shard-resident; the driver
+    # moves only phase numbers, mover counts, and the (total, intra)
+    # scalars of the global accept test (algos/maxkcut.py drives this).
+
+    def maxkcut_init(self, k: int, seed: int, C: int) -> int:
+        from graph_data_science_ray.algos.maxkcut import _mix
+
+        own = self.owned_ids
+        comm = (_mix(own.astype(np.uint64) ^ np.uint64(seed)) % np.uint64(k)).astype(np.int64)
+        cls = (_mix(own.astype(np.uint64) ^ np.uint64(seed + 1)) % np.uint64(C)).astype(np.int64)
+        self._mkc = {"k": k, "comm": comm, "cls": cls,
+                     "M": np.zeros((own.shape[0], k))}
+        self.state = comm.copy()
+        return own.shape[0]
+
+    def maxkcut_propose(self, ph: int) -> int:
+        """Tentative phase move into shard state (emit gathers it);
+        returns the shard's mover count."""
+        mk = self._mkc
+        M, comm, cls = mk["M"], mk["comm"], mk["cls"]
+        n = comm.shape[0]
+        if n == 0:
+            self.state = comm.copy()
+            return 0
+        best = np.argmin(M, axis=1)  # ties → smallest community id
+        gain = M[np.arange(n), comm] - M[np.arange(n), best]
+        movers = (best != comm) & (gain > 1e-12) & (cls == ph)
+        tent = comm.copy()
+        tent[movers] = best[movers]
+        self.state = tent
+        return int(movers.sum())
+
+    def maxkcut_commit(self, accept: bool) -> None:
+        mk = self._mkc
+        if accept:
+            mk["comm"] = self.state.copy()
+            mk["M"] = mk.pop("M2")
+        else:
+            self.state = mk["comm"].copy()
+            mk.pop("M2", None)
+
+    # ---------------- SLLPA (speaker-listener LPA) ----------------
+    # Overlapping-community label memory as SHARD state: (n_owned, T+1)
+    # int64, one keyed (listener, label, count) exchange per round with
+    # the deterministic hash-slot speaker draw computed where the edges
+    # live (algos/sllpa.py holds the dataflow twin + semantics).
+
+    def sllpa_init(self, T: int) -> int:
+        n = self.owned_ids.shape[0]
+        self.state = np.full((n, T + 1), -1, dtype=np.int64)
+        if n:
+            self.state[:, 0] = self.owned_ids
+        return n
+
+    def sllpa_emit(self, rnd: int, seed: int, hub_ids, hub_vals):
+        from graph_data_science_ray.algos.sllpa import _mix
+
+        mem = self._scaled_per_src(hub_ids, hub_vals, "raw")  # (n_src, T+1)
+        src = self.src_u[self.edge_srcpos]
+        dst = self.group_dst[self.dst_group]
+        h = _mix(
+            src.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            ^ dst.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ np.uint64((rnd * 0x85EBCA6B + seed * 0x27D4EB2F) & 0xFFFFFFFFFFFFFFFF)
+        )
+        slot = (h % np.uint64(rnd)).astype(np.int64)
+        label = mem[self.edge_srcpos, slot]
+        order, u_grp, u_lab, gid = group_pairs(self.dst_group, label)
+        cnt = np.bincount(gid, minlength=u_grp.shape[0]).astype(np.int64)
+        out = []
+        for s, (lo, hi) in enumerate(self.group_shard_slices):
+            m = (u_grp >= lo) & (u_grp < hi)
+            out.append(
+                pa.table(
+                    {
+                        "node_id": pa.array(self.group_dst[u_grp[m]], pa.int64()),
+                        "label": pa.array(u_lab[m], pa.int64()),
+                        "c": pa.array(cnt[m], pa.int64()),
+                    }
+                )
+            )
+        return tuple(out)
+
+    def sllpa_apply(self, rnd: int, *partials) -> int:
+        flat: list[pa.Table] = []
+        for p in partials:
+            flat.extend(p) if isinstance(p, (tuple, list)) else flat.append(p)
+        nonempty = [p for p in flat if p.num_rows > 0]
+        if nonempty:
+            t = pa.concat_tables(nonempty)
+            node = t.column("node_id").to_numpy(zero_copy_only=False)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            cnt = t.column("c").to_numpy(zero_copy_only=False)
+            # merge cross-shard partials, then argmax (count desc, label
+            # asc) per listener — bit-for-bit the dataflow merge
+            order = np.lexsort((lab, node))
+            node, lab, cnt = node[order], lab[order], cnt[order]
+            grp = np.r_[True, (node[1:] != node[:-1]) | (lab[1:] != lab[:-1])]
+            gidx = np.cumsum(grp) - 1
+            sums = np.zeros(gidx[-1] + 1, dtype=np.int64)
+            np.add.at(sums, gidx, cnt)
+            g_node, g_lab = node[grp], lab[grp]
+            o2 = np.lexsort((g_lab, -sums, g_node))
+            ns, ls = g_node[o2], g_lab[o2]
+            first = np.r_[True, ns[1:] != ns[:-1]]
+            pos = np.searchsorted(self.owned_ids, ns[first])
+            self.state[pos, rnd] = ls[first]
+        # listeners with no (surviving) neighbors keep their own label
+        unset = self.state[:, rnd] == -1
+        self.state[unset, rnd] = self.state[unset, 0]
+        return int(unset.sum())
+
+    def sllpa_result(self, T: int, threshold: float) -> pa.Table:
+        """Per-owned-node membership rows (node_id, label, frequency ≥
+        threshold) — the dataflow post-process run shard-side."""
+        n = self.owned_ids.shape[0]
+        if n == 0:
+            return pa.table({"node_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "frequency": pa.array([], pa.float64())})
+        node_rep = np.repeat(self.owned_ids, T + 1)
+        flat = self.state[:, : T + 1].reshape(-1)
+        order = np.lexsort((flat, node_rep))
+        nr, fl = node_rep[order], flat[order]
+        grp = np.r_[True, (nr[1:] != nr[:-1]) | (fl[1:] != fl[:-1])]
+        gidx = np.cumsum(grp) - 1
+        counts = np.bincount(gidx)
+        g_node, g_lab = nr[grp], fl[grp]
+        freq = counts / (T + 1)
+        keep = freq >= threshold
+        order2 = np.lexsort((g_lab[keep], g_node[keep]))
+        return pa.table(
+            {
+                "node_id": pa.array(g_node[keep][order2], pa.int64()),
+                "label": pa.array(g_lab[keep][order2], pa.int64()),
+                "frequency": pa.array(np.round(freq[keep][order2], 6), pa.float64()),
+            }
+        )
+
+    def get_owned_ids(self) -> np.ndarray:
+        return self.owned_ids
 
     def checkpoint(self, path: str, value_name: str) -> dict:
         """Write this shard's state partition (the per-partition

@@ -279,3 +279,52 @@ def test_betweenness_csr_matches_dataflow():
     d = betweenness_centrality(from_arrow(t), backend="dataflow")
     assert np.allclose(c.column("betweenness").to_numpy(),
                        d.column("betweenness").to_numpy(), atol=1e-8)
+
+
+def test_toposort_csr_matches_dataflow():
+    from graph_data_science_ray.algos.toposort import longest_path, topological_sort
+
+    t = fixtures.powerlaw(200, seed=17)
+    a = topological_sort(from_arrow(t), backend="dataflow")
+    b = topological_sort(from_arrow(t), backend="csr", num_shards=3)
+    assert a.as_dict() == b.as_dict()
+    assert a.has_cycle_nodes == b.has_cycle_nodes
+    # bounded peel parity (the toposort_k6 harness contract)
+    a6 = topological_sort(from_arrow(t), max_rounds=6, backend="dataflow")
+    b6 = topological_sort(from_arrow(t), max_rounds=6, backend="csr", num_shards=3)
+    assert a6.as_dict() == b6.as_dict()
+    lu = longest_path(from_arrow(t), weighted=False, backend="dataflow")
+    lv = longest_path(from_arrow(t), weighted=False, backend="csr", num_shards=3)
+    assert lu.as_dict() == lv.as_dict()
+
+
+def test_k1coloring_csr_matches_dataflow():
+    from graph_data_science_ray.algos.kcoloring import k1coloring
+
+    t = fixtures.powerlaw(300, seed=23)
+    a = k1coloring(from_arrow(t), backend="dataflow")
+    b = k1coloring(from_arrow(t), backend="csr", num_shards=3)
+    assert a.as_dict() == b.as_dict()
+    assert (a.n_colors, a.converged) == (b.n_colors, b.converged)
+
+
+def test_sllpa_csr_matches_dataflow():
+    from graph_data_science_ray.algos.sllpa import sllpa
+
+    t = fixtures.powerlaw(250, seed=29)
+    a = sllpa(from_arrow(t), max_iterations=8, backend="dataflow").to_table()
+    b = sllpa(from_arrow(t), max_iterations=8, backend="csr", num_shards=3).to_table()
+    assert a.num_rows == b.num_rows
+    for c in ("node_id", "label", "frequency"):
+        assert a.column(c).to_pylist() == b.column(c).to_pylist()
+
+
+def test_max_k_cut_csr_matches_dataflow():
+    from graph_data_science_ray.algos.maxkcut import approx_max_k_cut
+
+    t = fixtures.powerlaw(300, seed=37)
+    a = approx_max_k_cut(from_arrow(t), k=4, backend="dataflow")
+    b = approx_max_k_cut(from_arrow(t), k=4, backend="csr", num_shards=3)
+    assert np.array_equal(a.node_ids, b.node_ids)
+    assert np.array_equal(a.values, b.values)
+    assert a.cut_weight == b.cut_weight
