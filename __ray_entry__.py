@@ -3383,7 +3383,8 @@ def _louvain_sql(levels: int = 5, rounds: int = 20) -> str:
     for L in range(1, levels + 1):
         P = f"_{L}"
         parts += [
-            f"nrk{P} AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes{P}),",
+            f"nrk{P} AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk, "
+            f"CAST(({_sql_mix64('xor(CAST(v AS UBIGINT), CAST(43 AS UBIGINT))')}) % 4 AS BIGINT) AS cls FROM nodes{P}),",
             f"kk{P} AS MATERIALIZED (SELECT n.v, COALESCE(st.s, 0.0) + 2.0 * i.iw AS kv "
             f"FROM nodes{P} n JOIN int{P} i ON i.v = n.v "
             f"LEFT JOIN (SELECT src AS v, SUM(w) AS s FROM sym{P} GROUP BY src) st ON st.v = n.v),",
@@ -3435,7 +3436,7 @@ def _louvain_sql(levels: int = 5, rounds: int = 20) -> str:
                 f"GROUP BY r2.pos) kvc ON kvc.pos = b.pos "
                 f"WHERE b.nc <> a3.c AND b.score > "
                 f"(COALESCE(kvc.w, 0.0) - (k3.kv * (sg3.s - k3.kv)) / tm{P}.x) + 1e-12 "
-                f"AND b.pos % 4 = {r % 4}"
+                f"AND n3.cls = {r % 4}"
                 f") mo ON mo.pos = nr.rk),",
                 f"acc{S} AS MATERIALIZED (SELECT ({q_expr(f'tent{S}')}) > ({q_expr(A)}) + 1e-9 AS ok),",
                 f"{NA} AS MATERIALIZED (SELECT a.v, CASE WHEN x.ok THEN t.c ELSE a.c END AS c "
@@ -3537,7 +3538,7 @@ def _leiden_rounds(parts, P, chain, rounds, restrict=None, singleton_only=False)
             f"GROUP BY r2.pos) kvc ON kvc.pos = b.pos{single} "
             f"WHERE b.nc <> a3.c AND b.score > "
             f"(COALESCE(kvc.w, 0.0) - (k3.kv * (sg3.s - k3.kv)) / tm{P}.x) + 1e-12 "
-            f"AND b.pos % 4 = {r % 4}"
+            f"AND n3.cls = {r % 4}"
             f") mo ON mo.pos = nr.rk),",
             f"acc{S} AS MATERIALIZED (SELECT ({q_expr(f'tent{S}')}) > ({q_expr(A)}) + 1e-9 AS ok),",
             f"{NA} AS MATERIALIZED (SELECT a.v, CASE WHEN x.ok THEN t.c ELSE a.c END AS c "
@@ -3575,7 +3576,8 @@ def _leiden_sql(levels: int = 4, rounds: int = 16) -> str:
     for L in range(1, levels + 1):
         P = f"_{L}"
         parts += [
-            f"nrk{P} AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes{P}),",
+            f"nrk{P} AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk, "
+            f"CAST(({_sql_mix64('xor(CAST(v AS UBIGINT), CAST(43 AS UBIGINT))')}) % 4 AS BIGINT) AS cls FROM nodes{P}),",
             f"kk{P} AS MATERIALIZED (SELECT n.v, COALESCE(st.s, 0.0) + 2.0 * i.iw AS kv "
             f"FROM nodes{P} n JOIN int{P} i ON i.v = n.v "
             f"LEFT JOIN (SELECT src AS v, SUM(w) AS s FROM sym{P} GROUP BY src) st ON st.v = n.v),",
@@ -4055,7 +4057,8 @@ def _modopt_sql(rounds: int = 20) -> str:
         "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM epair "
         "UNION ALL SELECT hi, lo FROM epair),",
         "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
-        "nrk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nodes),",
+        f"nrk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk, "
+        f"CAST(({_sql_mix64('xor(CAST(v AS UBIGINT), CAST(43 AS UBIGINT))')}) % 4 AS BIGINT) AS cls FROM nodes),",
         "kk AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS kv FROM sym GROUP BY src),",
         "tm AS MATERIALIZED (SELECT SUM(kv) AS x FROM kk),",
         "a0 AS MATERIALIZED (SELECT nr.v, nr.rk AS c FROM nrk nr),",
@@ -4111,7 +4114,7 @@ def _modopt_sql(rounds: int = 20) -> str:
             f"mov{r} AS MATERIALIZED (SELECT b.pos, b.nc FROM best{r} b "
             f"JOIN nrk nr ON nr.rk = b.pos JOIN a{r} a ON a.v = nr.v "
             f"JOIN stay{r} st ON st.pos = b.pos "
-            f"WHERE b.nc <> a.c AND b.score > st.stay + 1e-12 AND b.pos % 4 = {r % 4}),"
+            f"WHERE b.nc <> a.c AND b.score > st.stay + 1e-12 AND nr.cls = {r % 4}),"
         )
         parts.append(
             f"tent{r} AS MATERIALIZED (SELECT a.v, COALESCE(mo.nc, a.c) AS c "
@@ -4176,17 +4179,18 @@ def _sllpa_sql(T: int = 20, seed: int = 42) -> str:
     return " ".join(parts)
 
 
-def _maxkcut_sql(k: int = 4, rounds: int = 48, seed: int = 42) -> str:
+def _maxkcut_sql(k: int = 4, rounds: int = 80, seed: int = 42) -> str:
     """Round-exact replica of _q_maxkcut (algos/maxkcut.approx_max_k_cut,
     unweighted): init = mix64(v ⊕ seed) mod k; each phase-round, nodes
-    with rank % 4 = phase move to the community with the SMALLEST
-    incident count (ties → smallest community id), and the move set is
-    accepted only if the recomputed intra-count strictly drops (all
-    counts are integers ⇒ the engine's 1e-12 float guards are exact
-    integer compares). Once four consecutive phases produce no accepted
-    move the state is a fixpoint and every later round is a no-op, so
-    chaining ``rounds`` ≥ fixpoint+4 rounds (measured: fixpoint at
-    phase-round 27 on sf0.01; engine cap 120) reproduces the engine's
+    with hash class mix64(v ⊕ seed+1) mod 4 = phase move to the
+    community with the SMALLEST incident count (ties → smallest
+    community id), and the move set is accepted only if the recomputed
+    intra-count strictly drops (all counts are integers ⇒ the engine's
+    1e-12 float guards are exact integer compares). Once four
+    consecutive phases produce no accepted move the state is a fixpoint
+    and every later round is a no-op, so chaining ``rounds`` ≥
+    fixpoint+4 rounds (measured with the round-4 hash classes: fixpoint
+    at phase-round 73 on sf0.1; engine cap 120) reproduces the engine's
     early-broken loop exactly."""
     mixv = _sql_mix64(f"xor(CAST(v AS UBIGINT), CAST({seed} AS UBIGINT))")
     # phase classes are a pure id hash (mix64(v ⊕ seed+1) mod 4) — the

@@ -42,6 +42,7 @@ from graph_data_science_ray.algos.louvain import (
     LouvainResult,
     _merge_partials,
     _neighbor_community_weights,
+    _phase_class,
 )
 from graph_data_science_ray.context import configure_ray_data, shuffle_partitions_for
 from graph_data_science_ray.sources.edges import drop_self_loops, symmetrize
@@ -103,6 +104,7 @@ def _local_move(
     sigma = np.zeros(n)
     np.add.at(sigma, comm, k)
     C = 4
+    cls = _phase_class(level_ids, C)
     stall = 0
     moved_any = False
     # ONE scan per round: the acceptance scan under the tentative
@@ -135,7 +137,7 @@ def _local_move(
         do_move = (
             (b_comm != comm[b_pos])
             & (b_score > stay_all[b_pos] + 1e-12)
-            & (b_pos % C == ph)
+            & (cls[b_pos] == ph)
         )
         if singleton_only:
             size = np.bincount(comm, minlength=n)

@@ -75,6 +75,19 @@ class LouvainResult:
         )
 
 
+_CLS_SEED = 43
+
+
+def _phase_class(ids: np.ndarray, C: int = 4) -> np.ndarray:
+    """Deterministic phase class per node: splitmix64(id ⊕ 43) mod C.
+    A pure id function (round 4; was position-mod-C): the sharded
+    level-1 kernel computes it locally with no global rank, and the
+    dataflow path + SQL oracles use the identical function."""
+    from graph_data_science_ray.algos.maxkcut import _mix
+
+    return (_mix(ids.astype(np.uint64) ^ np.uint64(_CLS_SEED)) % np.uint64(C)).astype(np.int64)
+
+
 def _neighbor_community_weights(sym, ids_ref) -> pa.Table:
     """One scan: per (node, neighbor community) summed edge weight,
     pre-aggregated per batch, merged by the caller. ``sym`` is a
@@ -253,6 +266,7 @@ def louvain(
         # failure mode): restrict each sub-round to one deterministic
         # phase class (position mod C), the classic coloring workaround.
         C = 4
+        cls = _phase_class(level_ids, C)
         # a non-singleton seeded start must still coarsen, even if local
         # moving can't improve on it
         moved_any = bool(level == 1 and seeds and (comm != np.arange(n)).any())
@@ -297,7 +311,7 @@ def louvain(
             do_move = (
                 (b_comm != comm[b_pos])
                 & (b_score > stay_all[b_pos] + 1e-12)
-                & (b_pos % C == ph)
+                & (cls[b_pos] == ph)
             )
             if not do_move.any():
                 stall += 1
