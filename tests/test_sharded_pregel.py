@@ -328,3 +328,30 @@ def test_max_k_cut_csr_matches_dataflow():
     assert np.array_equal(a.node_ids, b.node_ids)
     assert np.array_equal(a.values, b.values)
     assert a.cut_weight == b.cut_weight
+
+
+def test_louvain_csr_matches_dataflow():
+    from graph_data_science_ray.algos.louvain import louvain, modularity_optimization
+
+    t = fixtures.powerlaw(300, seed=43)
+    a = louvain(from_arrow(t), backend="dataflow")
+    b = louvain(from_arrow(t), backend="csr", num_shards=3)
+    assert np.array_equal(a.node_ids, b.node_ids)
+    assert np.array_equal(a.values, b.values)
+    assert abs(a.modularity - b.modularity) < 1e-9
+    assert a.levels == b.levels
+    mo_a = modularity_optimization(from_arrow(t))
+    # modularity_optimization == one-level louvain; csr default now
+    mo_b = louvain(from_arrow(t), max_levels=1, backend="dataflow")
+    assert np.array_equal(mo_a.values, mo_b.values)
+
+
+def test_leiden_csr_matches_dataflow():
+    from graph_data_science_ray.algos.leiden import leiden
+
+    t = fixtures.powerlaw(300, seed=47)
+    a = leiden(from_arrow(t), backend="dataflow")
+    b = leiden(from_arrow(t), backend="csr", num_shards=3)
+    assert np.array_equal(a.node_ids, b.node_ids)
+    assert np.array_equal(a.values, b.values)
+    assert abs(a.modularity - b.modularity) < 1e-9
