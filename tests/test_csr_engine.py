@@ -132,3 +132,29 @@ def test_pipelined_exchange_bitwise_vs_sync(tmp_path_factory):
         assert np.array_equal(w1.values[o1], w2.values[o2])
         assert w1.converged and w1.iterations == w2.iterations
         eng.shutdown()
+
+
+def test_exchange_variants_bitwise_equal():
+    """round-4 ask #5: the coalesced / per_dest exchange variants (kept
+    selectable; measured slower than direct at bench scale) produce
+    bitwise-identical PageRank and WCC state."""
+    import numpy as np
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.state.engine import CsrEngine
+    from ray.data import from_arrow
+
+    t = fixtures.powerlaw(800, seed=19)
+    eng = CsrEngine.build(from_arrow(t), num_shards=3)
+    outs = {}
+    for mode in ("direct", "coalesced", "per_dest"):
+        eng.exchange = mode
+        outs[mode] = eng.pagerank(max_iterations=10, tolerance=0.0).values
+    assert np.array_equal(outs["direct"], outs["coalesced"])
+    assert np.array_equal(outs["direct"], outs["per_dest"])
+    wcc = {}
+    for mode in ("direct", "per_dest"):
+        eng.exchange = mode
+        wcc[mode] = eng.wcc().values
+    assert np.array_equal(wcc["direct"], wcc["per_dest"])
+    eng.shutdown()
