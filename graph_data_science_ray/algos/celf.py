@@ -69,6 +69,96 @@ class CelfResult:
         )
 
 
+def _celf_csr(
+    edges: Dataset,
+    k: int,
+    propagation_probability: float,
+    simulations: int,
+    seed: int,
+    num_partitions: int | None,
+    num_shards: int | None,
+) -> CelfResult:
+    """Sharded CELF (round 4 — the last driver-state family member):
+    each simulation is a frontier min-label Pregel whose send hook masks
+    dead edges by the percolation hash, component ids/sizes land in
+    (n_owned × R) shard matrices via one keyed exchange per simulation,
+    and seed selection is a per-round vectorized masked re-eval +
+    per-shard argmax. Driver state: the covered-component sets (≤ k ids
+    per simulation) and the seed list — no O(N) arrays. Outputs are
+    bitwise equal to the dataflow path (gains are dyadic; fresh-argmax
+    selection is what the lazy heap computes; parity-tested)."""
+    from graph_data_science_ray.algos.louvain import _wrap1
+    from graph_data_science_ray.state.engine import CsrEngine
+
+    configure_ray_data()
+    sym = drop_self_loops(symmetrize(edges, dedup=True, num_partitions=num_partitions))
+    engine = CsrEngine.build(sym, num_shards=num_shards or 8)
+    shards, P = engine.shards, engine.P
+    n_glob = engine.n_nodes
+    if n_glob == 0:
+        engine.shutdown()
+        return CelfResult([], [], 0.0)
+    thresh = np.uint64(int(propagation_probability * (1 << 20)))
+    R = simulations
+    ray.get([s.celf_init.remote(R) for s in shards])
+
+    def update(state, combined, has_msg, ids):
+        return np.minimum(state, combined)
+
+    for r in range(R):
+        salt = np.uint64((seed * 0x9E3779B97F4A7C15 + r * 0xC2B2AE35) & ((1 << 64) - 1))
+
+        def send(s_vals, b, _salt=salt, _th=thresh):
+            from graph_data_science_ray.algos.celf import _mix
+
+            sid = b.column("src_id").to_numpy(zero_copy_only=False)
+            did = b.column("dst_id").to_numpy(zero_copy_only=False)
+            lo = np.minimum(sid, did).astype(np.uint64)
+            hi = np.maximum(sid, did).astype(np.uint64)
+            h = _mix(lo * np.uint64(0x9E3779B97F4A7C15) ^ hi ^ _salt)
+            live = (h % np.uint64(1 << 20)) < _th
+            return np.where(live, s_vals, np.iinfo(np.int64).max)
+
+        engine.pregel(
+            send, update, init=lambda ids: ids.copy(), combine="min",
+            is_int=True, residual="changed", frontier=True,
+            max_iterations=10_000, tolerance=0.0, fetch_state=False,
+        )
+        ray.get([s.celf_store_comp.remote(r) for s in shards])
+        parts = _wrap1([s.celf_size_partials.options(num_returns=P).remote(r)
+                        for s in shards], P)
+        ray.get([shards[o].celf_size_merge.remote(*[parts[i][o] for i in range(P)])
+                 for o in range(P)])
+        reqs = _wrap1([s.celf_size_request.options(num_returns=P).remote(r)
+                       for s in shards], P)
+        resps = _wrap1([shards[o].celf_size_respond.options(num_returns=P).remote(
+            *[reqs[i][o] for i in range(P)]) for o in range(P)], P)
+        ray.get([shards[j].celf_gain_fill.remote(r, *[resps[o][j] for o in range(P)])
+                 for j in range(P)])
+
+    covered = [np.empty(0, np.int64) for _ in range(R)]
+    seeds: list[int] = []
+    spreads: list[float] = []
+    total = 0.0
+    for _ in range(min(k, n_glob)):
+        tops = ray.get([s.celf_best.remote(covered) for s in shards])
+        best_j = 0
+        for j in range(1, P):
+            g, nid, _ = tops[j]
+            bg, bnid, _ = tops[best_j]
+            if g > bg or (g == bg and nid != -1 and (bnid == -1 or nid < bnid)):
+                best_j = j
+        g, nid, i = tops[best_j]
+        comp_row = ray.get(shards[best_j].celf_take.remote(i))
+        seeds.append(int(nid))
+        total += g
+        spreads.append(total)
+        for r in range(R):
+            covered[r] = np.unique(np.append(covered[r], comp_row[r]))
+    engine.shutdown()
+    return CelfResult(seeds, spreads, total)
+
+
 def celf(
     edges: Dataset,
     k: int = 5,
@@ -76,7 +166,15 @@ def celf(
     simulations: int = 32,
     seed: int = 42,
     num_partitions: int | None = None,
+    backend: str = "csr",
+    num_shards: int | None = None,
 ) -> CelfResult:
+    """``backend="csr"`` (default since round 4): sharded simulations +
+    selection — see ``_celf_csr``; ``backend="dataflow"`` keeps the
+    broadcast-state path (bitwise parity-tested)."""
+    if backend == "csr":
+        return _celf_csr(edges, k, propagation_probability, simulations,
+                         seed, num_partitions, num_shards)
     configure_ray_data()
     sym = drop_self_loops(
         symmetrize(edges, dedup=True, num_partitions=num_partitions)

@@ -1148,6 +1148,102 @@ class CsrShard:
             cols[k] = pa.array(aux[k])
         return pa.table(cols)
 
+    # ---------------- CELF influence maximization ----------------
+    # (round-4: the LAST driver-state family member) Per-simulation
+    # live-component ids and sizes live shard-side as (n_owned, R)
+    # matrices; component sizes resolve through one keyed exchange per
+    # simulation (component id = min member node id ⇒ owner =
+    # bucket(comp)); seed selection is a per-round vectorized re-eval +
+    # per-shard argmax — the driver holds only the covered-component
+    # sets (≤ k ids per simulation) and the seed list. The lazy heap is
+    # unnecessary here: a full masked re-eval is one numpy pass, and
+    # fresh-argmax selection is exactly what CELF's pop-until-fresh
+    # computes (algos/celf.py — outputs are bitwise equal, gains are
+    # dyadic integer-sums/R).
+
+    def celf_init(self, R: int) -> None:
+        n = self.owned_ids.shape[0]
+        self._celf = {
+            "comp": np.empty((n, R), np.int64),
+            "gain": np.empty((n, R), np.float64),
+            "chosen": np.zeros(n, bool),
+        }
+
+    def celf_store_comp(self, r: int) -> None:
+        """After the sim's min-label Pregel: state = live component id."""
+        self._celf["comp"][:, r] = self.state
+
+    def celf_size_partials(self, r: int):
+        from graph_data_science_ray.algos.common import unique_inverse
+
+        u, inv = unique_inverse(self._celf["comp"][:, r])
+        cnt = np.bincount(inv, minlength=u.shape[0]).astype(np.int64)
+        buckets = bucket_of(u, self.P)
+        return tuple((u[buckets == b], cnt[buckets == b]) for b in range(self.P))
+
+    def celf_size_merge(self, *parts) -> None:
+        ids_l = [p[0] for p in parts if p[0].shape[0]]
+        cnt_l = [p[1] for p in parts if p[0].shape[0]]
+        if ids_l:
+            ids = np.concatenate(ids_l)
+            cnt = np.concatenate(cnt_l)
+            from graph_data_science_ray.algos.common import unique_inverse
+
+            u, inv = unique_inverse(ids)
+            sums = np.bincount(inv, weights=cnt, minlength=u.shape[0]).astype(np.int64)
+        else:
+            u = np.empty(0, np.int64)
+            sums = np.empty(0, np.int64)
+        self._celf_sizes = (u, sums)
+
+    def celf_size_request(self, r: int):
+        need = np.unique(self._celf["comp"][:, r])
+        buckets = bucket_of(need, self.P)
+        out = tuple(need[buckets == b] for b in range(self.P))
+        self._celf_req = out
+        return out
+
+    def celf_size_respond(self, *reqs):
+        u, sums = self._celf_sizes
+        return tuple(sums[np.searchsorted(u, rq)] for rq in reqs)
+
+    def celf_gain_fill(self, r: int, *resps) -> None:
+        ids = np.concatenate(self._celf_req)
+        vals = np.concatenate(resps)
+        o = np.argsort(ids, kind="stable")
+        ids, vals = ids[o], vals[o]
+        comp = self._celf["comp"][:, r]
+        self._celf["gain"][:, r] = vals[np.searchsorted(ids, comp)].astype(np.float64)
+
+    def celf_best(self, covered: list) -> tuple:
+        """(best marginal gain, node id, local index) under the covered
+        sets (sorted arrays, ≤ k entries each) — gains are dyadic
+        (integer size sums / R), so the masked mean is bitwise equal to
+        the dataflow heap's fresh re-evaluation."""
+        c = self._celf
+        n = self.owned_ids.shape[0]
+        if n == 0:
+            return -np.inf, -1, -1
+        comp, gain = c["comp"], c["gain"]
+        R = comp.shape[1]
+        g = np.zeros(n)
+        for r in range(R):
+            cov = covered[r]
+            col = gain[:, r]
+            if cov.shape[0]:
+                pos = np.searchsorted(cov, comp[:, r])
+                hit = (pos < cov.shape[0]) & (cov[np.minimum(pos, cov.shape[0] - 1)] == comp[:, r])
+                col = np.where(hit, 0.0, col)
+            g += col
+        g /= R
+        g[c["chosen"]] = -1.0
+        i = int(np.argmax(g))  # first max = smallest owned id (sorted)
+        return float(g[i]), int(self.owned_ids[i]), i
+
+    def celf_take(self, i: int) -> np.ndarray:
+        self._celf["chosen"][i] = True
+        return self._celf["comp"][i].copy()
+
     # ---------------- max-k-cut local search ----------------
     # Community + incident-weight matrix shard-resident; the driver
     # moves only phase numbers, mover counts, and the (total, intra)

@@ -355,3 +355,18 @@ def test_leiden_csr_matches_dataflow():
     assert np.array_equal(a.node_ids, b.node_ids)
     assert np.array_equal(a.values, b.values)
     assert abs(a.modularity - b.modularity) < 1e-9
+
+
+def test_celf_csr_matches_dataflow():
+    """Sharded CELF (round 4 — last driver-state family member): seeds,
+    spreads and the expected-spread total are bitwise equal to the lazy
+    heap (gains are dyadic integer-sums/R; fresh-argmax selection is
+    exactly what pop-until-fresh computes)."""
+    from graph_data_science_ray.algos.celf import celf
+
+    t = fixtures.powerlaw(250, seed=53)
+    a = celf(from_arrow(t), k=5, simulations=8, backend="dataflow")
+    b = celf(from_arrow(t), k=5, simulations=8, backend="csr", num_shards=3)
+    assert a.seeds == b.seeds
+    assert a.spreads == b.spreads
+    assert a.expected_spread == b.expected_spread
