@@ -302,6 +302,7 @@ class CsrEngine:
         routing: str = "auto",  # auto | scan | spill
         scan_threshold: int = 100_000_000,
         exchange: str = "auto",  # auto | direct | coalesced (_coalesce_emits)
+        compact_indices: bool = False,  # int32 local indices: -8 B/edge, +25-29% kernel cost
     ) -> "CsrEngine":
         """One routing pass + parallel shard builds.
 
@@ -373,7 +374,7 @@ class CsrEngine:
                     f"or use the dataflow implementations"
                 )
 
-        shards = [CsrShard.remote(b, P, weighted) for b in range(P)]
+        shards = [CsrShard.remote(b, P, weighted, compact_indices) for b in range(P)]
         if routing == "spill":
             # each shard loads only its own partition directory
             loads = []

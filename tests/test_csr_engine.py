@@ -158,3 +158,30 @@ def test_exchange_variants_bitwise_equal():
         wcc[mode] = eng.wcc().values
     assert np.array_equal(wcc["direct"], wcc["per_dest"])
     eng.shutdown()
+
+
+def test_compact_indices_bitwise_equal():
+    """compact_indices=True (int32 local indices — the memory-bound
+    opt-in) produces bitwise-identical pagerank/wcc state to the int64
+    speed default."""
+    import numpy as np
+
+    from graph_data_science_ray import fixtures
+    from graph_data_science_ray.state.engine import CsrEngine
+    from ray.data import from_arrow
+
+    t = fixtures.powerlaw(600, seed=23)
+    a = CsrEngine.build(from_arrow(t), num_shards=3)
+    b = CsrEngine.build(from_arrow(t), num_shards=3, compact_indices=True)
+    import ray as _ray
+
+    rep = _ray.get(b.shards[0].mem_report.remote())
+    assert rep["index_dtype"] == "int32"
+    pa_ = a.pagerank(max_iterations=8, tolerance=0.0).values
+    pb_ = b.pagerank(max_iterations=8, tolerance=0.0).values
+    assert np.array_equal(pa_, pb_)
+    wa = a.wcc().values
+    wb = b.wcc().values
+    assert np.array_equal(wa, wb)
+    a.shutdown()
+    b.shutdown()
