@@ -127,7 +127,12 @@ def core_decomposition(
         from graph_data_science_ray.state.engine import CsrEngine
 
         engine = CsrEngine.build(sym, num_shards=num_shards or 8)
-        res = engine.kcore(max_iterations=max_iterations,
+        # csr round k == dataflow round k+1 (degree init skips the
+        # dataflow's materialization round), so burn one round to keep
+        # the BOUNDED-iterations contract identical across backends —
+        # at sf0.1 the kcore_h8 bound actually binds and the off-by-one
+        # flipped values (caught round 4); converged runs are unaffected
+        res = engine.kcore(max_iterations=max(0, max_iterations - 1),
                            checkpoint=checkpoint, resume=resume)
         engine.shutdown()
         return res
