@@ -465,6 +465,8 @@ def modularity_optimization(
     tolerance: float = 1e-9,
     num_partitions: int | None = None,
     weighted: bool = False,
+    backend: str = "csr",
+    num_shards: int | None = None,
 ):
     """Modularity Optimization (``gds.modularityOptimization`` [GDS-pub:
     algo/.../modularityoptimization/]): one level of parallel
@@ -478,6 +480,8 @@ def modularity_optimization(
         tolerance=tolerance,
         num_partitions=num_partitions,
         weighted=weighted,
+        backend=backend,
+        num_shards=num_shards,
     )
 
 
