@@ -254,6 +254,16 @@ def _betweenness_csr(
     refs = [s.acc_table.remote("betweenness") for s in engine.shards]
     parts = ray.get(refs)
     engine.shutdown()
+    # self-loop-only nodes: absent from the engine universe but score
+    # 0.0 on the dataflow backend — union back (round-5 ADVICE fix)
+    from graph_data_science_ray.algos.common import self_loop_only_nodes
+
+    missing = self_loop_only_nodes(edges)
+    if missing.shape[0]:
+        parts.append(pa.table({
+            "node_id": pa.array(missing, pa.int64()),
+            "betweenness": pa.array(np.zeros(missing.shape[0])),
+        }))
     t = pa.concat_tables(parts)
     ids = t.column("node_id").to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")

@@ -202,6 +202,44 @@ def unique_node_ids(edges_table_or_ds) -> np.ndarray:
     return np.unique(t.column("node_id").to_numpy(zero_copy_only=False))
 
 
+def self_loop_only_nodes(edges) -> np.ndarray:
+    """Sorted ids of nodes whose EVERY edge is a self-loop (round-5
+    ADVICE fix): these vanish from the CSR engine universe (built over
+    the self-loop-dropped symmetrized view) while the dataflow backends
+    emit them with degree-0 defaults. One narrow pass over the raw edge
+    table — per-batch partial (node_id, has-non-loop-edge flag), then a
+    tiny max-merge; no symmetrize re-execution. Empty on loop-free
+    inputs, which is the common case and costs one cheap scan."""
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        loop = src == dst
+        nl = np.unique(np.concatenate([src[~loop], dst[~loop]]))
+        lp = np.unique(src[loop])
+        lp = lp[np.isin(lp, nl, invert=True, assume_unique=True)]
+        return pa.table({
+            "node_id": pa.array(np.concatenate([nl, lp]), pa.int64()),
+            "nonloop": pa.array(
+                np.r_[np.ones(nl.shape[0], np.int64), np.zeros(lp.shape[0], np.int64)]
+            ),
+        })
+
+    t = collect_arrow(edges.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    if t.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    ids = t.column("node_id").to_numpy(zero_copy_only=False)
+    fl = t.column("nonloop").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids, fl = ids[order], fl[order]
+    first = np.r_[True, ids[1:] != ids[:-1]]
+    gidx = np.cumsum(first) - 1
+    mx = np.zeros(gidx[-1] + 1, dtype=np.int64)
+    np.maximum.at(mx, gidx, fl)
+    return ids[first][mx == 0]
+
+
 # ---------------------------------------------------------------------------
 # Driver-side final reduction of per-batch partials.
 #

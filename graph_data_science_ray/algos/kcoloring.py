@@ -123,6 +123,13 @@ def _k1coloring_csr(
     col = t.column("color").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids, kind="stable")
     ids, col = ids[order], col[order]
+    # self-loop-only nodes are absent from the engine universe but get
+    # color 0 on the dataflow backend (degree 0 after the drop) — union
+    # them back (round-5 ADVICE fix)
+    from graph_data_science_ray.algos.common import self_loop_only_nodes
+    from graph_data_science_ray.algos.louvain import _union_isolated
+
+    ids, col = _union_isolated(ids, col, self_loop_only_nodes(edges), fill=0)
     n_colors = int(np.unique(col).shape[0]) if ids.shape[0] else 0
     return ColoringResult(ids, col, iteration, converged, n_colors)
 

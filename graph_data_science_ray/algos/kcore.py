@@ -35,7 +35,11 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graph_data_science_ray.algos.common import unique_inverse, unique_node_ids
+from graph_data_science_ray.algos.common import (
+    self_loop_only_nodes,
+    unique_inverse,
+    unique_node_ids,
+)
 from graph_data_science_ray.algos.iterate import run_iterative
 from graph_data_science_ray.algos.pagerank import IterativeResult
 from graph_data_science_ray.checkpoint import CheckpointManager
@@ -135,6 +139,9 @@ def core_decomposition(
         res = engine.kcore(max_iterations=max(0, max_iterations - 1),
                            checkpoint=checkpoint, resume=resume)
         engine.shutdown()
+        # self-loop-only nodes: absent from the engine (loops dropped at
+        # build) but core 0 on the dataflow backend — round-5 ADVICE fix
+        res.union_missing(self_loop_only_nodes(edges), 0, np.int64)
         return res
     node_ids = unique_node_ids(edges)
     # init = undirected degree, computed by one extra round against a

@@ -419,7 +419,12 @@ def _leiden_csr(
     ids, l1 = ids[order], l1[order]
 
     level = 1
-    if level_ids2.shape[0] == orig_ids.shape[0] or max_levels < 2:
+    # compare against the ENGINE universe (ids), not orig_ids: isolated
+    # self-loop-only nodes are absent from the shards but are singletons
+    # in the dataflow's refined partition, so the dataflow break fires
+    # when every ENGINE node stayed singleton (identical on
+    # self-loop-free inputs where ids == orig_ids)
+    if level_ids2.shape[0] == ids.shape[0] or max_levels < 2:
         # refinement kept everything singleton (dataflow break) or the
         # level cap: final = the level-1 local-moving labels
         final = l1
@@ -456,6 +461,9 @@ def _leiden_csr(
         rlab = rlab[ro]
         final = final_coarse[np.searchsorted(level_ids2, rlab)]
 
+    from graph_data_science_ray.algos.louvain import _union_isolated
+
+    ids, final = _union_isolated(ids, final, orig_ids)
     out_ids, final, _ = community_postprocess(
         ids, final, consecutive_ids, min_community_size
     )

@@ -489,6 +489,26 @@ def modularity_optimization(
 # sharded level-1 local mover (round-4 judge ask #4)
 # ---------------------------------------------------------------------------
 
+def _union_isolated(ids: np.ndarray, vals: np.ndarray, orig_ids: np.ndarray,
+                    fill: np.ndarray | int | float | None = None):
+    """Round-5 ADVICE fix: the CSR engine is built over the symmetrized
+    self-loop-dropped view, so a node whose only edges are self-loops is
+    absent from the shard universe while the dataflow backends emit it
+    (universe = ``unique_node_ids(edges)`` pre-drop). Union the missing
+    ids back with their degree-0 default: ``fill=None`` → own id (the
+    dataflow singleton-community / own-component convention), else the
+    given constant. ``ids`` must be sorted unique; output stays sorted."""
+    missing = orig_ids[np.isin(orig_ids, ids, invert=True, assume_unique=True)]
+    if not missing.shape[0]:
+        return ids, vals
+    mv = (missing if fill is None
+          else np.full(missing.shape[0], fill, dtype=vals.dtype))
+    ids = np.concatenate([ids, missing])
+    vals = np.concatenate([vals, mv.astype(vals.dtype)])
+    order = np.argsort(ids, kind="stable")
+    return ids[order], vals[order]
+
+
 def _wrap1(refs, P):
     """num_returns=P returns a bare ref when P == 1 — normalize."""
     return [[r] for r in refs] if P == 1 else refs
@@ -663,7 +683,11 @@ def _louvain_csr(
 
     total_q = q
     level = 1
-    if level_ids2.shape[0] < orig_ids.shape[0] and max_levels > 1:
+    # engine node count, NOT orig_ids: isolated self-loop-only nodes are
+    # absent from the shards and never coarsen (identical when the input
+    # is self-loop-free)
+    n_engine = sum(p.num_rows for p in assign_parts)
+    if level_ids2.shape[0] < n_engine and max_levels > 1:
         import ray.data as _rd
 
         sym2 = _rd.from_arrow(coarse).materialize()
@@ -687,6 +711,7 @@ def _louvain_csr(
     order = np.argsort(ids, kind="stable")
     ids, lab = ids[order], lab[order]
     final = final_coarse[np.searchsorted(level_ids2, lab)]
+    ids, final = _union_isolated(ids, final, orig_ids)
     out_ids, final, _ = community_postprocess(
         ids, final, consecutive_ids, min_community_size
     )

@@ -336,8 +336,12 @@ def strongly_connected_components(
                 res.node_ids, res.values, consecutive_ids, min_component_size
             )
         return res
-    edges = drop_self_loops(edges)  # self-loops don't affect SCC membership
+    # self-loops don't affect SCC membership, but the universe is the
+    # PRE-drop node set: a self-loop-only node is its own component
+    # (matches the csr default, which keeps such nodes — round-5 ADVICE
+    # backend-universe alignment)
     node_ids = unique_node_ids(edges)
+    edges = drop_self_loops(edges)
     n = node_ids.shape[0]
     scc = np.full(n, -1, dtype=np.int64)
     active = np.ones(n, dtype=bool)

@@ -224,6 +224,25 @@ class ShardedIterativeResult:
 
         return ray.data.from_arrow_refs(self._state_refs)
 
+    def union_missing(self, missing_ids: np.ndarray, fill, dtype) -> None:
+        """Append one extra state block covering nodes absent from the
+        engine universe (self-loop-only nodes, dropped with the loops at
+        build — round-5 ADVICE fix) with their degree-0 default value.
+        Keeps the ``to_dataset`` streaming surface: the block is a ref
+        like every other shard's, nothing corpus-sized lands driver-side
+        (``missing_ids`` is tiny — usually empty)."""
+        if missing_ids.shape[0] == 0:
+            return
+        fills = (missing_ids.astype(dtype) if fill is None
+                 else np.full(missing_ids.shape[0], fill, dtype=dtype))
+        block = pa.table({
+            "node_id": pa.array(missing_ids, pa.int64()),
+            self.value_name: pa.array(fills),
+        })
+        self._state_refs.append(ray.put(block))
+        self._ids = None
+        self._vals = None
+
     def _materialize(self) -> None:
         if self._ids is None:
             t = pa.concat_tables(ray.get(self._state_refs))
@@ -274,7 +293,12 @@ class CsrEngine:
         self.hub_ids = hub_ids            # sorted, few by construction
         self.hub_out_w = hub_out_w
         self.hub_owner = bucket_of(hub_ids, num_shards) if hub_ids.shape[0] else np.empty(0, np.int64)
-        # "auto" | "direct" | "coalesced" — see _coalesce_emits
+        # "auto" | "direct" | "per_dest" | "coalesced" — see
+        # _combine_for_dest / _coalesce_emits; validated so a typo fails
+        # fast instead of silently running an unknown mode.
+        if exchange not in ("auto", "direct", "per_dest", "coalesced"):
+            raise ValueError(
+                f"exchange={exchange!r}: expected auto | direct | per_dest | coalesced")
         self.exchange = exchange
 
     def _exchange_mode(self) -> str:
@@ -301,7 +325,7 @@ class CsrEngine:
         spill_dir: str | None = None,
         routing: str = "auto",  # auto | scan | spill
         scan_threshold: int = 100_000_000,
-        exchange: str = "auto",  # auto | direct | coalesced (_coalesce_emits)
+        exchange: str = "auto",  # auto | direct | per_dest | coalesced (_combine_for_dest / _coalesce_emits)
         compact_indices: bool = False,  # int32 local indices: -8 B/edge, +25-29% kernel cost
     ) -> "CsrEngine":
         """One routing pass + parallel shard builds.
