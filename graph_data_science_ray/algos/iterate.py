@@ -105,8 +105,6 @@ def pregel(
     from graph_data_science_ray.algos.common import merge_min, merge_sum, unique_inverse
 
     if backend == "csr":
-        if checkpoint is not None or resume:
-            raise NotImplementedError("csr pregel: use the engine checkpoint surface")
         if master is not None:
             # also when master_finish IS given: silently dropping master
             # would make the two backends diverge for that hook combo
@@ -136,6 +134,7 @@ def pregel(
             frontier=vote_to_halt and combine == "or",
             master_partial=master_partial, master_finish=master_finish,
             on_global=on_global,
+            checkpoint=checkpoint, resume=resume,
         )
         if built_engine:
             # internally-built engine: release the 8 shard actors NOW

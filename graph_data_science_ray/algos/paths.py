@@ -123,6 +123,8 @@ def _relax_csr(
     undirected: bool,
     num_partitions: int | None,
     num_shards: int | None,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
 ):
     """Sharded-state single-source relaxation (round 3): the same
     frontier-limited min-combine Pregel ``sssp_pred_dataset`` runs,
@@ -160,6 +162,7 @@ def _relax_csr(
     res = engine.pregel(
         send, update, init, combine="min", frontier=True, residual="changed",
         max_iterations=max_iterations, tolerance=0.0, value_name=value_name,
+        checkpoint=checkpoint, resume=resume,
     )
     engine.shutdown()
     return res
@@ -234,14 +237,17 @@ def bfs_hops(
 
     ``backend="csr"`` (DEFAULT since round 4): sharded hop state on the
     CSR actors (_relax_csr — identical integer fixpoint, parity-tested).
-    A checkpoint request routes to the dataflow path, which owns the
-    checkpoint/reduce surface.
+    Checkpoint/resume runs SHARD-SIDE on this default path (round-5
+    seam close): each shard writes/reads only its own partition; resume
+    restarts with an all-active frontier, exact for the monotone
+    min-relaxation. ``reduce=`` applies to the dataflow backend only.
     """
-    if backend == "csr" and checkpoint is None and not resume:
+    if backend == "csr":
         from graph_data_science_ray.state.engine import ShardedIterativeResult
 
         res = _relax_csr(edges, source, False, max_iterations, "hops",
-                         undirected, num_partitions, num_shards)
+                         undirected, num_partitions, num_shards,
+                         checkpoint=checkpoint, resume=resume)
 
         @ray.remote
         def _unreached_to_minus1(t: pa.Table) -> pa.Table:
@@ -287,12 +293,13 @@ def bellman_ford(
     (_relax_csr); NOTE this path assumes non-negative weights like
     Dijkstra (a frontier round's min over IEEE-identical candidates
     reaches the same fixpoint; with negative weights use
-    backend="dataflow" / the negative-cycles API). A checkpoint request
-    routes to the dataflow path, which owns that surface.
+    backend="dataflow" / the negative-cycles API). Checkpoint/resume
+    runs shard-side on this default path (round-5 seam close).
     """
-    if backend == "csr" and checkpoint is None and not resume:
+    if backend == "csr":
         return _relax_csr(edges, source, True, max_iterations, "cost",
-                          undirected, num_partitions, num_shards)
+                          undirected, num_partitions, num_shards,
+                          checkpoint=checkpoint, resume=resume)
     return _relax_loop(
         edges, source, True, max_iterations, "cost",
         undirected, checkpoint, resume, num_partitions, reduce,

@@ -1501,6 +1501,24 @@ class CsrShard:
         two_m = self._lm["two_m"]
         return float(np.sum((sig / two_m) ** 2))
 
+    def lm_after_load(self) -> None:
+        """Resume (round-5 seam close): ``load_checkpoint`` restored the
+        committed community assignment into ``self.state``; adopt it as
+        the mover's comm AND tent so the driver can rebuild the keyed
+        community aggregates through the ordinary sigma exchange."""
+        lm = self._lm
+        lm["comm"] = self.state.astype(np.int64).copy()
+        lm["tent"] = lm["comm"].copy()
+        self.state = lm["comm"]
+
+    def lm_adopt_tent(self) -> None:
+        """Install the rebuilt tentative sigma/size/rep as the COMMITTED
+        community state (resume path — unlike lm_commit there is no
+        rows_tent cache to promote)."""
+        sig, size, rep = self._lmc_tent
+        self._lmc = {"sigma": sig, "size": size, "rep": rep}
+        self._lmc_tent = None
+
     def lm_commit(self, accept: bool) -> None:
         lm = self._lm
         if accept:
