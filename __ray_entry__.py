@@ -1689,6 +1689,24 @@ def _q_docs_curation(sf_dir: str):
     return t.take(pa.array(o, pa.int64()))
 
 
+def _q_docs_curation_fuzzy(sf_dir: str):
+    """Curation chain with the fuzzy near-dup leg (round-5): quality
+    gate → md5 exact-dedup → MinHash-LSH cluster dedup keep-min-id →
+    hash split. Verifies the COMPOSITION of curate_documents(fuzzy=True)
+    — the cluster stage runs on the exact-dedup survivors only."""
+    import ray.data
+
+    from graph_data_science_ray.algos.common import collect_arrow
+    from graph_data_science_ray.pipelines.curate import curate_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = collect_arrow(
+        curate_documents(ds, min_quality_ppm=620_000, fuzzy=True, num_partitions=4)
+    )
+    o = np.argsort(t.column("doc_id").to_numpy(zero_copy_only=False), kind="stable")
+    return t.take(pa.array(o, pa.int64()))
+
+
 _DOCS_CURATION_SQL_TEMPLATE = (
     "WITH q AS (SELECT doc_id FROM ({quality}) WHERE quality_ppm >= 620000), "
     "kept AS (SELECT d.doc_id, COALESCE(d.text, '') AS text FROM documents d "
@@ -2509,6 +2527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topological_sort": _q_toposort,
         "toposort_k6": _q_toposort_k6,
         "celf_im": _q_celf,
+        # --- round-5 new queries ---
+        "docs_curation_fuzzy": _q_docs_curation_fuzzy,
         # --- round-4 first-sweep block (kept near the front) ---
         "dag_longest_path": _q_dag_longest_path,
         "bellman_ford_negative": _q_bellman_ford_negative,
@@ -3128,7 +3148,8 @@ def _sql_pair_hash(lo: str, hi: str) -> str:
     return _sql_mix64(inner)
 
 
-def _minhash_cte_parts(num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42) -> list[str]:
+def _minhash_cte_parts(num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42,
+                       source: str = "documents") -> list[str]:
     """Shared CTE chain for the MinHash oracles — bit-exact replica of
     stages/dedup: shingle hash = chained mix64 fold over the k-char
     window's codepoints (h ← mix64(h ⊕ c), h₀=0; ascii() = ord() on this
@@ -3146,7 +3167,7 @@ def _minhash_cte_parts(num_perm: int = 64, bands: int = 16, k: int = 5, seed: in
     salts = _perm_salts(num_perm, seed)
     perm_rows = ", ".join(f"({i}, CAST({int(g)} AS UBIGINT))" for i, g in enumerate(salts.tolist()))
     parts = [
-        "docs AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents),",
+        f"docs AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM {source}),",
         f"pos AS MATERIALIZED (SELECT doc_id, t, "
         f"unnest(generate_series(1, length(t) - {k - 1})) AS p FROM docs),",
         "g0 AS MATERIALIZED (SELECT doc_id, t, p, CAST(0 AS UBIGINT) AS h FROM pos),",
@@ -3203,35 +3224,69 @@ def _minhash_clusters_sql(
     no-dup docs keep their own id. Matches the engine's wcc_star contract
     (cluster id = min doc_id in the near-dup component)."""
     parts = _minhash_cte_parts(num_perm, bands, k, seed)
-    parts.append("gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),")
-    parts.append(
-        "inter AS MATERIALIZED (SELECT c.id_a, c.id_b, COUNT(*) AS ni FROM cand c "
-        "JOIN grams ga ON ga.doc_id = c.id_a "
-        "JOIN grams gb ON gb.doc_id = c.id_b AND gb.h = ga.h "
-        "GROUP BY c.id_a, c.id_b),"
-    )
-    parts.append(
-        "vedge AS MATERIALIZED (SELECT i.id_a AS u, i.id_b AS v FROM inter i "
-        "JOIN gsz sa ON sa.doc_id = i.id_a JOIN gsz sb ON sb.doc_id = i.id_b "
-        f"WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= {threshold!r}),"
-    )
-    parts.append(
-        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM "
-        "(SELECT u, v FROM vedge UNION ALL SELECT v, u FROM vedge)),"
-    )
-    parts.append("vn AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),")
-    parts.append(
-        "reach(node, lbl) AS (SELECT node, node FROM vn "
-        "UNION SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),"
-    )
-    parts.append(
-        "comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),"
-    )
+    parts.extend(_minhash_verify_comp_parts(threshold))
     body = " ".join(parts).rstrip(",")
     return (
         f"WITH RECURSIVE {body} "
         "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
         "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+    )
+
+
+def _minhash_verify_comp_parts(threshold: float) -> list[str]:
+    """The verify→components tail shared by the cluster oracles:
+    Jaccard over distinct shingle-hash sets (exact-int→IEEE division),
+    symmetric verified edges, recursive min-label closure → ``comp``
+    (node, cluster_id). Extends a ``_minhash_cte_parts`` chain (needs
+    its ``grams`` and ``cand`` CTEs in scope)."""
+    return [
+        "gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),",
+        "inter AS MATERIALIZED (SELECT c.id_a, c.id_b, COUNT(*) AS ni FROM cand c "
+        "JOIN grams ga ON ga.doc_id = c.id_a "
+        "JOIN grams gb ON gb.doc_id = c.id_b AND gb.h = ga.h "
+        "GROUP BY c.id_a, c.id_b),",
+        "vedge AS MATERIALIZED (SELECT i.id_a AS u, i.id_b AS v FROM inter i "
+        "JOIN gsz sa ON sa.doc_id = i.id_a JOIN gsz sb ON sb.doc_id = i.id_b "
+        f"WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= {threshold!r}),",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM vedge UNION ALL SELECT v, u FROM vedge)),",
+        "vn AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),",
+        "reach(node, lbl) AS (SELECT node, node FROM vn "
+        "UNION SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),",
+        "comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),",
+    ]
+
+
+def _docs_curation_fuzzy_sql(
+    threshold: float = 0.8, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42
+) -> str:
+    """pipelines/curate.curate_documents(fuzzy=True) oracle — the exact
+    docs_curation chain (quality gate 620000 ppm → md5 exact-dedup
+    keep-min) extended with the near-dup leg: the exact survivors' texts
+    run the MinHash cluster chain (same CTEs as minhash_dedup_clusters,
+    sourced from the survivor table) and each cluster keeps its minimum
+    doc id before the split hash."""
+    parts = [
+        f"q AS (SELECT doc_id FROM ({_DOCS_QUALITY_SQL}) WHERE quality_ppm >= 620000),",
+        "kept AS MATERIALIZED (SELECT d.doc_id, COALESCE(d.text, '') AS text "
+        "FROM documents d JOIN q USING (doc_id)),",
+        "ddg AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),",
+        "sdocs AS MATERIALIZED (SELECT k.doc_id, k.text FROM kept k JOIN ddg USING (doc_id)),",
+    ]
+    parts.extend(_minhash_cte_parts(num_perm, bands, k, seed, source="sdocs"))
+    parts.extend(_minhash_verify_comp_parts(threshold))
+    parts.append(
+        "clu AS MATERIALIZED (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
+        "FROM sdocs d LEFT JOIN comp c ON c.node = d.doc_id),"
+    )
+    parts.append("fk AS (SELECT MIN(doc_id) AS doc_id FROM clu GROUP BY cluster_id),")
+    parts.append("h AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM fk),")
+    body = " ".join(parts).rstrip(",")
+    return (
+        f"WITH RECURSIVE {body} "
+        "SELECT doc_id, CASE WHEN hv <= 3435973836 THEN 'train' "
+        "WHEN hv <= 3865470566 THEN 'val' ELSE 'test' END AS split FROM h "
+        "ORDER BY doc_id"
     )
 
 
@@ -6910,6 +6965,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _language_id_sql(),
         "docs_split": _DOCS_SPLIT_SQL,
         "docs_curation": _DOCS_CURATION_SQL_TEMPLATE.format(quality=_DOCS_QUALITY_SQL),
+        "docs_curation_fuzzy": _docs_curation_fuzzy_sql(),
         "docs_packed": _DOCS_PACKED_SQL,
         "docs_token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

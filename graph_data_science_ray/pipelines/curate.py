@@ -36,6 +36,11 @@ def curate_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    fuzzy: bool = False,
+    jaccard_threshold: float = 0.8,
+    minhash_num_perm: int = 64,
+    minhash_bands: int = 16,
+    shingle_k: int = 5,
 ) -> Dataset:
     """→ (doc_id, split) for the curated survivors.
 
@@ -43,7 +48,15 @@ def curate_documents(
     are dropped (integer compare — immune to float-boundary drift
     between engines). Duplicate texts keep the smallest doc id. The
     returned Dataset carries one row per surviving document with its
-    deterministic split label."""
+    deterministic split label.
+
+    ``fuzzy=True`` adds the near-duplicate leg AFTER the exact dedup
+    (round-4 verdict ask #4): the exact survivors' texts run through
+    ``minhash_dedup_clusters`` (LSH candidates → shingle-set Jaccard
+    verify at ``jaccard_threshold`` → wcc_star components) and each
+    near-dup cluster keeps its smallest doc id. Everything stays
+    distributed — the fuzzy leg shuffles texts only for LSH candidate
+    pairs and keeps component state on the edge list."""
     configure_ray_data()
 
     def gate(t: pa.Table) -> pa.Table:
@@ -79,4 +92,24 @@ def curate_documents(
 
     survivors = dd.map_batches(ids_only, batch_format="pyarrow",
                                zero_copy_batch=True)
+    if fuzzy:
+        from ray.data.aggregate import Min
+
+        from graph_data_science_ray.stages.dedup import minhash_dedup_clusters
+
+        surv_docs = hash_join(kept, survivors, on=(id_col,),
+                              num_partitions=num_partitions)
+        clusters = minhash_dedup_clusters(
+            surv_docs, id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold, num_perm=minhash_num_perm,
+            bands=minhash_bands, shingle_k=shingle_k,
+            num_partitions=num_partitions,
+        )
+        from graph_data_science_ray.context import shuffle_partitions_for
+
+        survivors = clusters.groupby(
+            "cluster_id", num_partitions=num_partitions or shuffle_partitions_for()
+        ).aggregate(Min(id_col, alias_name=id_col)).map_batches(
+            ids_only, batch_format="pyarrow", zero_copy_batch=True
+        )
     return hash_split(survivors, id_col, fractions=fractions, labels=labels)

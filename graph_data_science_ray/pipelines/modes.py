@@ -96,7 +96,7 @@ def write(result: IterativeResult, path: str, num_partitions: int = 8) -> str:
 
 
 def estimate(n_nodes: int, n_edges: int, algorithm: str = "pagerank",
-             num_shards: int = 8, weighted: bool = False) -> dict:
+             num_shards: int = 8, weighted: bool = False, **algo_params) -> dict:
     """Bytes-needed estimate, mirroring the reference's estimation gate:
     CSR shard = edges×(8B srcpos + 8B group + 8B dst share) + unique
     srcs×17B; node state = ids+values+out_w. ``compact_indices`` builds
@@ -105,17 +105,45 @@ def estimate(n_nodes: int, n_edges: int, algorithm: str = "pagerank",
     25-29% gather/bincount cost (numpy converts non-intp indices per
     kernel call), the same space/time trade as GDS's packed adjacency;
     the estimate reports the speed-default int64 layout. Used to
-    size/admit the actor pool before building it."""
+    size/admit the actor pool before building it.
+
+    ``algo_params`` sizes the round-4 2-D shard-state shapes
+    (cross-checked within 10% of ``CsrShard.mem_report`` state_bytes):
+
+    - ``betweenness``: ``source_batch`` k (default 64) — (n,k) float64
+      state + dist/sigma/delta aux + the n-sized Σδ accumulator.
+    - ``sllpa``: ``max_iterations`` T (default 20) — (n,T+1) int64
+      label memory.
+    - ``celf``: ``simulations`` R (default 32) — (n,R) int64 comp +
+      (n,R) float64 gain + n bool chosen.
+    - everything else: the 1-D state + residual pair (16 B/node),
+      already inside the 24 B/node base term.
+    """
     per_edge = 24 + (8 if weighted else 0)
     per_node = 8 * 3
-    shard_bytes = (n_edges * per_edge) // max(1, num_shards) + (n_nodes * per_node) // max(1, num_shards)
-    total = n_edges * per_edge + n_nodes * per_node
+    if algorithm == "betweenness":
+        k = int(algo_params.get("source_batch", 64))
+        state_per_node = 8 * (4 * k + 1)
+    elif algorithm == "sllpa":
+        t = int(algo_params.get("max_iterations", 20))
+        state_per_node = 8 * (t + 1)
+    elif algorithm == "celf":
+        r = int(algo_params.get("simulations", 32))
+        state_per_node = 16 * r + 1
+    else:
+        state_per_node = 0  # covered by the base per_node term
+    state_bytes = n_nodes * state_per_node
+    shard_bytes = (n_edges * per_edge) // max(1, num_shards) + (
+        n_nodes * (per_node + state_per_node)
+    ) // max(1, num_shards)
+    total = n_edges * per_edge + n_nodes * per_node + state_bytes
     # dataflow path additionally broadcasts one node vector per iteration
     broadcast_bytes = n_nodes * 16
     return {
         "algorithm": algorithm,
         "total_bytes": int(total),
         "per_shard_bytes": int(shard_bytes),
+        "state_bytes": int(state_bytes),
         "broadcast_bytes_per_iteration": int(broadcast_bytes),
         "recommended_min_shards": max(1, int(np.ceil(total / (2 * 1024**3)))),
     }

@@ -430,12 +430,42 @@ class CsrShard:
         }
         if self.edge_w is not None:
             arrs["edge_w"] = self.edge_w
+        # live algorithm state, when present (the round-4 2-D shapes:
+        # betweenness (n,k) state+dist/sigma/delta aux, SLLPA (n,T+1)
+        # label memory, CELF (n,R) comp/gain) — lets the estimate gate
+        # (pipelines/modes.estimate) be cross-checked against actual
+        # allocations instead of just the immutable CSR arrays
+        state: dict[str, int] = {}
+        st = getattr(self, "state", None)
+        if isinstance(st, np.ndarray):
+            state["state"] = int(st.nbytes)
+        acc = getattr(self, "_acc_rowsum", None)
+        if isinstance(acc, np.ndarray):
+            state["acc.rowsum"] = int(acc.nbytes)
+        for name, attr in (("aux", "_pg_aux"), ("celf", "_celf")):
+            d = getattr(self, attr, None)
+            if isinstance(d, dict):
+                for k, v in d.items():
+                    if isinstance(v, np.ndarray):
+                        state[f"{name}.{k}"] = int(v.nbytes)
         return {
             "edges": int(self.edge_srcpos.shape[0]),
+            "owned_nodes": int(self.owned_ids.shape[0]),
             "bytes": {k: int(v.nbytes) for k, v in arrs.items()},
             "total_bytes": int(sum(v.nbytes for v in arrs.values())),
+            "state_bytes": state,
+            "state_total_bytes": int(sum(state.values())),
             "index_dtype": str(self.edge_srcpos.dtype),
         }
+
+    def state_release(self) -> None:
+        """Drop per-algorithm state/aux so a reused engine (or the
+        estimate-parity tests) starts from a clean slate; the immutable
+        CSR arrays stay."""
+        self.state = None
+        self._pg_aux = None
+        self._celf = None
+        self._acc_rowsum = None
 
     def debug_kernel(self) -> dict:
         """Time the emit kernel pieces in-place (diagnostics)."""

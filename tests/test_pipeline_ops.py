@@ -757,3 +757,33 @@ def test_curate_documents_chain():
                            min_quality_ppm=510_000).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert df.equals(df2)
+
+
+def test_curate_documents_fuzzy_leg():
+    """fuzzy=True chains the MinHash near-dup cluster dedup AFTER the
+    exact dedup: docs 1 and 4 differ by a short tail (md5-distinct but
+    Jaccard-near at 0.8), so the fuzzy leg collapses them to min id 1;
+    the exact leg alone keeps both (asserted above)."""
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray.pipelines.curate import curate_documents
+
+    good = ("the cat sat on the mat and it is a fine day for all of that " * 20)
+    far = ("a completely different document about stars and ships that is "
+           "long enough to pass the quality gate with many common words "
+           "the and of in it is that for " * 20)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([good, good, "1234!!%%", good + " tail", None, far]),
+    })
+    out = curate_documents(ray.data.from_arrow(t), min_quality_ppm=510_000,
+                           fuzzy=True)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df["doc_id"]) == [1, 6]
+    # partition-invariant
+    df2 = curate_documents(ray.data.from_arrow(t).repartition(3),
+                           min_quality_ppm=510_000, fuzzy=True,
+                           num_partitions=3).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert df.equals(df2)
