@@ -3,21 +3,29 @@
 The end-to-end pre-training data chain composed from the verified
 stages (each independently oracle-matched in the harness):
 
-    quality_scores (stages/textstats)     RE2-vectorized quality in [0,1]
-      → integer-ppm threshold gate        (cross-engine-stable compare)
-      → md5 fingerprint (stages/textstats) 32-byte keys, not full texts
+    QualityScore (stages/textstats)       RE2-vectorized quality in [0,1]
+      + integer-ppm threshold gate        (cross-engine-stable compare)
+      + md5 fingerprint (stages/textstats) 32-byte keys, not full texts
+      — all ONE map_batches pass over the corpus —
       → exact_dedup (stages/dedup)        keep min doc_id per fingerprint
       → hash_split (stages/split)         deterministic train/val/test
 
-Everything streams: the full text column rides only the fingerprint
-stage (one pass); dedup shuffles 32-byte hex keys; split is a pure
+Everything streams: the full text column rides only the single
+gate+fingerprint pass; dedup shuffles 32-byte hex keys; split is a pure
 per-batch map. At 100 TB the only wide op is the fingerprint-keyed
 groupby, hash-partitioned on content — immune to doc-id skew.
+
+Round-5 note: the original shape computed the kept ids in a BRANCH off
+the (lazy) input and hash-joined them back into the same input — two
+executions of the entire upstream lineage (ingest's snapshot + html
+extraction ran twice in the fused wide_curation chain; measured 69.7 s
+fused vs 24.4 s staged, BENCH/BASELINE.md round-5). Fusing gate and
+fingerprint into one pass removes both the double execution and the
+join shuffle.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -25,7 +33,7 @@ from ray.data import Dataset
 from graph_data_science_ray.context import configure_ray_data
 from graph_data_science_ray.stages.dedup import exact_dedup
 from graph_data_science_ray.stages.split import hash_split
-from graph_data_science_ray.stages.textstats import md5_fingerprint, quality_scores
+from graph_data_science_ray.stages.textstats import QualityScore, md5_fingerprint
 
 
 def curate_documents(
@@ -54,36 +62,35 @@ def curate_documents(
     (round-4 verdict ask #4): the exact survivors' texts run through
     ``minhash_dedup_clusters`` (LSH candidates → shingle-set Jaccard
     verify at ``jaccard_threshold`` → wcc_star components) and each
-    near-dup cluster keeps its smallest doc id. Everything stays
+    near-dup cluster keeps its smallest doc id. The gated
+    (doc_id, fingerprint, text) projection is materialized ONCE for the
+    two consumers (dedup + text attach); everything else stays
     distributed — the fuzzy leg shuffles texts only for LSH candidate
     pairs and keeps component state on the edge list."""
     configure_ray_data()
 
-    def gate(t: pa.Table) -> pa.Table:
+    qs = QualityScore(id_col, text_col)
+    min_ppm = int(min_quality_ppm)
+    keep_text = fuzzy
+
+    def gate_fp(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        q = qs(t).column("quality")
         # half-away rounding to match SQL ROUND (Arrow default is half-to-even)
         ppm = pc.cast(
-            pc.round(pc.multiply(t.column("quality"), 1e6),
-                     round_mode="half_towards_infinity"),
+            pc.round(pc.multiply(q, 1e6), round_mode="half_towards_infinity"),
             pa.int64(),
         )
-        keep = pc.greater_equal(ppm, min_quality_ppm)
-        return pa.table({id_col: t.column(id_col).filter(keep)})
+        kept = t.filter(pc.greater_equal(ppm, min_ppm))
+        fp = md5_fingerprint(kept, id_col, text_col)
+        if keep_text:
+            fp = fp.append_column(text_col, kept.column(text_col))
+        return fp
 
-    kept_ids = quality_scores(docs, id_col, text_col).map_batches(
-        gate, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    from graph_data_science_ray.functions.joins import hash_join
-
-    kept = hash_join(
-        docs, kept_ids, on=(id_col,), num_partitions=num_partitions
-    )
-    fps = kept.map_batches(
-        lambda t: md5_fingerprint(t, id_col, text_col),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    fps = docs.map_batches(gate_fp, batch_format="pyarrow", zero_copy_batch=True)
+    if fuzzy:
+        fps = fps.materialize()  # two consumers below — never re-run the lineage
     dd = exact_dedup(fps, ["fingerprint"], id_col=id_col,
                      num_partitions=num_partitions)
 
@@ -95,18 +102,18 @@ def curate_documents(
     if fuzzy:
         from ray.data.aggregate import Min
 
+        from graph_data_science_ray.context import shuffle_partitions_for
+        from graph_data_science_ray.functions.joins import hash_join
         from graph_data_science_ray.stages.dedup import minhash_dedup_clusters
 
-        surv_docs = hash_join(kept, survivors, on=(id_col,),
-                              num_partitions=num_partitions)
+        surv_docs = hash_join(fps.select_columns([id_col, text_col]), survivors,
+                              on=(id_col,), num_partitions=num_partitions)
         clusters = minhash_dedup_clusters(
             surv_docs, id_col=id_col, text_col=text_col,
             jaccard_threshold=jaccard_threshold, num_perm=minhash_num_perm,
             bands=minhash_bands, shingle_k=shingle_k,
             num_partitions=num_partitions,
         )
-        from graph_data_science_ray.context import shuffle_partitions_for
-
         survivors = clusters.groupby(
             "cluster_id", num_partitions=num_partitions or shuffle_partitions_for()
         ).aggregate(Min(id_col, alias_name=id_col)).map_batches(
