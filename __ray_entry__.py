@@ -211,7 +211,15 @@ def _round6(t: pa.Table, col: str) -> pa.Table:
     import pyarrow.compute as pc
 
     i = t.schema.get_field_index(col)
-    return t.set_column(i, col, pc.round(t.column(col), ndigits=6))
+    # half_away_from_zero matches DuckDB ROUND; pyarrow's default
+    # half_to_even flipped the last digit on exactly-representable
+    # boundary values at sf0.1 (knn_fastrp 0.7461805, weighted-jaccard
+    # 0.1015625 = 13/128 — r5 sweep). Off-boundary values are identical
+    # under both modes, so every already-green comparison is unchanged.
+    return t.set_column(
+        i, col,
+        pc.round(t.column(col), ndigits=6, round_mode="half_towards_infinity"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4811,7 +4819,7 @@ _E_PS_SMALL_CANON = (
 )
 
 
-def _bridges_sql(rounds: int = 8) -> str:
+def _bridges_sql(rounds: int = 24) -> str:
     """Definition-level oracle for algos/bridges bridges output on the
     small ps projection: edge {lo,hi} is a bridge iff hi is unreachable
     from lo in G minus that edge. Reachability = ``rounds`` fixed
@@ -4844,7 +4852,7 @@ def _bridges_sql(rounds: int = 8) -> str:
     return "\n".join(parts)
 
 
-def _articulation_sql(rounds: int = 8) -> str:
+def _articulation_sql(rounds: int = 24) -> str:
     """Definition-level oracle for articulation points on the small ps
     projection: node v (degree >= 2) is an articulation point iff some
     neighbor of v is unreachable from v's minimum neighbor in G minus
@@ -6433,7 +6441,7 @@ def _graphsage_sql(epochs=10):
 
 
 
-def _pcst_sql(rounds: int = 6, bf_steps: int = 8, walk_steps: int = 8) -> str:
+def _pcst_sql(rounds: int = 10, bf_steps: int = 16, walk_steps: int = 16) -> str:
     """Round-exact replica of _q_prize_steiner (algos/pcst.
     prize_steiner_tree on the 64-smallest-node ps-weighted subgraph,
     prizes = node % 37 + 5): per accretion round, a multi-source
@@ -6467,7 +6475,11 @@ def _pcst_sql(rounds: int = 6, bf_steps: int = 8, walk_steps: int = 8) -> str:
         )
         for t in range(1, bf_steps + 1):
             parts.append(
-                f"da{r}_{t} AS {'MATERIALIZED ' if t == bf_steps else ''}"
+                # every step MATERIALIZED: each references its
+                # predecessor twice, so non-materialized chains
+                # re-inline 2^bf_steps-fold (CLAUDE.md gotcha — bit
+                # when bf_steps went 8→16 for the r5 sf0.1 margin)
+                f"da{r}_{t} AS MATERIALIZED "
                 f"(SELECT node, MIN(dd) AS dd FROM ("
                 f"SELECT node, dd FROM da{r}_{t - 1} UNION ALL "
                 f"SELECT e.d AS node, p.dd + e.w FROM sym e "

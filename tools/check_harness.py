@@ -62,6 +62,19 @@ def main() -> int:
     import __ray_entry__ as harness
 
     con = duckdb.connect()
+    # Bound the in-process oracle: at sf0.1 the heaviest CTE replays
+    # (hdbscan excess-of-mass) exceed the box when DuckDB grows
+    # unbounded next to Ray's object store — the 2026-08-22 full-sweep
+    # attempt was OOM-killed (exit 137) on hdbscan_embeddings. Cap and
+    # spill to disk instead; the driver's own sf0.01 gate is unaffected.
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    # fail fast instead of filling the disk: the mst_forest closure-
+    # doubling oracle spilled 79 GB at sf0.1 before ENOSPC took down the
+    # whole sweep. Pair-closure oracles (mst, wcc, hdbscan) are replayed
+    # on documented bounded instances at sf0.1 instead (BENCH/BASELINE.md
+    # round-5).
+    con.sql("SET max_temp_directory_size='30GB'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
